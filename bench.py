@@ -1,0 +1,96 @@
+"""Benchmark: k-mer counting throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric is counted k-mers/s through the full hot path (canonical extraction +
+minimizer routing + dedup + vectorized hash insert) on synthetic
+metagenome-like reads at k=21.  vs_baseline is relative to the reference's
+only published kernel throughput number: the point_tcf GPU filter's claimed
+1.3e9 inserts/s (point_tcf/README.md:44, see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_reads(rng, n_reads, read_len, genome_len):
+    genome = rng.integers(0, 4, genome_len, dtype=np.uint8)
+    starts = rng.integers(0, genome_len - read_len + 1, n_reads)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    codes = genome[idx]
+    # ~0.5% base error like BASE_ERROR_RATE
+    err = rng.random((n_reads, read_len)) < 0.005
+    codes = np.where(err, (codes + rng.integers(1, 4, codes.shape)) % 4, codes).astype(np.uint8)
+    badq = rng.random((n_reads, read_len)) < 0.02
+    lengths = np.full(n_reads, read_len, np.int32)
+    return codes, badq, lengths
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mhm2_kmer_analysis_v2_tpu.ops.kmer_ops import kmer_records
+    from mhm2_kmer_analysis_v2_tpu.table import shard_table
+
+    k = 21
+    read_len = 150
+    batch_reads = 8192
+    n_batches = 10
+    rng = np.random.default_rng(42)
+
+    # ~10M-element table (well under one v5e chip's HBM)
+    table = shard_table.create(10_000_000)
+
+    @jax.jit
+    def step(table, codes, badq, lengths):
+        recs = kmer_records(codes, badq, lengths, k=k, n_shards=1)
+        flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+        n_valid = jnp.sum(flat["valid"].astype(jnp.int64))
+        table = shard_table.insert_batch(
+            table,
+            flat["canon"],
+            flat["left"],
+            flat["right"],
+            jnp.ones_like(flat["left"]),
+            flat["valid"],
+        )
+        return table, n_valid
+
+    batches = [
+        make_reads(rng, batch_reads, read_len, genome_len=2_000_000)
+        for _ in range(n_batches)
+    ]
+    dev_batches = [
+        (jnp.asarray(c), jnp.asarray(b), jnp.asarray(l)) for c, b, l in batches
+    ]
+
+    # warmup / compile
+    table, nv = step(table, *dev_batches[0])
+    jax.block_until_ready(table.keys)
+
+    t0 = time.perf_counter()
+    total_kmers = 0
+    for c, b, l in dev_batches:
+        table, nv = step(table, c, b, l)
+        total_kmers += int(nv)
+    jax.block_until_ready(table.keys)
+    elapsed = time.perf_counter() - t0
+
+    kmers_per_sec = total_kmers / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "kmer_count_throughput_per_chip",
+                "value": round(kmers_per_sec, 1),
+                "unit": "kmers/s",
+                "vs_baseline": round(kmers_per_sec / 1.3e9, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

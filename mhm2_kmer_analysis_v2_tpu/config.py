@@ -1,0 +1,134 @@
+"""Options / CLI — the Options class equivalent (src/options.{hpp,cpp}).
+
+Same surface: -r interleaved/unpaired read files, -p paired (encoded f1:f2),
+-u unpaired (f:), -k kmer length(s), -o output dir, quality offset, dump
+flags, store sizing knobs, subsampling, restart config files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class Options:
+    # file groups use the reference's ':' encodings (src/options.cpp:379-405):
+    # paired files are "f1:f2", unpaired are "f:"; interleaved are bare names
+    reads_fnames: list = field(default_factory=list)
+    paired_fnames: list = field(default_factory=list)
+    unpaired_fnames: list = field(default_factory=list)
+    adapter_trim: bool = True
+    adapter_fname: str = ""
+    kmer_lens: list = field(default_factory=lambda: [21])  # src/options.hpp:80
+    qual_offset: int = 33
+    verbose: bool = False
+    max_kmer_store_mb: int = 0  # 0 = 1% of memory (src/options.hpp:86)
+    max_rpcs_in_flight: int = 100
+    dmin_thres: int = 2
+    subsample_fastq_pct: int = 100
+    checkpoint: bool = False
+    dump_merged: bool = False
+    show_progress: bool = False
+    output_dir: str = ""
+    dump_kmers: bool = False
+    use_qf: bool = False
+    sequencing_depth: int = 4  # src/options.hpp:103
+    optimize_for: str = "default"
+    # TPU-native knobs (no reference analogue)
+    batch_reads: int = 8192
+    n_devices: int = 0  # 0 = all
+
+    def all_read_groups(self) -> list:
+        """Expand to a list of file-name lists: [f] interleaved, [f1,f2] pair."""
+        groups = [[f] for f in self.reads_fnames]
+        groups += [f.split(":")[:2] for f in self.paired_fnames]
+        groups += [[f.rstrip(":")] for f in self.unpaired_fnames]
+        return groups
+
+    def setup_output_dir(self):
+        """mkdir + chdir convention of src/options.cpp:86-199 (no Lustre
+        striping on TPU VMs)."""
+        if not self.output_dir:
+            self.output_dir = "mhm2-run-" + time.strftime("%Y%m%d%H%M%S")
+        os.makedirs(os.path.join(self.output_dir, "per_rank"), exist_ok=True)
+
+    def write_config_file(self):
+        """Persist the run config for restart (src/options.cpp:504-514)."""
+        path = os.path.join(self.output_dir, "per_rank", "mhm2.config")
+        with open(path, "w") as f:
+            json.dump(asdict(self), f, indent=2)
+        link = os.path.join(self.output_dir, "mhm2.config")
+        if not os.path.exists(link):
+            try:
+                os.link(path, link)
+            except OSError:
+                pass
+
+
+def parse_args(argv=None) -> Options:
+    p = argparse.ArgumentParser(
+        prog="mhm2-tpu",
+        description="TPU-native MHM2 k-mer analysis (JAX/XLA/Pallas)",
+    )
+    p.add_argument("-r", "--reads", nargs="+", default=[], help="interleaved or unpaired FASTQ")
+    p.add_argument("-p", "--paired-reads", nargs="+", default=[], help="paired FASTQ: f1 f2 [f1 f2 ...]")
+    p.add_argument("-u", "--unpaired-reads", nargs="+", default=[])
+    p.add_argument("-k", "--kmer-lens", nargs="+", type=int, default=[21])
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("-Q", "--quality-offset", type=int, default=33)
+    p.add_argument("--min-depth-thres", type=int, default=2)
+    p.add_argument("--max-kmer-store", type=int, default=0, help="MB per rank")
+    p.add_argument("--max-rpcs-in-flight", type=int, default=100)
+    p.add_argument("--subsample-pct", type=int, default=100)
+    p.add_argument("--sequencing-depth", type=int, default=4)
+    p.add_argument("--dump-kmers", action="store_true")
+    p.add_argument("--dump-merged", action="store_true")
+    p.add_argument("--checkpoint", action="store_true")
+    p.add_argument("--use-qf", action="store_true")
+    p.add_argument("--adapter-refs", default="")
+    p.add_argument("--no-adapter-trim", action="store_true")
+    p.add_argument("--progress", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--batch-reads", type=int, default=8192)
+    p.add_argument("--n-devices", type=int, default=0)
+    p.add_argument("--config", default="", help="load options from a config file")
+    a = p.parse_args(argv)
+
+    if a.config:
+        with open(a.config) as f:
+            data = json.load(f)
+        return Options(**data)
+
+    if len(a.paired_reads) % 2:
+        p.error("-p requires pairs of files")
+    paired = [
+        f"{a.paired_reads[i]}:{a.paired_reads[i+1]}"
+        for i in range(0, len(a.paired_reads), 2)
+    ]
+    return Options(
+        reads_fnames=a.reads,
+        paired_fnames=paired,
+        unpaired_fnames=[f + ":" for f in a.unpaired_reads],
+        adapter_trim=not a.no_adapter_trim,
+        adapter_fname=a.adapter_refs,
+        kmer_lens=a.kmer_lens,
+        qual_offset=a.quality_offset,
+        verbose=a.verbose,
+        max_kmer_store_mb=a.max_kmer_store,
+        max_rpcs_in_flight=a.max_rpcs_in_flight,
+        dmin_thres=a.min_depth_thres,
+        subsample_fastq_pct=a.subsample_pct,
+        checkpoint=a.checkpoint,
+        dump_merged=a.dump_merged,
+        show_progress=a.progress,
+        output_dir=a.output,
+        dump_kmers=a.dump_kmers,
+        use_qf=a.use_qf,
+        sequencing_depth=a.sequencing_depth,
+        batch_reads=a.batch_reads,
+        n_devices=a.n_devices,
+    )

@@ -1,0 +1,211 @@
+"""FASTQ ingest (host side).
+
+Re-design of the reference's FastqReader (src/fastq.cpp:173-1251): partitioned
+parallel reading with record-boundary repair, paired-file synchronization,
+Illumina/HudsonAlpha header normalization, and deterministic subsampling.
+
+On TPU pods the reads are CPU-fed, so this layer stays host-side numpy; the
+per-rank byte-range partition maps to per-process (jax.process_index) blocks.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+
+
+def is_gz(fname: str) -> bool:
+    with open(fname, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def _open(fname: str):
+    if is_gz(fname):
+        return gzip.open(fname, "rb")
+    return open(fname, "rb")
+
+
+def get_fq_name(header: str) -> str:
+    """Normalize a FASTQ header to 'name/1' or 'name/2'.
+
+    Control-flow mirror of FastqReader::get_fq_name (src/fastq.cpp:77-135):
+    classic '@name/1' passes through; HudsonAlpha '@pair-R1'/'@pair-R2'
+    becomes 'pair/1'; Illumina 1.8+ '@name 1:N:0:...' becomes 'name/1';
+    any other comment is stripped.
+    """
+    if not header.startswith("@"):
+        raise ValueError(f"bad FASTQ header: {header!r}")
+    header = header[1:].rstrip()
+    n = len(header)
+    if n >= 3 and header[n - 2] != "/":
+        if header[n - 2] == "R":
+            # HudsonAlpha: @pair-R1 / @pair-R2 -> pair/1, pair/2
+            return header[: n - 3] + "/" + header[n - 1]
+        end_pos = header.find("\t")
+        if end_pos == -1:
+            end_pos = header.find(" ")
+            if end_pos == -1:
+                return header
+        if end_pos > 3 and header[end_pos - 2] == "/" and header[end_pos - 1] in "12":
+            return header[:end_pos]
+        if (
+            n >= end_pos + 7
+            and header[end_pos + 2] == ":"
+            and header[end_pos + 4] == ":"
+            and header[end_pos + 6] == ":"
+            and header[end_pos + 1] in "12"
+        ):
+            return header[:end_pos] + "/" + header[end_pos + 1]
+        return header[:end_pos]
+    return header
+
+
+@dataclass
+class FastqRecord:
+    name: str
+    seq: str
+    quals: str
+
+
+class FastqReader:
+    """Sequential FASTQ reader over an optional byte range with boundary repair.
+
+    The byte-range start is repaired to the next record boundary the same way
+    get_fptr_for_next_record does (src/fastq.cpp:284-512): scan for an '@'
+    line whose +2 line is '+', with pair-aware disambiguation (a '@' quality
+    line can masquerade as a header).  Reading continues past `end` until the
+    record that contains it is finished, so concatenating all ranges yields
+    exactly the file's records.
+    """
+
+    def __init__(self, fname: str, start: int = 0, end: int | None = None):
+        self.fname = fname
+        if is_gz(fname):
+            # gzip streams are not block-splittable; only full-file reads
+            if start != 0 or end is not None:
+                raise ValueError("byte-range reads unsupported on gzip FASTQ")
+            self.f = gzip.open(fname, "rb")
+            self.end = None
+        else:
+            self.f = open(fname, "rb")
+            size = os.fstat(self.f.fileno()).st_size
+            self.end = size if end is None else min(end, size)
+            if start > 0:
+                self.f.seek(start)
+                self._seek_next_record()
+        self._buf = io.BufferedReader(self.f) if not isinstance(self.f, io.BufferedReader) else self.f
+
+    def _seek_next_record(self):
+        """Advance to the next record boundary (header line start)."""
+        f = self.f
+        # skip partial line
+        f.readline()
+        while True:
+            pos = f.tell()
+            lines = []
+            probe = pos
+            for _ in range(4):
+                ln = f.readline()
+                if not ln:
+                    f.seek(pos)
+                    return
+                lines.append(ln)
+            f.seek(pos)
+            # a valid record start: '@' header and '+' two lines later, and
+            # the sequence line is ACGTN-ish. The quality line of the previous
+            # record can start with '@'; in that case lines[1] would be a
+            # header and lines[3] would be '+' - prefer the interpretation
+            # where line0 is the header (src/fastq.cpp:350-420).
+            if lines[0].startswith(b"@") and lines[2].startswith(b"+") and _is_seq_line(lines[1]):
+                return
+            if lines[1].startswith(b"@") and lines[3].startswith(b"+") and _is_seq_line(lines[2]):
+                f.seek(pos + len(lines[0]))
+                return
+            f.seek(pos + len(lines[0]))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> FastqRecord:
+        if self.end is not None and self.f.tell() >= self.end:
+            raise StopIteration
+        header = self.f.readline()
+        if not header:
+            raise StopIteration
+        seq = self.f.readline()
+        plus = self.f.readline()
+        quals = self.f.readline()
+        if not quals:
+            raise StopIteration
+        if not header.startswith(b"@") or not plus.startswith(b"+"):
+            raise ValueError(
+                f"malformed FASTQ record near byte {self.f.tell()} in {self.fname}"
+            )
+        return FastqRecord(
+            name=get_fq_name(header.decode()),
+            seq=seq.decode().strip().upper(),
+            quals=quals.decode().rstrip("\n"),
+        )
+
+    def close(self):
+        self.f.close()
+
+
+def _is_seq_line(ln: bytes) -> bool:
+    sample = ln.strip()[:64]
+    if not sample:
+        return False
+    ok = sum(1 for c in sample if c in b"ACGTNacgtn")
+    return ok >= len(sample) * 0.9
+
+
+def read_fastq(fname: str, subsample_pct: int = 100) -> list[FastqRecord]:
+    """Read a whole FASTQ file; deterministic modulo subsampling like
+    get_next_fq_record's modulo logic (src/fastq.cpp:1034-1059)."""
+    out = []
+    keep_mod = 100
+    rdr = FastqReader(fname)
+    for i, rec in enumerate(rdr):
+        if subsample_pct < 100 and (i % keep_mod) >= subsample_pct:
+            continue
+        out.append(rec)
+    rdr.close()
+    return out
+
+
+def read_fastq_block(fname: str, rank: int, n_ranks: int) -> list[FastqRecord]:
+    """Per-rank even byte-range split with boundary repair
+    (continue_open_default_per_rank_boundaries, src/fastq.cpp:810-892)."""
+    size = os.path.getsize(fname)
+    start = size * rank // n_ranks
+    end = size * (rank + 1) // n_ranks
+    rdr = FastqReader(fname, start=start, end=end)
+    out = list(rdr)
+    rdr.close()
+    return out
+
+
+def iter_paired(fnames: list[str]):
+    """Yield read pairs from either one interleaved file or two paired files
+    (the reference's 'f1:f2' vs interleaved '-r' conventions,
+    src/options.cpp:379-405)."""
+    if len(fnames) == 2:
+        r1 = FastqReader(fnames[0])
+        r2 = FastqReader(fnames[1])
+        for a, b in zip(r1, r2):
+            yield a, b
+        r1.close()
+        r2.close()
+    else:
+        (fname,) = fnames
+        rdr = FastqReader(fname)
+        while True:
+            try:
+                a = next(rdr)
+                b = next(rdr)
+            except StopIteration:
+                break
+            yield a, b
+        rdr.close()

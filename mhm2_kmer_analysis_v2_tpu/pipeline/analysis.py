@@ -1,0 +1,209 @@
+"""Pipeline orchestration: ingest -> count -> finalize -> dump/report.
+
+The run_pipeline / contigging / analyze_kmers drivers re-designed for a
+single-controller JAX job (reference call stack: src/main.cpp:197-288 ->
+src/contigging.cpp:67-192 -> src/kcount/kcount.cpp:142-161).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..config import Options
+from ..io import fastq
+from ..io.packed_reads import PackedReads
+from ..ops.kmer_ops import minimizer_len_for_k
+from ..parallel import count_step as cs
+from ..table import shard_table
+from ..utils.logging import slog, slog_verbose
+from ..utils.timers import stage_timers
+
+BASE_ERROR_RATE = 0.005  # CMakeDefinitions.txt (BASE_ERROR_RATE)
+
+
+@dataclass
+class AnalysisResult:
+    k: int
+    unique_kmers: int
+    total_kmer_count_sum: int
+    avg_kmer_count: float
+    num_reads: int
+    num_dropped: int
+    num_overflow: int
+
+
+def load_reads(options: Options) -> PackedReads:
+    """Ingest all read groups into one PackedReads store.
+
+    Round-1 scope: raw reads without adapter trimming / pair merging (those
+    land with io/adapters.py + io/merge_reads.py); mirrors loading with
+    --no-adapter-trim and merging disabled.
+    """
+    pr = PackedReads(qual_offset=options.qual_offset)
+    read_id = 0
+    for group in options.all_read_groups():
+        if len(group) == 2:
+            for a, b in fastq.iter_paired(group):
+                pr.add_read(f"r{read_id}/1", a.seq, a.quals)
+                pr.add_read(f"r{read_id}/2", b.seq, b.quals)
+                read_id += 1
+        else:
+            for rec in fastq.read_fastq(group[0], options.subsample_fastq_pct):
+                pr.add_read(f"r{read_id}", rec.seq, rec.quals)
+                read_id += 1
+    slog_verbose("Loaded ", len(pr), " reads, ", pr.bases, " bases, max len ", pr.max_read_len)
+    return pr
+
+
+def estimate_table_elems(num_kmers: int, k: int, sequencing_depth: int) -> int:
+    """Reference sizing heuristics (src/kcount/kmer_dht.cpp:126-133): unique
+    estimate = raw/depth, error kmers = raw * (1-(1-err)^k)."""
+    adjusted = num_kmers // max(sequencing_depth, 1)
+    kmer_error_rate = 1.0 - (1.0 - BASE_ERROR_RATE) ** k
+    num_errors = int(num_kmers * kmer_error_rate)
+    return max(adjusted + num_errors, 1024)
+
+
+def analyze_kmers(
+    pr: PackedReads,
+    k: int,
+    options: Options,
+    mesh=None,
+) -> tuple[AnalysisResult, shard_table.FinalizedShard, int]:
+    """One k-round: count all reads' k-mers on the mesh, finalize, report."""
+    if mesh is None:
+        mesh = cs.make_mesh(options.n_devices or None)
+    n_shards = mesh.shape["sh"]
+    m = minimizer_len_for_k(k)
+    slog_verbose("Using a minimizer length of ", m)
+
+    est_kmers = pr.estimate_num_kmers(k)
+    per_shard = estimate_table_elems(est_kmers, k, options.sequencing_depth) // n_shards + 1024
+    state = cs.create_sharded(n_shards, per_shard, mesh=mesh)
+    slog_verbose(
+        "Initial counts for read kmers ", est_kmers, "; table capacity/shard ",
+        state.keys.shape[1],
+    )
+
+    batch = options.batch_reads
+    # round batch to a multiple of shard count so every device gets equal rows
+    batch = max(n_shards, batch - batch % n_shards)
+    max_len = max(pr.max_read_len, k + 2)
+    positions_per_device = (batch // n_shards) * max_len
+    # exchange capacity: worst-case skew headroom over the mean (the
+    # fixed-capacity analogue of --max-kmer-store sizing, kmer_dht.cpp:141-144)
+    mean = positions_per_device // max(n_shards, 1) + 1
+    exchange_cap = min(positions_per_device, 4 * mean + 4096)
+
+    step = cs.make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m)
+    sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))
+
+    stage_timers.analyze_kmers.start()
+    num_reads = 0
+    for rb in pr.batches(batch, max_len=max_len):
+        num_reads += int((rb.lengths > 0).sum())
+        codes = jax.device_put(rb.codes, sharding)
+        badq = jax.device_put(rb.badq, sharding)
+        lengths = jax.device_put(rb.lengths, sharding)
+        state = step(state, codes, badq, lengths)
+    # flush_updates + finish_updates
+    finalize = cs.make_finalize(mesh, dmin_thres=options.dmin_thres)
+    fin = finalize(state)
+    num_dropped = int(np.sum(np.asarray(state.num_dropped)))
+    num_overflow = int(np.sum(np.asarray(state.overflow)))
+    stage_timers.analyze_kmers.stop()
+
+    unique = int(np.sum(np.asarray(fin.num_kept)))
+    total_sum = int(np.sum(np.asarray(fin.sum_counts)))
+    avg_count = total_sum / unique if unique else 0.0
+    if num_dropped:
+        slog("WARNING: ", num_dropped, " kmers dropped (probe cap/table full)")
+    if num_overflow:
+        slog("WARNING: ", num_overflow, " records lost to exchange overflow")
+    slog_verbose("Total kmers: ", unique)
+    slog_verbose("Total kmer count sum: ", total_sum)
+    res = AnalysisResult(
+        k=k,
+        unique_kmers=unique,
+        total_kmer_count_sum=total_sum,
+        avg_kmer_count=avg_count,
+        num_reads=num_reads,
+        num_dropped=num_dropped,
+        num_overflow=num_overflow,
+    )
+    return res, fin, n_shards
+
+
+def dump_kmers(fin: shard_table.FinalizedShard, k: int, output_dir: str, n_shards: int):
+    """Write per-shard kmers-<k>.txt.gz dumps, 'KMER count L R' lines
+    (src/kcount/kmer_dht.cpp:269-297)."""
+    for shard in range(n_shards):
+        one = shard_table.FinalizedShard(
+            keys=fin.keys[shard],
+            counts=fin.counts[shard],
+            left_ext=fin.left_ext[shard],
+            right_ext=fin.right_ext[shard],
+            keep=fin.keep[shard],
+            num_kept=fin.num_kept[shard],
+            sum_counts=fin.sum_counts[shard],
+            num_purged=fin.num_purged[shard],
+        )
+        vals, counts, left, right = shard_table.compact_to_host(one)
+        strings = shard_table.vals_to_strings(vals, k)
+        path = os.path.join(output_dir, "per_rank", f"kmers-{k}.txt.gz.{shard}")
+        with gzip.open(path, "wt") as f:
+            for s, c, l, r in zip(strings, counts, left, right):
+                f.write(f"{s} {c} {l} {r}\n")
+
+
+def run_pipeline(options: Options) -> list:
+    """Full run: load reads, one analysis round per k, write the CSV contract
+    (proxy_results_summary.csv, src/main.cpp:340-392)."""
+    t0 = time.time()
+    options.setup_output_dir()
+    from ..utils.logging import init_logger
+
+    init_logger(options.output_dir, options.verbose)
+    pr = load_reads(options)
+    results = []
+    for k in options.kmer_lens:
+        slog("_________________________")
+        slog("Contig generation k = ", k)
+        res, fin, n_shards = analyze_kmers(pr, k, options)
+        if options.dump_kmers:
+            dump_kmers(fin, k, options.output_dir, n_shards)
+        # sequencing depth update for next round (src/contigging.cpp:148-150)
+        options.sequencing_depth = max(int(res.avg_kmer_count), 1)
+        results.append(res)
+        slog("Completed contig round k = ", k)
+    elapsed = time.time() - t0
+    write_summary_csv(options, results, elapsed)
+    slog(stage_timers.report(elapsed))
+    return results
+
+
+def write_summary_csv(options: Options, results: list, elapsed: float):
+    """proxy_results_summary.csv with the reference's schema
+    (Reads, Unique kmers, Total kmers, Fraction, Peak mem GB, seconds —
+    src/main.cpp:382-391)."""
+    try:
+        import resource
+
+        peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2
+    except Exception:
+        peak_gb = 0.0
+    path = os.path.join(options.output_dir, "proxy_results_summary.csv")
+    with open(path, "w") as f:
+        f.write("Reads,Unique kmers,Total kmers,Fraction unique,Peak memory (GB),Timing (s)\n")
+        for r in results:
+            frac = r.unique_kmers / r.total_kmer_count_sum if r.total_kmer_count_sum else 0
+            f.write(
+                f"{r.num_reads},{r.unique_kmers},{r.total_kmer_count_sum},"
+                f"{frac:.4f},{peak_gb:.2f},{elapsed:.2f}\n"
+            )

@@ -1,0 +1,99 @@
+"""FASTQ reader: parsing, header normalization, block boundary repair."""
+
+import gzip
+
+import pytest
+
+from mhm2_kmer_analysis_v2_tpu.io import fastq
+
+from util import random_reads
+
+
+def _write_fastq(path, reads, name_fmt="@r{i}/1"):
+    with open(path, "w") as f:
+        for i, (seq, quals) in enumerate(reads):
+            f.write(f"{name_fmt.format(i=i)}\n{seq}\n+\n{quals}\n")
+
+
+def test_basic_parse(tmp_path):
+    reads = random_reads(50, 30, 100, seed=1)
+    p = tmp_path / "a.fastq"
+    _write_fastq(p, reads)
+    got = fastq.read_fastq(str(p))
+    assert len(got) == 50
+    assert [r.seq for r in got] == [s for s, _ in reads]
+    assert [r.quals for r in got] == [q for _, q in reads]
+    assert got[0].name == "r0/1"
+
+
+def test_gzip_parse(tmp_path):
+    reads = random_reads(20, 30, 60, seed=2)
+    p = tmp_path / "a.fastq.gz"
+    with gzip.open(p, "wt") as f:
+        for i, (seq, quals) in enumerate(reads):
+            f.write(f"@r{i}/1\n{seq}\n+\n{quals}\n")
+    got = fastq.read_fastq(str(p))
+    assert len(got) == 20
+    assert [r.seq for r in got] == [s for s, _ in reads]
+
+
+def test_header_normalization():
+    # Illumina 1.8+ (src/fastq.cpp:118-125)
+    assert fastq.get_fq_name("@SRR123.1 1:N:0:ACGT") == "SRR123.1/1"
+    assert fastq.get_fq_name("@SRR123.1 2:N:0:ACGT") == "SRR123.1/2"
+    # classic
+    assert fastq.get_fq_name("@read5/2") == "read5/2"
+    # classic with comment (src/fastq.cpp:111-116)
+    assert fastq.get_fq_name("@read5/2 some comment") == "read5/2"
+    # HudsonAlpha -R1/-R2 (src/fastq.cpp:94-101)
+    assert fastq.get_fq_name("@pair-R1") == "pair/1"
+    assert fastq.get_fq_name("@pair-R2") == "pair/2"
+    # unknown comment stripped (src/fastq.cpp:126-132)
+    assert fastq.get_fq_name("@name somejunk") == "name"
+
+
+def test_block_reads_cover_file_exactly(tmp_path):
+    """Byte-range partition with boundary repair: the union of all per-rank
+    blocks equals the full file, no dupes, no misses (src/fastq.cpp:810-892)."""
+    # include '@' as a quality character to exercise the ambiguity path
+    reads = random_reads(200, 40, 120, seed=3, qual_range=(33, 74))
+    p = tmp_path / "a.fastq"
+    _write_fastq(p, reads)
+    full = [r.seq for r in fastq.read_fastq(str(p))]
+    for n_ranks in (1, 3, 7):
+        got = []
+        for rank in range(n_ranks):
+            got += [r.seq for r in fastq.read_fastq_block(str(p), rank, n_ranks)]
+        assert got == full, f"n_ranks={n_ranks}"
+
+
+def test_paired_iteration(tmp_path):
+    reads1 = random_reads(10, 30, 50, seed=4)
+    reads2 = random_reads(10, 30, 50, seed=5)
+    p1 = tmp_path / "r1.fastq"
+    p2 = tmp_path / "r2.fastq"
+    _write_fastq(p1, reads1, "@r{i}/1")
+    _write_fastq(p2, reads2, "@r{i}/2")
+    pairs = list(fastq.iter_paired([str(p1), str(p2)]))
+    assert len(pairs) == 10
+    assert pairs[0][0].seq == reads1[0][0]
+    assert pairs[0][1].seq == reads2[0][0]
+
+    # interleaved single file
+    pi = tmp_path / "il.fastq"
+    with open(pi, "w") as f:
+        for i in range(10):
+            f.write(f"@r{i}/1\n{reads1[i][0]}\n+\n{reads1[i][1]}\n")
+            f.write(f"@r{i}/2\n{reads2[i][0]}\n+\n{reads2[i][1]}\n")
+    pairs2 = list(fastq.iter_paired([str(pi)]))
+    assert [(a.seq, b.seq) for a, b in pairs2] == [(a.seq, b.seq) for a, b in pairs]
+
+
+def test_subsample(tmp_path):
+    reads = random_reads(100, 30, 40, seed=6)
+    p = tmp_path / "a.fastq"
+    _write_fastq(p, reads)
+    got = fastq.read_fastq(str(p), subsample_pct=10)
+    assert len(got) == 10  # deterministic modulo selection
+    got2 = fastq.read_fastq(str(p), subsample_pct=10)
+    assert [r.seq for r in got] == [r.seq for r in got2]

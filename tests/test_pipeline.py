@@ -1,0 +1,67 @@
+"""End-to-end: run_pipeline on generated FASTQ vs the oracle; CSV + dump."""
+
+import gzip
+import os
+
+from mhm2_kmer_analysis_v2_tpu.config import Options, parse_args
+from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import run_pipeline
+
+from util import genome_reads, oracle_count
+
+
+def _write_fastq(path, reads):
+    with open(path, "w") as f:
+        for i, (seq, quals) in enumerate(reads):
+            f.write(f"@r{i}\n{seq}\n+\n{quals}\n")
+
+
+def test_end_to_end(tmp_path):
+    k = 21
+    reads = genome_reads(128, 70, genome_len=600, seed=77, err=0.01)
+    fq = tmp_path / "sample.fastq"
+    _write_fastq(fq, reads)
+    out = tmp_path / "out"
+    options = Options(
+        reads_fnames=[str(fq)],
+        kmer_lens=[k],
+        output_dir=str(out),
+        dump_kmers=True,
+        batch_reads=64,
+        adapter_trim=False,
+    )
+    results = run_pipeline(options)
+    assert len(results) == 1
+    res = results[0]
+    exp = oracle_count(reads, k).finalize()
+    assert res.num_reads == 128
+    assert res.unique_kmers == len(exp)
+    assert res.total_kmer_count_sum == sum(c for c, _, _ in exp.values())
+
+    # CSV contract (src/main.cpp:382-391)
+    csv = (out / "proxy_results_summary.csv").read_text().splitlines()
+    assert csv[0].startswith("Reads,Unique kmers,Total kmers")
+    fields = csv[1].split(",")
+    assert int(fields[0]) == 128
+    assert int(fields[1]) == len(exp)
+
+    # kmer dump parity (kmers-<k>.txt.gz, src/kcount/kmer_dht.cpp:269-297)
+    lines = []
+    for fn in os.listdir(out / "per_rank"):
+        if fn.startswith(f"kmers-{k}.txt.gz"):
+            with gzip.open(out / "per_rank" / fn, "rt") as f:
+                lines += [ln.strip() for ln in f]
+    got = {}
+    for ln in lines:
+        kmer, cnt, l, r = ln.split()
+        got[kmer] = (int(cnt), l, r)
+    assert got == exp
+
+
+def test_cli_parsing():
+    o = parse_args(["-r", "a.fq", "-p", "r1.fq", "r2.fq", "-k", "21", "33",
+                    "--dump-kmers", "-o", "outdir"])
+    assert o.reads_fnames == ["a.fq"]
+    assert o.paired_fnames == ["r1.fq:r2.fq"]
+    assert o.kmer_lens == [21, 33]
+    assert o.dump_kmers
+    assert o.all_read_groups() == [["a.fq"], ["r1.fq", "r2.fq"]]

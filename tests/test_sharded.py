@@ -1,0 +1,102 @@
+"""Multi-device sharded counting: all_to_all routing on a virtual CPU mesh.
+
+Checks the key invariant the reference guarantees (SURVEY §4): the merged
+multiset of (kmer, count, L, R) is independent of the number of shards.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mhm2_kmer_analysis_v2_tpu.io.packed_reads import encode_batch
+from mhm2_kmer_analysis_v2_tpu.parallel import count_step as cs
+from mhm2_kmer_analysis_v2_tpu.table import shard_table
+
+from util import genome_reads, oracle_count
+
+
+def _run_sharded(reads, k, n_shards, max_elems=1 << 13, batches=1):
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    rows = -(-len(reads) // (n_shards * batches)) * n_shards
+    state = cs.create_sharded(n_shards, max_elems, mesh=mesh)
+    max_len = max(len(s) for s, _ in reads)
+    exchange_cap = rows * max_len  # generous for tests
+    step = cs.make_count_step(mesh, k=k, exchange_cap=exchange_cap)
+    sharding = NamedSharding(mesh, P("sh"))
+    for i in range(batches):
+        chunk = reads[i::batches]
+        b = encode_batch(
+            [s for s, _ in chunk], [q for _, q in chunk],
+            max_len=max_len, pad_to=rows,
+        )
+        state = step(
+            state,
+            jax.device_put(b.codes, sharding),
+            jax.device_put(b.badq, sharding),
+            jax.device_put(b.lengths, sharding),
+        )
+    finalize = cs.make_finalize(mesh, dmin_thres=2)
+    fin = finalize(state)
+    return state, fin
+
+
+def _merged(fin, k, n_shards):
+    out = {}
+    for shard in range(n_shards):
+        one = shard_table.FinalizedShard(*[np.asarray(x)[shard] for x in fin])
+        vals, counts, left, right = shard_table.compact_to_host(one)
+        for s, c, l, r in zip(shard_table.vals_to_strings(vals, k), counts, left, right):
+            assert s not in out, "kmer appeared in two shards"
+            out[s] = (int(c), l, r)
+    return out
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
+def test_sharded_matches_oracle(n_shards):
+    k = 21
+    reads = genome_reads(64, 60, genome_len=300, seed=21)
+    state, fin = _run_sharded(reads, k, n_shards)
+    assert int(np.sum(np.asarray(state.overflow))) == 0
+    assert int(np.sum(np.asarray(state.num_dropped))) == 0
+    got = _merged(fin, k, n_shards)
+    exp = oracle_count(reads, k).finalize()
+    assert got == exp
+
+
+def test_shard_count_invariance():
+    k = 21
+    reads = genome_reads(96, 70, genome_len=500, seed=33, err=0.01)
+    results = {}
+    for n in (1, 2, 8):
+        _, fin = _run_sharded(reads, k, n)
+        results[n] = _merged(fin, k, n)
+    assert results[1] == results[2] == results[8]
+
+
+def test_multi_batch_sharded():
+    k = 21
+    reads = genome_reads(64, 60, genome_len=300, seed=44)
+    _, fin1 = _run_sharded(reads, k, 4, batches=1)
+    _, fin4 = _run_sharded(reads, k, 4, batches=4)
+    assert _merged(fin1, k, 4) == _merged(fin4, k, 4)
+
+
+def test_overflow_detection():
+    """Records beyond exchange capacity are counted, not silently lost."""
+    k = 21
+    reads = genome_reads(32, 60, genome_len=300, seed=55)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("sh",))
+    state = cs.create_sharded(2, 1 << 12, mesh=mesh)
+    step = cs.make_count_step(mesh, k=k, exchange_cap=8)  # absurdly small
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    sharding = NamedSharding(mesh, P("sh"))
+    state = step(
+        state,
+        jax.device_put(b.codes, sharding),
+        jax.device_put(b.badq, sharding),
+        jax.device_put(b.lengths, sharding),
+    )
+    assert int(np.sum(np.asarray(state.overflow))) > 0
