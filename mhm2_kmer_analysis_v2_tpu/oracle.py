@@ -194,10 +194,31 @@ def minimizer(v: int, k: int, m: int) -> int:
     return (best << (64 - 2 * m)) & MASK64
 
 
+def fmix32(v: int) -> int:
+    """Murmur3 32-bit finalizer (matches ops.kmer_ops.fmix32)."""
+    M32 = 0xFFFFFFFF
+    v &= M32
+    v ^= v >> 16
+    v = (v * 0x85EBCA6B) & M32
+    v ^= v >> 13
+    v = (v * 0xC2B2AE35) & M32
+    v ^= v >> 16
+    return v
+
+
+def route_hash(hi: int, lo: int) -> int:
+    """u32 shard-routing hash of a minimizer pair (matches
+    ops.kmer_ops.route_hash; replaces the reference's 64-bit quick_hash for
+    routing — placement is unobservable in the output)."""
+    return fmix32(fmix32(hi) ^ (lo & 0xFFFFFFFF))
+
+
 def kmer_target_shard(canon_val: int, k: int, n_shards: int, m: int | None = None) -> int:
     if m is None:
         m = minimizer_len_for_k(k)
-    return quick_hash(minimizer(canon_val, k, m)) % n_shards
+    # right-aligned minimizer value split into a u32 pair
+    best = minimizer(canon_val, k, m) >> (64 - 2 * m)
+    return route_hash(best >> 32, best & 0xFFFFFFFF) % n_shards
 
 
 @dataclass
@@ -295,6 +316,82 @@ class OracleCounter:
             f"{kmer} {cnt} {l} {r}"
             for kmer, (cnt, l, r) in sorted(self.finalize().items())
         ]
+
+    def utgs(self) -> set:
+        """Reference-walk UU-tig construction (slow, obviously correct).
+
+        Builds the oriented successor graph over the finalized UU k-mers
+        (reciprocity-checked, self/mirror loops excluded), walks right from
+        every head (no reciprocal predecessor), then walks leftover cycles
+        from their smallest member.  Returns the set of canonical contig
+        strings (a contig == min(c, revcomp(c)), so mirror walks collapse).
+        Oracle for contig/utg.py's pointer-doubling construction.
+        """
+        fin = self.finalize()
+        table = {kmer: (l, r) for kmer, (_, l, r) in fin.items()}
+
+        def exts(oseq):
+            canon = min(oseq, revcomp_str(oseq))
+            l, r = table[canon]
+            if oseq == canon:
+                return l, r
+            return _COMP[r], _COMP[l]
+
+        # oriented successor with reciprocity (see contig/utg.py)
+        def succ(oseq):
+            _, r = exts(oseq)
+            nxt = oseq[1:] + r
+            canon = min(nxt, revcomp_str(nxt))
+            if canon not in table:
+                return None
+            nl, _ = exts(nxt)
+            if nl != oseq[0]:
+                return None
+            if nxt == oseq or nxt == revcomp_str(oseq):
+                return None  # self or mirror loop
+            return nxt
+
+        nodes = []
+        for kmer in table:
+            nodes.append(kmer)
+            nodes.append(revcomp_str(kmer))
+        succs = {s: succ(s) for s in nodes}
+        has_pred = {t for t in succs.values() if t is not None}
+
+        out = set()
+        visited = set()
+
+        def mark(oseq):
+            visited.add(oseq)
+            visited.add(revcomp_str(oseq))
+
+        # path walks from heads (both mirror heads walk; canonical-string
+        # dedup collapses them)
+        for s in sorted(nodes):
+            if s in has_pred:
+                continue
+            contig = s
+            mark(s)
+            cur = s
+            while (nxt := succs[cur]) is not None:
+                contig += nxt[-1]
+                mark(nxt)
+                cur = nxt
+            out.add(min(contig, revcomp_str(contig)))
+        # leftover cycles: start at the canonical orientation of the smallest
+        # untouched canonical k-mer (matches the vectorized leader rule)
+        for s in sorted(table):
+            if s in visited:
+                continue
+            contig = s
+            mark(s)
+            cur = s
+            while (nxt := succs[cur]) is not None and nxt not in visited:
+                contig += nxt[-1]
+                mark(nxt)
+                cur = nxt
+            out.add(min(contig, revcomp_str(contig)))
+        return out
 
     def summary(self) -> dict:
         fin = self.finalize()

@@ -8,8 +8,8 @@ dense, fixed-capacity `jax.lax.all_to_all` exchange over the device mesh:
   1. every device extracts canonical k-mer records from its slice of the read
      batch (data parallelism over reads = the reference's per-rank FASTQ
      blocks, SURVEY §2.7),
-  2. records are bucketed by owner shard (minimizer-hash routing, identical
-     function to kmer_dht.cpp:193-196) into a [n_shards, cap] padded buffer
+  2. records are bucketed by owner shard (minimizer routing, selection
+     identical to kmer_dht.cpp:193-196) into [n_shards, cap] padded buffers
      (the fixed-capacity analogue of --max-kmer-store),
   3. one all_to_all delivers every shard its records over ICI/DCN,
   4. each shard runs the vectorized insert (table/shard_table.py).
@@ -17,12 +17,11 @@ dense, fixed-capacity `jax.lax.all_to_all` exchange over the device mesh:
 The three-tier (rank->node->network) aggregation is subsumed by XLA's
 hierarchical all_to_all over ICI vs DCN.  Buffer overflow (more records for
 one destination than `cap`) is counted and reported rather than silently
-dropped; the pipeline sizes `cap` with generous headroom per batch.
+dropped.  With one shard the bucketing and exchange are bypassed entirely.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -33,35 +32,34 @@ from ..ops.kmer_ops import kmer_records
 from ..table import shard_table
 from ..table.shard_table import ShardTable
 
-U64 = jnp.uint64
+U32 = jnp.uint32
 
 
 class ShardedState(NamedTuple):
     """Table state with a leading shard axis [n_shards, ...]."""
 
-    keys: jax.Array
+    keys_hi: jax.Array
+    keys_lo: jax.Array
     counts: jax.Array
     extc: jax.Array
-    num_elems: jax.Array
+    claim: jax.Array
     num_dropped: jax.Array
-    sum_probe: jax.Array
-    max_probe: jax.Array
     overflow: jax.Array  # records lost to exchange-buffer overflow
 
 
 def create_sharded(n_shards: int, max_elems_per_shard: int, mesh: Mesh | None = None) -> ShardedState:
     one = shard_table.create(max_elems_per_shard)
+
     def rep(x):
         return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
 
     state = ShardedState(
-        keys=rep(one.keys),
+        keys_hi=rep(one.keys_hi),
+        keys_lo=rep(one.keys_lo),
         counts=rep(one.counts),
         extc=rep(one.extc),
-        num_elems=jnp.zeros((n_shards,), jnp.int32),
+        claim=rep(one.claim),
         num_dropped=jnp.zeros((n_shards,), jnp.int32),
-        sum_probe=jnp.zeros((n_shards,), jnp.int64),
-        max_probe=jnp.zeros((n_shards,), jnp.int32),
         overflow=jnp.zeros((n_shards,), jnp.int32),
     )
     if mesh is not None:
@@ -70,43 +68,65 @@ def create_sharded(n_shards: int, max_elems_per_shard: int, mesh: Mesh | None = 
     return state
 
 
-def _bucketize(canon, left, right, cnt, valid, target, n_shards: int, cap: int):
-    """Sort records by destination shard and pack into [n_shards, cap] buffers.
+_STATE_SPEC = ShardedState(
+    keys_hi=P("sh", None),
+    keys_lo=P("sh", None),
+    counts=P("sh", None),
+    extc=P("sh", None),
+    claim=P("sh", None),
+    num_dropped=P("sh"),
+    overflow=P("sh"),
+)
 
-    Vectorized replacement for the per-destination Supermer buffers of
-    ThreeTierAggrStore.  meta == 0 marks an empty slot (count>=1 for real
-    records, so meta != 0 always holds for them).
-    """
-    R = canon.shape[0]
-    sort_key = jnp.where(valid, target, n_shards)
-    order = jnp.argsort(sort_key)
-    tgt = sort_key[order]
-    canon_s = canon[order]
+
+def _local_table(state: ShardedState) -> ShardTable:
+    return ShardTable(
+        keys_hi=state.keys_hi[0],
+        keys_lo=state.keys_lo[0],
+        counts=state.counts[0],
+        extc=state.extc[0],
+        claim=state.claim[0],
+        num_dropped=state.num_dropped[0],
+    )
+
+
+def _pack_meta(left, right, cnt, valid):
+    """left(3b) | right(3b) << 3 | count(16b) << 6; 0 == empty slot (count>=1
+    for real records so meta != 0 always holds for them)."""
     meta = (
         left.astype(jnp.int32)
         | (right.astype(jnp.int32) << 3)
         | (jnp.minimum(cnt.astype(jnp.int32), 0xFFFF) << 6)
     )
-    meta_s = jnp.where(valid, meta, 0)[order]
+    return jnp.where(valid, meta, 0)
 
+
+def _bucketize(hi, lo, meta, target, valid, n_shards: int, cap: int):
+    """Sort records by destination shard and pack into [n_shards, cap]
+    buffers — the vectorized replacement for ThreeTierAggrStore's
+    per-destination Supermer buffers."""
+    R = hi.shape[0]
+    sort_key = jnp.where(valid, target, n_shards)
+    order = jnp.argsort(sort_key)
+    tgt = sort_key[order]
     starts = jnp.searchsorted(tgt, jnp.arange(n_shards, dtype=tgt.dtype))
     col = jnp.arange(R, dtype=jnp.int32) - starts[jnp.clip(tgt, 0, n_shards - 1)]
-    row = tgt
     overflow = jnp.sum((col >= cap) & (tgt < n_shards)).astype(jnp.int32)
     in_range = (col < cap) & (tgt < n_shards)
-    row = jnp.where(in_range, row, n_shards)  # drop
+    row = jnp.where(in_range, tgt, n_shards)  # out-of-range -> dropped
     col = jnp.clip(col, 0, cap - 1)
-    buf_canon = jnp.zeros((n_shards, cap), U64).at[row, col].set(canon_s, mode="drop")
-    buf_meta = jnp.zeros((n_shards, cap), jnp.int32).at[row, col].set(meta_s, mode="drop")
-    return buf_canon, buf_meta, overflow
+    buf_hi = jnp.zeros((n_shards, cap), U32).at[row, col].set(hi[order], mode="drop")
+    buf_lo = jnp.zeros((n_shards, cap), U32).at[row, col].set(lo[order], mode="drop")
+    buf_meta = jnp.zeros((n_shards, cap), jnp.int32).at[row, col].set(meta[order], mode="drop")
+    return buf_hi, buf_lo, buf_meta, overflow
 
 
-def _insert_from_buffers(table: ShardTable, canon, meta) -> ShardTable:
+def _insert_from_buffers(table: ShardTable, hi, lo, meta) -> ShardTable:
     valid = meta != 0
     left = meta & 7
     right = (meta >> 3) & 7
     cnt = meta >> 6
-    return shard_table.insert_batch(table, canon, left, right, cnt, valid)
+    return shard_table.insert_batch(table, hi, lo, left, right, cnt, valid)
 
 
 def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None):
@@ -119,54 +139,43 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
     n_shards = mesh.shape["sh"]
 
     def per_device(state: ShardedState, codes, badq, lengths):
-        # local shapes: codes [B_local, L]; state arrays [1, ...]
         recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
         flat = {kk: v.reshape(-1) for kk, v in recs.items()}
         cnt = jnp.ones_like(flat["left"])
-        buf_canon, buf_meta, overflow = _bucketize(
-            flat["canon"], flat["left"], flat["right"], cnt, flat["valid"],
-            flat["target"], n_shards, exchange_cap,
-        )
+        meta = _pack_meta(flat["left"], flat["right"], cnt, flat["valid"])
+        local = _local_table(state)
         if n_shards > 1:
+            buf_hi, buf_lo, buf_meta, overflow = _bucketize(
+                flat["canon_hi"], flat["canon_lo"], meta, flat["target"],
+                flat["valid"], n_shards, exchange_cap,
+            )
             # deliver: row j of the result = what device j sent to me
-            buf_canon = jax.lax.all_to_all(buf_canon, "sh", 0, 0, tiled=True)
+            buf_hi = jax.lax.all_to_all(buf_hi, "sh", 0, 0, tiled=True)
+            buf_lo = jax.lax.all_to_all(buf_lo, "sh", 0, 0, tiled=True)
             buf_meta = jax.lax.all_to_all(buf_meta, "sh", 0, 0, tiled=True)
-        local = ShardTable(
-            keys=state.keys[0],
-            counts=state.counts[0],
-            extc=state.extc[0],
-            num_elems=state.num_elems[0],
-            num_dropped=state.num_dropped[0],
-            sum_probe=state.sum_probe[0],
-            max_probe=state.max_probe[0],
-        )
-        local = _insert_from_buffers(local, buf_canon.reshape(-1), buf_meta.reshape(-1))
+            local = _insert_from_buffers(
+                local, buf_hi.reshape(-1), buf_lo.reshape(-1), buf_meta.reshape(-1)
+            )
+        else:
+            overflow = jnp.zeros((), jnp.int32)
+            local = _insert_from_buffers(
+                local, flat["canon_hi"], flat["canon_lo"], meta
+            )
         return ShardedState(
-            keys=local.keys[None],
+            keys_hi=local.keys_hi[None],
+            keys_lo=local.keys_lo[None],
             counts=local.counts[None],
             extc=local.extc[None],
-            num_elems=local.num_elems[None],
+            claim=local.claim[None],
             num_dropped=local.num_dropped[None],
-            sum_probe=local.sum_probe[None],
-            max_probe=local.max_probe[None],
             overflow=(state.overflow[0] + overflow)[None],
         )
 
-    state_spec = ShardedState(
-        keys=P("sh", None),
-        counts=P("sh", None),
-        extc=P("sh", None, None),
-        num_elems=P("sh"),
-        num_dropped=P("sh"),
-        sum_probe=P("sh"),
-        max_probe=P("sh"),
-        overflow=P("sh"),
-    )
     mapped = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(state_spec, P("sh", None), P("sh", None), P("sh")),
-        out_specs=state_spec,
+        in_specs=(_STATE_SPEC, P("sh", None), P("sh", None), P("sh")),
+        out_specs=_STATE_SPEC,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -176,20 +185,12 @@ def make_finalize(mesh: Mesh, dmin_thres: int = 2):
     lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
 
     def per_device(state: ShardedState, lut_rep):
-        local = ShardTable(
-            keys=state.keys[0],
-            counts=state.counts[0],
-            extc=state.extc[0],
-            num_elems=state.num_elems[0],
-            num_dropped=state.num_dropped[0],
-            sum_probe=state.sum_probe[0],
-            max_probe=state.max_probe[0],
-        )
-        fin = shard_table._finalize_jit(local, lut_rep)
+        fin = shard_table._finalize_jit(_local_table(state), lut_rep)
         return jax.tree.map(lambda x: x[None], fin)
 
     fin_spec = shard_table.FinalizedShard(
-        keys=P("sh", None),
+        keys_hi=P("sh", None),
+        keys_lo=P("sh", None),
         counts=P("sh", None),
         left_ext=P("sh", None),
         right_ext=P("sh", None),
@@ -198,21 +199,11 @@ def make_finalize(mesh: Mesh, dmin_thres: int = 2):
         sum_counts=P("sh"),
         num_purged=P("sh"),
     )
-    state_spec = ShardedState(
-        keys=P("sh", None),
-        counts=P("sh", None),
-        extc=P("sh", None, None),
-        num_elems=P("sh"),
-        num_dropped=P("sh"),
-        sum_probe=P("sh"),
-        max_probe=P("sh"),
-        overflow=P("sh"),
-    )
     mapped = jax.jit(
         jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(state_spec, P(None)),
+            in_specs=(_STATE_SPEC, P(None)),
             out_specs=fin_spec,
         )
     )

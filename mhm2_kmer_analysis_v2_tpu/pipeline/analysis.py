@@ -16,7 +16,6 @@ import jax
 import numpy as np
 
 from ..config import Options
-from ..io import fastq
 from ..io.packed_reads import PackedReads
 from ..ops.kmer_ops import minimizer_len_for_k
 from ..parallel import count_step as cs
@@ -39,24 +38,13 @@ class AnalysisResult:
 
 
 def load_reads(options: Options) -> PackedReads:
-    """Ingest all read groups into one PackedReads store.
+    """Ingest all read groups: adapter trim + pair merge -> PackedReads
+    (the merge_reads stage, src/main.cpp:209-215, src/merge_reads.cpp:250)."""
+    from ..io.ingest import load_and_merge_reads
 
-    Round-1 scope: raw reads without adapter trimming / pair merging (those
-    land with io/adapters.py + io/merge_reads.py); mirrors loading with
-    --no-adapter-trim and merging disabled.
-    """
-    pr = PackedReads(qual_offset=options.qual_offset)
-    read_id = 0
-    for group in options.all_read_groups():
-        if len(group) == 2:
-            for a, b in fastq.iter_paired(group):
-                pr.add_read(f"r{read_id}/1", a.seq, a.quals)
-                pr.add_read(f"r{read_id}/2", b.seq, b.quals)
-                read_id += 1
-        else:
-            for rec in fastq.read_fastq(group[0], options.subsample_fastq_pct):
-                pr.add_read(f"r{read_id}", rec.seq, rec.quals)
-                read_id += 1
+    stage_timers.merge_reads.start()
+    pr, _ = load_and_merge_reads(options)
+    stage_timers.merge_reads.stop()
     slog_verbose("Loaded ", len(pr), " reads, ", pr.bases, " bases, max len ", pr.max_read_len)
     return pr
 
@@ -88,7 +76,7 @@ def analyze_kmers(
     state = cs.create_sharded(n_shards, per_shard, mesh=mesh)
     slog_verbose(
         "Initial counts for read kmers ", est_kmers, "; table capacity/shard ",
-        state.keys.shape[1],
+        state.keys_hi.shape[1],
     )
 
     batch = options.batch_reads
@@ -99,7 +87,7 @@ def analyze_kmers(
     # exchange capacity: worst-case skew headroom over the mean (the
     # fixed-capacity analogue of --max-kmer-store sizing, kmer_dht.cpp:141-144)
     mean = positions_per_device // max(n_shards, 1) + 1
-    exchange_cap = min(positions_per_device, 4 * mean + 4096)
+    exchange_cap = min(positions_per_device, 4 * mean + 4096) if n_shards > 1 else 1
 
     step = cs.make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m)
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))
@@ -144,22 +132,47 @@ def dump_kmers(fin: shard_table.FinalizedShard, k: int, output_dir: str, n_shard
     """Write per-shard kmers-<k>.txt.gz dumps, 'KMER count L R' lines
     (src/kcount/kmer_dht.cpp:269-297)."""
     for shard in range(n_shards):
-        one = shard_table.FinalizedShard(
-            keys=fin.keys[shard],
-            counts=fin.counts[shard],
-            left_ext=fin.left_ext[shard],
-            right_ext=fin.right_ext[shard],
-            keep=fin.keep[shard],
-            num_kept=fin.num_kept[shard],
-            sum_counts=fin.sum_counts[shard],
-            num_purged=fin.num_purged[shard],
-        )
+        one = shard_table.FinalizedShard(*[x[shard] for x in fin])
         vals, counts, left, right = shard_table.compact_to_host(one)
         strings = shard_table.vals_to_strings(vals, k)
         path = os.path.join(output_dir, "per_rank", f"kmers-{k}.txt.gz.{shard}")
         with gzip.open(path, "wt") as f:
             for s, c, l, r in zip(strings, counts, left, right):
                 f.write(f"{s} {c} {l} {r}\n")
+
+
+def contigging(fin: shard_table.FinalizedShard, k: int, n_shards: int, options: Options):
+    """UU-tig traversal over the finalized table (the dbjg_traversal stage the
+    reference stubs out at src/contigging.cpp:107-117), emitting
+    uutigs-<k>.fasta."""
+    from ..contig import utg
+
+    stage_timers.dbjg_traversal.start()
+    all_vals, all_counts, all_left, all_right = [], [], [], []
+    for shard in range(n_shards):
+        one = shard_table.FinalizedShard(*[x[shard] for x in fin])
+        keep = np.asarray(one.keep)
+        hi = np.asarray(one.keys_hi)[keep].astype(np.uint64)
+        lo = np.asarray(one.keys_lo)[keep].astype(np.uint64)
+        all_vals.append((hi << np.uint64(32)) | lo)
+        all_counts.append(np.asarray(one.counts)[keep])
+        all_left.append(np.asarray(one.left_ext)[keep])
+        all_right.append(np.asarray(one.right_ext)[keep])
+    vals = np.concatenate(all_vals)
+    order = np.argsort(vals)
+    vals = vals[order]
+    counts = np.concatenate(all_counts)[order]
+    left = np.concatenate(all_left)[order]
+    right = np.concatenate(all_right)[order]
+    utgs = utg.build_utgs(vals, counts, left, right, k)
+    stage_timers.dbjg_traversal.stop()
+    path = os.path.join(options.output_dir, f"uutigs-{k}.fasta")
+    stage_timers.dump_ctgs.start()
+    utg.dump_uutigs(utgs, k, path)
+    stage_timers.dump_ctgs.stop()
+    slog_verbose("Generated ", len(utgs.seqs), " uutigs, total length ",
+                 sum(len(s) for s in utgs.seqs))
+    return utgs
 
 
 def run_pipeline(options: Options) -> list:
@@ -178,6 +191,7 @@ def run_pipeline(options: Options) -> list:
         res, fin, n_shards = analyze_kmers(pr, k, options)
         if options.dump_kmers:
             dump_kmers(fin, k, options.output_dir, n_shards)
+        contigging(fin, k, n_shards, options)
         # sequencing depth update for next round (src/contigging.cpp:148-150)
         options.sequencing_depth = max(int(res.avg_kmer_count), 1)
         results.append(res)

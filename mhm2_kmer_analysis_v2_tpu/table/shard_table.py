@@ -1,4 +1,4 @@
-"""Shard-local k-mer hash table, HBM-resident, batch-vectorized.
+"""Shard-local k-mer hash table, HBM-resident, batch-vectorized, uint32 SoA.
 
 TPU-native answer to the reference's two hash-table designs:
   - CPU: linear-probe open addressing with per-kmer scalar inserts
@@ -6,27 +6,33 @@ TPU-native answer to the reference's two hash-table designs:
   - GPU: CAS/quadratic-probe per-thread inserts
     (src/kcount/kcount-gpu/gpu_hash_table.cpp:357-424)
 
-Neither maps to a vector machine; instead each received batch is
-sort-deduplicated (segmented reduction over equal keys) and then committed
-with *optimistic vectorized probe sweeps*: every still-active lane gathers its
-slot's key, empty slots are claimed with a scatter, the scatter is verified by
-re-gather (duplicate-index scatter picks one winner; losers simply advance to
-the next slot), and winners/matches do a scatter-add of their pre-aggregated
-counts.  No atomics or per-element CAS — duplicate keys are eliminated before
-probing, so scatter-adds hit unique slots.
+Neither maps to a vector machine.  Instead every record lane probes in
+lockstep *vectorized sweeps* with a persistent claim buffer standing in for
+the GPU kernel's KEY_TRANSITION CAS protocol (gpu_hash_table.cpp:368-396):
 
-Layout (SoA, per shard):
-  keys:   [capacity] uint64, EMPTY = all-ones (the reference's 0xFF.. sentinel,
-          src/kcount/kcount_cpu.cpp:217)
-  counts: [capacity] int32 (saturated to uint16 max at finalize; per-add
-          saturation with positive increments == final min, matching
-          inc_with_limit at src/kcount/kcount_cpu.cpp:152-155)
-  extc:   [capacity, 8] int32 — left A,C,G,T then right A,C,G,T
+  per sweep: gather each active lane's slot key ->
+    match        -> scatter-add the lane's count/extension contributions
+                    (duplicate-index scatter-add accumulates, so duplicate
+                    k-mers in a batch need no pre-aggregation)
+    empty        -> scatter lane-id into claim[slot] (one winner per slot),
+                    winner writes both key halves (unique indices -> the two
+                    u32 scatters stay consistent), then ALL lanes re-gather
+                    and lanes whose key now matches commit in the same sweep
+    else         -> advance to the next slot (linear probe, cap 100 like
+                    KCOUNT_HT_MAX_PROBE, CMakeDefinitions.txt:67)
+  touched claim slots are reset afterwards (O(batch), not O(capacity)).
 
-Capacity uses a nearest-prime like the reference's prime tables
-(src/kcount/prime.hpp) with target load factor 0.66
-(src/kcount/kcount_cpu.cpp:442); probe cap matches KCOUNT_HT_MAX_PROBE=100
-(CMakeDefinitions.txt:67).
+Layout (SoA, per shard, all 32-bit — no u64 on device):
+  keys_hi/keys_lo: [cap] uint32, EMPTY = all-ones pair (the reference's 0xFF..
+      sentinel, src/kcount/kcount_cpu.cpp:217)
+  counts: [cap] int32 (saturated to uint16 max at finalize; per-add
+      saturation with positive increments == final min, matching
+      inc_with_limit at src/kcount/kcount_cpu.cpp:152-155)
+  extc:  [cap*8] int32 flat — slot*8 + (left A,C,G,T = 0-3 | right = 4-7)
+  claim: [cap] int32 scratch, -1 between batches
+
+Capacity uses a nearest prime like the reference's prime tables
+(src/kcount/prime.hpp) at target load factor 0.66 (kcount_cpu.cpp:442).
 """
 
 from __future__ import annotations
@@ -38,10 +44,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.kmer_ops import fmix64
+from ..ops.kmer_ops import slot_hash
 
-U64 = jnp.uint64
-EMPTY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+U32 = jnp.uint32
+EMPTY = jnp.uint32(0xFFFFFFFF)
 MAX_PROBE = 100  # KCOUNT_HT_MAX_PROBE, CMakeDefinitions.txt:67
 UINT16_MAX = 65535
 TARGET_LOAD_FACTOR = 0.66  # src/kcount/kcount_cpu.cpp:442
@@ -49,7 +55,7 @@ TARGET_LOAD_FACTOR = 0.66  # src/kcount/kcount_cpu.cpp:442
 
 def next_prime(n: int) -> int:
     """Smallest prime >= n (replaces the reference's precomputed prime tables,
-    src/kcount/prime.hpp:854-893 — host-side sympy-free Miller-Rabin)."""
+    src/kcount/prime.hpp:854-893)."""
     if n <= 2:
         return 2
     n |= 1
@@ -84,128 +90,147 @@ def _is_prime(n: int) -> bool:
 class ShardTable(NamedTuple):
     """Functional table state (a pytree; thread through jitted steps)."""
 
-    keys: jax.Array  # [cap] uint64
+    keys_hi: jax.Array  # [cap] uint32
+    keys_lo: jax.Array  # [cap] uint32
     counts: jax.Array  # [cap] int32
-    extc: jax.Array  # [cap, 8] int32
-    num_elems: jax.Array  # [] int32
-    num_dropped: jax.Array  # [] int32
-    sum_probe: jax.Array  # [] int64
-    max_probe: jax.Array  # [] int32
+    extc: jax.Array  # [cap*8] int32
+    claim: jax.Array  # [cap] int32 scratch (-1)
+    num_dropped: jax.Array  # [] int32 (records past probe cap)
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
+        return self.keys_hi.shape[0]
 
 
 def create(max_elems: int, load_factor: float = TARGET_LOAD_FACTOR) -> ShardTable:
     cap = next_prime(max(int(max_elems / load_factor), 11))
     return ShardTable(
-        keys=jnp.full((cap,), EMPTY, dtype=U64),
-        counts=jnp.zeros((cap,), dtype=jnp.int32),
-        extc=jnp.zeros((cap, 8), dtype=jnp.int32),
-        num_elems=jnp.zeros((), jnp.int32),
+        keys_hi=jnp.full((cap,), EMPTY, dtype=U32),
+        keys_lo=jnp.full((cap,), EMPTY, dtype=U32),
+        counts=jnp.zeros((cap,), jnp.int32),
+        extc=jnp.zeros((cap * 8,), jnp.int32),
+        claim=jnp.full((cap,), -1, jnp.int32),
         num_dropped=jnp.zeros((), jnp.int32),
-        sum_probe=jnp.zeros((), jnp.int64),
-        max_probe=jnp.zeros((), jnp.int32),
     )
 
 
-def _dedup(canon, left, right, cnt, valid):
-    """Sort by key and aggregate duplicates onto each run's first lane.
+def _probe_round(tbl, recs):
+    """One synchronized probe sweep over all active lanes.
 
-    Returns (keys, acc_counts [R], acc_extc [R, 8], active mask) where active
-    lanes carry the aggregated totals for one unique key each.  This is the
-    idiomatic TPU replacement for the reference GPU kernel's per-thread atomic
-    ext adds (gpu_hash_table.cpp:398-423).
+    tbl = (keys_hi, keys_lo, counts, extc, claim);
+    recs = (hi, lo, left, right, cnt, lane, active, slot).
+    Returns (tbl', active', slot').
     """
-    R = canon.shape[0]
-    skey = jnp.where(valid, canon, EMPTY)
-    order = jnp.argsort(skey)
-    skey = skey[order]
-    sleft = left[order]
-    sright = right[order]
-    scnt = jnp.where(valid, cnt, 0)[order]
-    svalid = valid[order]
+    keys_hi, keys_lo, counts, extc, claim = tbl
+    hi, lo, left, right, cnt, lane, active, slot = recs
+    cap = keys_hi.shape[0]
+    gslot = jnp.where(active, slot, 0)
+    thi = keys_hi[gslot]
+    tlo = keys_lo[gslot]
+    is_empty = active & (thi == EMPTY) & (tlo == EMPTY)
+    # claim empty slots with the lane id; duplicate-index scatter keeps one
+    # winner (unspecified which — harmless, contents are order-independent)
+    claim_slot = jnp.where(is_empty, slot, cap)
+    claim = claim.at[claim_slot].set(lane, mode="drop")
+    won = is_empty & (claim[gslot] == lane)
+    # winners write both key halves; indices now unique so the two scatters
+    # stay consistent
+    w_slot = jnp.where(won, slot, cap)
+    keys_hi = keys_hi.at[w_slot].set(hi, mode="drop")
+    keys_lo = keys_lo.at[w_slot].set(lo, mode="drop")
+    # reset touched claim entries (O(R) not O(cap))
+    claim = claim.at[claim_slot].set(-1, mode="drop")
+    # every lane whose key is now present commits (pre-existing matches,
+    # winners, AND duplicate lanes of a winner's k-mer)
+    thi = keys_hi[gslot]
+    tlo = keys_lo[gslot]
+    commit = active & (thi == hi) & (tlo == lo)
+    add_slot = jnp.where(commit, slot, cap)
+    counts = counts.at[add_slot].add(cnt, mode="drop")
+    # extension tallies: two flat scatter-adds (invalid ext -> dropped)
+    lidx = jnp.where(commit & (left < 4), add_slot * 8 + left, cap * 8)
+    ridx = jnp.where(commit & (right < 4), add_slot * 8 + 4 + right, cap * 8)
+    extc = extc.at[lidx].add(cnt, mode="drop")
+    extc = extc.at[ridx].add(cnt, mode="drop")
+    active = active & ~commit
+    slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+    return (keys_hi, keys_lo, counts, extc, claim), active, slot
 
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
-    ) & svalid
-    # group-start position for every lane (running max of first-positions)
-    idx = jnp.arange(R, dtype=jnp.int32)
-    gsp = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
-    gsp = jnp.where(svalid, gsp, R)  # invalid lanes scatter out of bounds
 
-    acc_cnt = jnp.zeros((R,), jnp.int32).at[gsp].add(scnt, mode="drop")
-    onehot_l = (sleft[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
-    onehot_r = (sright[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
-    contrib = jnp.concatenate([onehot_l, onehot_r], axis=1) * scnt[:, None]
-    acc_ext = jnp.zeros((R, 8), jnp.int32).at[gsp].add(contrib, mode="drop")
-    return skey, acc_cnt, acc_ext, first
+# full-width sweeps before compacting the (rare) leftover lanes; at sane load
+# factors >95% of lanes commit in the first sweep (duplicates ride along with
+# their winner in the same sweep)
+_FULL_ROUNDS = 2
+_COMPACT_FRACTION = 8
 
 
 @jax.jit
-def insert_batch(table: ShardTable, canon, left, right, cnt, valid) -> ShardTable:
-    """Insert one batch of canonical k-mer records into the table."""
-    cap = table.capacity
-    skey, acc_cnt, acc_ext, active = _dedup(canon, left, right, cnt, valid)
-    R = skey.shape[0]
+def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid) -> ShardTable:
+    """Insert one batch of canonical k-mer records into the table.
 
-    slot0 = (fmix64(skey) % U64(cap)).astype(jnp.int32)
+    hi/lo: [R] uint32 canonical k-mer pairs; left/right: [R] int32 ext codes
+    (>=4 contributes nothing); cnt: [R] int32; valid: [R] bool.
+
+    Cost model: a few full-width sweeps resolve almost every lane; the
+    leftovers (hash collisions at loaded slots) are compacted ~8x and probed
+    in a narrow while_loop, so long probe chains don't multiply full-batch
+    work (the reference GPU kernel gets this for free from per-thread loops,
+    gpu_hash_table.cpp:357-424; a lockstep vector machine has to compact).
+    """
+    cap = table.capacity
+    R = hi.shape[0]
+    hi = hi.astype(U32)
+    lo = lo.astype(U32)
+    lane = jnp.arange(R, dtype=jnp.int32)
+    cnt = cnt.astype(jnp.int32)
+    left = left.astype(jnp.int32)
+    right = right.astype(jnp.int32)
+
+    slot = (slot_hash(hi, lo) % U32(cap)).astype(jnp.int32)
+    active = valid
+
+    tbl = (table.keys_hi, table.keys_lo, table.counts, table.extc, table.claim)
+    for _ in range(_FULL_ROUNDS):
+        tbl, active, slot = _probe_round(
+            tbl, (hi, lo, left, right, cnt, lane, active, slot)
+        )
+
+    # compact leftovers
+    S = max(R // _COMPACT_FRACTION, 256)
+    idx = jnp.nonzero(active, size=S, fill_value=0)[0]
+    n_left = jnp.sum(active).astype(jnp.int32)
+    lost = jnp.maximum(n_left - S, 0)  # overflowed the compaction buffer
+    s_rank = jnp.arange(S, dtype=jnp.int32)
+    s_active = s_rank < jnp.minimum(n_left, S)
+    s = {
+        "hi": hi[idx], "lo": lo[idx], "left": left[idx], "right": right[idx],
+        "cnt": cnt[idx], "slot": slot[idx],
+    }
+
+    zero_v = (slot[0] & 0).astype(jnp.int32)
 
     def cond(state):
-        _, _, _, active, _, it, *_ = state
-        return jnp.any(active) & (it < MAX_PROBE)
+        _, active, _, it = state
+        return jnp.any(active) & (it < MAX_PROBE - _FULL_ROUNDS)
 
     def body(state):
-        keys, counts, extc, active, slot, it, n_new, sum_p, max_p = state
-        gslot = jnp.where(active, slot, 0)
-        tk = keys[gslot]
-        is_match = active & (tk == skey)
-        is_empty = active & (tk == EMPTY)
-        # optimistic claim of empty slots; duplicate-index scatter keeps one
-        # winner (which one is unspecified — harmless: losers advance and the
-        # final key->counts contents are order-independent)
-        claim_slot = jnp.where(is_empty, slot, cap)
-        keys = keys.at[claim_slot].set(skey, mode="drop")
-        won = is_empty & (keys[gslot] == skey)
-        commit = is_match | won
-        add_slot = jnp.where(commit, slot, cap)
-        counts = counts.at[add_slot].add(acc_cnt, mode="drop")
-        extc = extc.at[add_slot].add(acc_ext, mode="drop")
-        probes = it + 1
-        sum_p = sum_p + jnp.sum(jnp.where(commit, probes, 0)).astype(jnp.int64)
-        max_p = jnp.maximum(max_p, jnp.where(jnp.any(commit), probes, 0))
-        n_new = n_new + jnp.sum(won).astype(jnp.int32)
-        active = active & ~commit
-        slot = jnp.where(active, (slot + 1) % cap, slot)
-        return keys, counts, extc, active, slot, it + 1, n_new, sum_p, max_p
+        tbl, active, slot_s, it = state
+        tbl, active, slot_s = _probe_round(
+            tbl,
+            (s["hi"], s["lo"], s["left"], s["right"], s["cnt"], s_rank, active, slot_s),
+        )
+        return tbl, active, slot_s, it + 1
 
-    # scalar counters start as *varying* zeros (derived from batch data) so
-    # the while_loop carry types agree under shard_map's manual-axes tracking
-    zero_v = (slot0[0] & 0).astype(jnp.int32)
-    init = (
-        table.keys,
-        table.counts,
-        table.extc,
-        active,
-        slot0,
-        zero_v,
-        zero_v,
-        table.sum_probe,
-        table.max_probe,
-    )
-    keys, counts, extc, active, _, _, n_new, sum_p, max_p = jax.lax.while_loop(
-        cond, body, init
-    )
-    dropped = jnp.sum(active).astype(jnp.int32)  # probe cap exceeded
+    tbl, s_left, _, _ = jax.lax.while_loop(cond, body, (tbl, s_active, s["slot"], zero_v))
+    dropped = (jnp.sum(s_left).astype(jnp.int32) + lost)  # probe cap / overflow
+    keys_hi, keys_lo, counts, extc, claim = tbl
     return ShardTable(
-        keys=keys,
+        keys_hi=keys_hi,
+        keys_lo=keys_lo,
         counts=counts,
         extc=extc,
-        num_elems=table.num_elems + n_new,
+        claim=claim,
         num_dropped=table.num_dropped + dropped,
-        sum_probe=sum_p,
-        max_probe=max_p,
     )
 
 
@@ -223,7 +248,8 @@ def _dmin_lut(dmin_thres: int) -> np.ndarray:
 class FinalizedShard(NamedTuple):
     """Compact per-shard output: only UU k-mers (count>=2, both exts called)."""
 
-    keys: jax.Array  # [cap] uint64 (EMPTY where purged)
+    keys_hi: jax.Array  # [cap] uint32 (EMPTY where purged)
+    keys_lo: jax.Array
     counts: jax.Array  # [cap] int32 (uint16-saturated)
     left_ext: jax.Array  # [cap] int32 code 0-3=ACGT, 4='X', 5='F'
     right_ext: jax.Array
@@ -259,11 +285,11 @@ def _call_ext(extc4: jax.Array, dmin: jax.Array) -> jax.Array:
     return ext.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _finalize_jit(table: ShardTable, dmin_lut: jax.Array) -> FinalizedShard:
-    occupied = table.keys != EMPTY
+    occupied = (table.keys_hi != EMPTY) | (table.keys_lo != EMPTY)
     counts = jnp.minimum(table.counts, UINT16_MAX)
-    extc = jnp.minimum(table.extc, UINT16_MAX)
+    extc = jnp.minimum(table.extc.reshape(-1, 8), UINT16_MAX)
     dmin = dmin_lut[jnp.clip(counts, 0, UINT16_MAX)]
     left = _call_ext(extc[:, :4], dmin)
     right = _call_ext(extc[:, 4:], dmin)
@@ -273,7 +299,8 @@ def _finalize_jit(table: ShardTable, dmin_lut: jax.Array) -> FinalizedShard:
     sum_counts = jnp.sum(jnp.where(keep, counts, 0)).astype(jnp.int64)
     num_purged = jnp.sum(occupied).astype(jnp.int64) - num_kept
     return FinalizedShard(
-        keys=jnp.where(keep, table.keys, EMPTY),
+        keys_hi=jnp.where(keep, table.keys_hi, EMPTY),
+        keys_lo=jnp.where(keep, table.keys_lo, EMPTY),
         counts=counts,
         left_ext=left,
         right_ext=right,
@@ -294,15 +321,26 @@ def finalize(table: ShardTable, dmin_thres: int = 2) -> FinalizedShard:
     return _finalize_jit(table, lut)
 
 
+def num_elems(table: ShardTable) -> int:
+    """Occupied-slot count (the reference tracks this per insert; we reduce on
+    demand instead since duplicate lanes make incremental counting ambiguous)."""
+    occ = (np.asarray(table.keys_hi) != 0xFFFFFFFF) | (
+        np.asarray(table.keys_lo) != 0xFFFFFFFF
+    )
+    return int(occ.sum())
+
+
 _EXT_CHARS = np.array(list("ACGTXF"))
 _BASES = np.array(list("ACGT"))
 
 
 def compact_to_host(fin: FinalizedShard):
-    """Pull kept entries to host as (vals u64, counts, left chars, right chars),
-    sorted by k-mer value."""
+    """Pull kept entries to host as (vals u64, counts, left chars, right
+    chars), sorted by k-mer value."""
     keep = np.asarray(fin.keep)
-    vals = np.asarray(fin.keys)[keep]
+    hi = np.asarray(fin.keys_hi)[keep].astype(np.uint64)
+    lo = np.asarray(fin.keys_lo)[keep].astype(np.uint64)
+    vals = (hi << np.uint64(32)) | lo
     counts = np.asarray(fin.counts)[keep]
     left = _EXT_CHARS[np.asarray(fin.left_ext)[keep]]
     right = _EXT_CHARS[np.asarray(fin.right_ext)[keep]]

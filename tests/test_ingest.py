@@ -1,0 +1,105 @@
+"""Ingest stage: pairing robustness, merge wiring, end-to-end merged counting."""
+
+import numpy as np
+
+from mhm2_kmer_analysis_v2_tpu.config import Options
+from mhm2_kmer_analysis_v2_tpu.io.adapters import Adapters
+from mhm2_kmer_analysis_v2_tpu.io.ingest import ingest_group, load_and_merge_reads
+from mhm2_kmer_analysis_v2_tpu.io.merge_reads import MergeStats, revcomp
+from mhm2_kmer_analysis_v2_tpu.io.packed_reads import PackedReads
+from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import run_pipeline
+
+from util import oracle_count
+
+
+def _mk_genome(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def _write_interleaved(path, pairs):
+    with open(path, "w") as f:
+        for i, (r1, r2) in enumerate(pairs):
+            f.write(f"@p{i}/1\n{r1}\n+\n{'K' * len(r1)}\n")
+            f.write(f"@p{i}/2\n{r2}\n+\n{'K' * len(r2)}\n")
+
+
+def test_ingest_merges_overlapping_pairs(tmp_path):
+    g = _mk_genome(150, seed=1)
+    pairs = [(g[:100], revcomp(g[50:150])) for _ in range(4)]
+    fq = tmp_path / "il.fastq"
+    _write_interleaved(fq, pairs)
+    pr = PackedReads()
+    stats = MergeStats()
+    ingest_group([str(fq)], pr, Adapters(), stats=stats)
+    assert stats.num_merged == 4
+    # merged read + N placeholder per pair
+    assert len(pr) == 8
+    assert pr.seqs[0] == g
+    assert pr.seqs[1] == "N"
+
+
+def test_ingest_missing_mate_resync(tmp_path):
+    g = _mk_genome(300, seed=2)
+    fq = tmp_path / "il.fastq"
+    with open(fq, "w") as f:
+        f.write(f"@p0/1\n{g[:80]}\n+\n{'K' * 80}\n")
+        f.write(f"@p0/2\n{g[200:280]}\n+\n{'K' * 80}\n")
+        # p1 has no /2 mate
+        f.write(f"@p1/1\n{g[80:160]}\n+\n{'K' * 80}\n")
+        f.write(f"@p2/1\n{g[100:180]}\n+\n{'K' * 80}\n")
+        f.write(f"@p2/2\n{g[10:90]}\n+\n{'K' * 80}\n")
+    pr = PackedReads()
+    ingest_group([str(fq)], pr, Adapters())
+    # 3 pairs worth of entries (p1 gets a fake N mate)
+    assert len(pr) == 6
+    assert pr.seqs[2] == g[80:160]
+    assert pr.seqs[3] == "N"
+    assert pr.seqs[4] == g[100:180]
+
+
+def test_merged_pipeline_counts_match_oracle(tmp_path):
+    """End-to-end with real merging: the oracle is fed the POST-merge reads
+    (merge changes the counted k-mer multiset — that is its purpose)."""
+    k = 21
+    rng = np.random.default_rng(3)
+    g = _mk_genome(500, seed=3)
+    pairs = []
+    for _ in range(40):
+        pos = int(rng.integers(0, 500 - 150))
+        frag = g[pos : pos + 150]
+        pairs.append((frag[:100], revcomp(frag[50:])))
+    fq = tmp_path / "il.fastq"
+    _write_interleaved(fq, pairs)
+
+    out = tmp_path / "out"
+    options = Options(
+        reads_fnames=[str(fq)],
+        kmer_lens=[k],
+        output_dir=str(out),
+        batch_reads=32,
+        adapter_trim=False,
+    )
+    results = run_pipeline(options)
+    res = results[0]
+
+    # oracle over the merged fragments (placeholder mates yield no k-mers)
+    oc_reads = []
+    for r1, r2 in pairs:
+        # each pair overlaps perfectly -> merges into the 150bp fragment
+        frag_start = g.find(r1)
+        oc_reads.append((g[frag_start : frag_start + 150], "K" * 150))
+    exp = oracle_count(oc_reads, k).finalize()
+    assert res.unique_kmers == len(exp)
+    assert res.total_kmer_count_sum == sum(c for c, _, _ in exp.values())
+
+
+def test_load_and_merge_reads_options(tmp_path):
+    g = _mk_genome(150, seed=4)
+    pairs = [(g[:100], revcomp(g[50:150]))]
+    fq = tmp_path / "il.fastq"
+    _write_interleaved(fq, pairs)
+    options = Options(reads_fnames=[str(fq)], kmer_lens=[21])
+    pr, stats = load_and_merge_reads(options)
+    assert stats.num_merged == 1
+    assert len(pr) == 2

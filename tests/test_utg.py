@@ -1,0 +1,114 @@
+"""UU-tig construction: pointer-doubling builder vs the oracle walker."""
+
+import numpy as np
+
+from mhm2_kmer_analysis_v2_tpu.contig import utg
+from mhm2_kmer_analysis_v2_tpu.oracle import OracleCounter, revcomp_str, kmer_to_val
+
+from util import genome_reads, oracle_count
+
+
+def _canon_set(seqs):
+    return {min(s, revcomp_str(s)) for s in seqs}
+
+
+def _build_from_oracle(oc: OracleCounter, k: int) -> utg.Utgs:
+    fin = oc.finalize()
+    items = sorted((kmer_to_val(kmer), c, l, r) for kmer, (c, l, r) in fin.items())
+    vals = np.array([v for v, _, _, _ in items], np.uint64)
+    counts = np.array([c for _, c, _, _ in items], np.int64)
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    left = np.array([code[l] for _, _, l, _ in items], np.int64)
+    right = np.array([code[r] for _, _, _, r in items], np.int64)
+    return utg.build_utgs(vals, counts, left, right, k)
+
+
+def test_single_chain():
+    """Deep coverage of one genome with no repeats -> one contig."""
+    k = 21
+    reads = genome_reads(200, 60, genome_len=300, seed=42)
+    oc = oracle_count(reads, k)
+    got = _build_from_oracle(oc, k)
+    exp = oc.utgs()
+    assert _canon_set(got.seqs) == exp
+    # deep even coverage: expect one long contig reconstructing most of the genome
+    assert max(len(s) for s in got.seqs) > 150
+
+
+def test_matches_oracle_with_errors():
+    k = 21
+    for seed in (1, 2, 3, 4):
+        reads = genome_reads(150, 70, genome_len=400, seed=seed, err=0.02)
+        oc = oracle_count(reads, k)
+        got = _build_from_oracle(oc, k)
+        exp = oc.utgs()
+        assert _canon_set(got.seqs) == exp, seed
+
+
+def test_multiple_components():
+    k = 21
+    reads = genome_reads(100, 60, genome_len=250, seed=7)
+    reads += genome_reads(100, 60, genome_len=250, seed=8)
+    oc = oracle_count(reads, k)
+    got = _build_from_oracle(oc, k)
+    assert _canon_set(got.seqs) == oc.utgs()
+
+
+def test_cycle():
+    """A circular genome yields a cyclic UU graph; broken deterministically."""
+    k = 21
+    rng = np.random.default_rng(11)
+    circ = "".join(rng.choice(list("ACGT"), 120))
+    genome = circ + circ[: k + 40]  # wrap-around reads cover the junction
+    reads = []
+    for _ in range(150):
+        p = int(rng.integers(0, 120))
+        reads.append((genome[p : p + 60], "K" * 60))
+    oc = oracle_count(reads, k)
+    got = _build_from_oracle(oc, k)
+    exp = oc.utgs()
+    assert _canon_set(got.seqs) == exp
+
+
+def test_every_kmer_on_some_contig():
+    k = 21
+    reads = genome_reads(120, 60, genome_len=300, seed=13, err=0.01)
+    oc = oracle_count(reads, k)
+    fin = oc.finalize()
+    got = _build_from_oracle(oc, k)
+    covered = set()
+    for s in got.seqs:
+        for i in range(len(s) - k + 1):
+            covered.add(min(s[i : i + k], revcomp_str(s[i : i + k])))
+    assert set(fin) <= covered
+
+
+def test_utg_depths():
+    k = 21
+    reads = genome_reads(80, 60, genome_len=200, seed=17)
+    oc = oracle_count(reads, k)
+    got = _build_from_oracle(oc, k)
+    fin = oc.finalize()
+    for s, d in zip(got.seqs, got.depths):
+        kmers = [min(s[i : i + k], revcomp_str(s[i : i + k])) for i in range(len(s) - k + 1)]
+        counts = [fin[km][0] for km in kmers if km in fin]
+        if counts:
+            assert abs(d - np.mean(counts)) < 1e-6 or d > 0
+
+
+def test_empty_table():
+    got = utg.build_utgs(np.array([], np.uint64), np.array([], np.int64),
+                         np.array([], np.int64), np.array([], np.int64), 21)
+    assert got.seqs == []
+
+
+def test_dump_fasta(tmp_path):
+    k = 21
+    reads = genome_reads(80, 60, genome_len=200, seed=19)
+    oc = oracle_count(reads, k)
+    got = _build_from_oracle(oc, k)
+    path = tmp_path / "uutigs-21.fasta"
+    utg.dump_uutigs(got, k, str(path))
+    lines = path.read_text().splitlines()
+    assert len(lines) == 2 * len(got.seqs)
+    assert lines[0].startswith(">uutig_0 ")
