@@ -38,6 +38,7 @@ class Options:
     use_qf: bool = False
     sequencing_depth: int = 4  # src/options.hpp:103
     optimize_for: str = "default"
+    restart: bool = False
     # TPU-native knobs (no reference analogue)
     batch_reads: int = 8192
     n_devices: int = 0  # 0 = all
@@ -93,15 +94,24 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--no-adapter-trim", action="store_true")
     p.add_argument("--progress", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--restart", action="store_true",
+                   help="resume in an existing output dir from its config + checkpoints")
     p.add_argument("--batch-reads", type=int, default=8192)
     p.add_argument("--n-devices", type=int, default=0)
     p.add_argument("--config", default="", help="load options from a config file")
     a = p.parse_args(argv)
 
+    if a.restart and a.output and not a.config:
+        cfg = os.path.join(a.output, "mhm2.config")
+        if os.path.exists(cfg):
+            a.config = cfg
+
     if a.config:
         with open(a.config) as f:
             data = json.load(f)
-        return Options(**data)
+        data["restart"] = a.restart or data.get("restart", False)
+        known = {f.name for f in Options.__dataclass_fields__.values()}
+        return Options(**{kk: v for kk, v in data.items() if kk in known})
 
     if len(a.paired_reads) % 2:
         p.error("-p requires pairs of files")

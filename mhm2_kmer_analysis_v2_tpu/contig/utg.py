@@ -191,6 +191,92 @@ def _break_cycles(succ: np.ndarray, NULL: int) -> np.ndarray:
     return out, cycle_head
 
 
+_COMP_STR = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def _rc_str(s: str) -> str:
+    return "".join(_COMP_STR[c] for c in reversed(s))
+
+
+def build_utgs_dict(kmer_strs: list, counts, left_chars, right_chars, k: int) -> Utgs:
+    """Dict-based unitig construction for multi-word k (> 32).
+
+    Same walk semantics as build_utgs (oriented successors with reciprocity,
+    cycles started at the canonical orientation of their smallest k-mer);
+    host-side hash walk instead of pointer doubling — the multi-word values
+    exceed uint64 so the vectorized path doesn't apply directly.
+    """
+    table = {}
+    for s, c, l, r in zip(kmer_strs, counts, left_chars, right_chars):
+        table[s] = (int(c), l, r)
+
+    def exts(oseq):
+        canon = min(oseq, _rc_str(oseq))
+        l, r = table[canon][1:]
+        if oseq == canon:
+            return l, r
+        return _COMP_STR[r], _COMP_STR[l]
+
+    def succ(oseq):
+        _, r = exts(oseq)
+        nxt = oseq[1:] + r
+        canon = min(nxt, _rc_str(nxt))
+        if canon not in table:
+            return None
+        nl, _ = exts(nxt)
+        if nl != oseq[0]:
+            return None
+        if nxt == oseq or nxt == _rc_str(oseq):
+            return None
+        return nxt
+
+    nodes = []
+    for s in table:
+        nodes.append(s)
+        nodes.append(_rc_str(s))
+    succs = {s: succ(s) for s in nodes}
+    has_pred = {t for t in succs.values() if t is not None}
+
+    def depth_of(contig):
+        cs = []
+        for i in range(len(contig) - k + 1):
+            km = contig[i : i + k]
+            cs.append(table[min(km, _rc_str(km))][0])
+        return float(np.mean(cs)) if cs else 0.0
+
+    out = {}
+    visited = set()
+
+    def mark(s):
+        visited.add(s)
+        visited.add(_rc_str(s))
+
+    for s in sorted(nodes):
+        if s in has_pred:
+            continue
+        contig = s
+        mark(s)
+        cur = s
+        while (nxt := succs[cur]) is not None:
+            contig += nxt[-1]
+            mark(nxt)
+            cur = nxt
+        out[min(contig, _rc_str(contig))] = depth_of(contig)
+    for s in sorted(table):
+        if s in visited:
+            continue
+        contig = s
+        mark(s)
+        cur = s
+        while (nxt := succs[cur]) is not None and nxt not in visited:
+            contig += nxt[-1]
+            mark(nxt)
+            cur = nxt
+        out[min(contig, _rc_str(contig))] = depth_of(contig)
+    seqs = sorted(out)
+    return Utgs(seqs, [out[s] for s in seqs])
+
+
 def dump_uutigs(utgs: Utgs, k: int, path: str, min_len: int = 0):
     """FASTA dump like Contigs::dump_contigs for uutigs-<k>.fasta
     (referenced at src/contigging.cpp:81,110)."""

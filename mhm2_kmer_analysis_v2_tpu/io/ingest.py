@@ -121,8 +121,34 @@ def _next(rdr):
         return None
 
 
+def get_merged_reads_fname(fname: str, output_dir: str) -> str:
+    """Name of the post-merge FASTQ checkpoint (analogue of
+    get_merged_reads_fname, src/merge_reads.cpp:335-340)."""
+    import os
+
+    base = os.path.basename(fname).replace(".gz", "").replace(".fastq", "").replace(".fq", "")
+    return os.path.join(output_dir, f"{base}-merged.fastq.gz")
+
+
+def dump_merged(pr: PackedReads, lo: int, hi: int, path: str):
+    """Persist merged reads [lo:hi) for restart (--dump-merged; the full MHM2
+    uses this to skip the merge on restart)."""
+    import gzip
+
+    with gzip.open(path, "wt") as f:
+        for i in range(lo, hi):
+            f.write(f"@{pr.names[i]}\n{pr.seqs[i]}\n+\n{pr.quals[i]}\n")
+
+
 def load_and_merge_reads(options) -> tuple:
-    """Full ingest per the Options: returns (PackedReads, MergeStats)."""
+    """Full ingest per the Options: returns (PackedReads, MergeStats).
+
+    With --dump-merged, post-merge reads are checkpointed per input group;
+    a --restart run with checkpoints present skips trim+merge entirely
+    (stage-granularity restart, src/mhm2.py:871-937 / merge_reads.cpp:335-340).
+    """
+    import os
+
     pr = PackedReads(qual_offset=options.qual_offset)
     adapters = Adapters(
         fname=options.adapter_fname if options.adapter_trim else "",
@@ -133,6 +159,15 @@ def load_and_merge_reads(options) -> tuple:
     min_k = min(options.kmer_lens)
     for group in options.all_read_groups():
         is_unpaired = any(group[0] == f.rstrip(":") for f in options.unpaired_fnames)
+        ckpt = get_merged_reads_fname(group[0], options.output_dir)
+        if getattr(options, "restart", False) and os.path.exists(ckpt):
+            slog_verbose("Restart: loading merged reads from ", ckpt)
+            rdr = FastqReader(ckpt)
+            for rec in rdr:
+                pr.add_read(rec.name, rec.seq, rec.quals)
+            rdr.close()
+            continue
+        lo = len(pr)
         read_id = ingest_group(
             group,
             pr,
@@ -144,6 +179,8 @@ def load_and_merge_reads(options) -> tuple:
             start_read_id=read_id,
             subsample_pct=options.subsample_fastq_pct,
         )
+        if options.dump_merged:
+            dump_merged(pr, lo, len(pr), ckpt)
     if stats.num_pairs:
         slog_verbose(
             "Merged ", stats.num_merged, " of ", stats.num_pairs, " pairs (",

@@ -219,3 +219,155 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(devs, ("sh",))
+
+
+# ---------------------------------------------------------------------------
+# multi-word (k > 32) variants
+# ---------------------------------------------------------------------------
+
+from ..ops.kmer_multiword import kmer_records_mw, n_words  # noqa: E402
+from ..table import shard_table_mw as stmw  # noqa: E402
+
+
+class MWShardedState(NamedTuple):
+    keys: jax.Array  # [n_shards, W, cap]
+    counts: jax.Array
+    extc: jax.Array
+    claim: jax.Array
+    num_dropped: jax.Array
+    overflow: jax.Array
+
+
+_MW_STATE_SPEC = MWShardedState(
+    keys=P("sh", None, None),
+    counts=P("sh", None),
+    extc=P("sh", None),
+    claim=P("sh", None),
+    num_dropped=P("sh"),
+    overflow=P("sh"),
+)
+
+
+def create_sharded_mw(n_shards: int, max_elems_per_shard: int, k: int, mesh: Mesh | None = None) -> MWShardedState:
+    one = stmw.create(max_elems_per_shard, n_words(k))
+
+    def rep(x):
+        return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
+
+    state = MWShardedState(
+        keys=rep(one.keys),
+        counts=rep(one.counts),
+        extc=rep(one.extc),
+        claim=rep(one.claim),
+        num_dropped=jnp.zeros((n_shards,), jnp.int32),
+        overflow=jnp.zeros((n_shards,), jnp.int32),
+    )
+    if mesh is not None:
+        sharding = jax.sharding.NamedSharding(mesh, P("sh"))
+        state = jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    return state
+
+
+def _local_table_mw(state: MWShardedState) -> stmw.MWShardTable:
+    return stmw.MWShardTable(
+        keys=state.keys[0],
+        counts=state.counts[0],
+        extc=state.extc[0],
+        claim=state.claim[0],
+        num_dropped=state.num_dropped[0],
+    )
+
+
+def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None):
+    """Multi-word sharded count step (same design as make_count_step)."""
+    n_shards = mesh.shape["sh"]
+    Wn = n_words(k)
+
+    def per_device(state: MWShardedState, codes, badq, lengths):
+        recs = kmer_records_mw(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
+        B, L = codes.shape
+        words = recs["canon"].reshape(Wn, B * L)
+        left = recs["left"].reshape(-1)
+        right = recs["right"].reshape(-1)
+        valid = recs["valid"].reshape(-1)
+        target = recs["target"].reshape(-1)
+        cnt = jnp.ones_like(left)
+        meta = _pack_meta(left, right, cnt, valid)
+        local = _local_table_mw(state)
+        if n_shards > 1:
+            R = B * L
+            sort_key = jnp.where(valid, target, n_shards)
+            order = jnp.argsort(sort_key)
+            tgt = sort_key[order]
+            starts = jnp.searchsorted(tgt, jnp.arange(n_shards, dtype=tgt.dtype))
+            col = jnp.arange(R, dtype=jnp.int32) - starts[jnp.clip(tgt, 0, n_shards - 1)]
+            overflow = jnp.sum((col >= exchange_cap) & (tgt < n_shards)).astype(jnp.int32)
+            in_range = (col < exchange_cap) & (tgt < n_shards)
+            row = jnp.where(in_range, tgt, n_shards)
+            col = jnp.clip(col, 0, exchange_cap - 1)
+            # scatter each word plane, then exchange once
+            buf = jnp.zeros((n_shards, Wn + 1, exchange_cap), jnp.int32)
+            for j in range(Wn):
+                buf = buf.at[row, j, col].set(
+                    words[j][order].astype(jnp.int32), mode="drop"
+                )
+            buf = buf.at[row, Wn, col].set(meta[order], mode="drop")
+            buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
+            rwords = buf[:, :Wn, :].transpose(1, 0, 2).reshape(Wn, -1).astype(U32)
+            rmeta = buf[:, Wn, :].reshape(-1)
+            local = stmw.insert_batch_mw(
+                local, rwords, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6, rmeta != 0
+            )
+        else:
+            overflow = jnp.zeros((), jnp.int32)
+            local = stmw.insert_batch_mw(
+                local, words, meta & 7, (meta >> 3) & 7, meta >> 6, meta != 0
+            )
+        return MWShardedState(
+            keys=local.keys[None],
+            counts=local.counts[None],
+            extc=local.extc[None],
+            claim=local.claim[None],
+            num_dropped=local.num_dropped[None],
+            overflow=(state.overflow[0] + overflow)[None],
+        )
+
+    mapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(_MW_STATE_SPEC, P("sh", None), P("sh", None), P("sh")),
+        out_specs=_MW_STATE_SPEC,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_finalize_mw(mesh: Mesh, dmin_thres: int = 2):
+    lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
+
+    def per_device(state: MWShardedState, lut_rep):
+        fin = stmw._finalize_mw_jit(_local_table_mw(state), lut_rep)
+        return jax.tree.map(lambda x: x[None], fin)
+
+    fin_spec = stmw.FinalizedMW(
+        keys=P("sh", None, None),
+        counts=P("sh", None),
+        left_ext=P("sh", None),
+        right_ext=P("sh", None),
+        keep=P("sh", None),
+        num_kept=P("sh"),
+        sum_counts=P("sh"),
+        num_purged=P("sh"),
+    )
+    mapped = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(_MW_STATE_SPEC, P(None)),
+            out_specs=fin_spec,
+        )
+    )
+
+    def finalize_fn(state):
+        return mapped(state, lut)
+
+    return finalize_fn

@@ -73,11 +73,12 @@ def analyze_kmers(
 
     est_kmers = pr.estimate_num_kmers(k)
     per_shard = estimate_table_elems(est_kmers, k, options.sequencing_depth) // n_shards + 1024
-    state = cs.create_sharded(n_shards, per_shard, mesh=mesh)
-    slog_verbose(
-        "Initial counts for read kmers ", est_kmers, "; table capacity/shard ",
-        state.keys_hi.shape[1],
-    )
+    multiword = k > 32
+    if multiword:
+        state = cs.create_sharded_mw(n_shards, per_shard, k, mesh=mesh)
+    else:
+        state = cs.create_sharded(n_shards, per_shard, mesh=mesh)
+    slog_verbose("Initial counts for read kmers ", est_kmers)
 
     batch = options.batch_reads
     # round batch to a multiple of shard count so every device gets equal rows
@@ -89,23 +90,36 @@ def analyze_kmers(
     mean = positions_per_device // max(n_shards, 1) + 1
     exchange_cap = min(positions_per_device, 4 * mean + 4096) if n_shards > 1 else 1
 
-    step = cs.make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m)
+    if multiword:
+        step = cs.make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m)
+    else:
+        step = cs.make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m)
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))
 
+    from ..utils.comm_stats import comm_stats
+
+    comm_stats.begin_stage(f"analyze_kmers k={k}")
     stage_timers.analyze_kmers.start()
     num_reads = 0
+    a2a_bytes = 3 * n_shards * n_shards * exchange_cap * 4 if n_shards > 1 else 0
     for rb in pr.batches(batch, max_len=max_len):
         num_reads += int((rb.lengths > 0).sum())
         codes = jax.device_put(rb.codes, sharding)
         badq = jax.device_put(rb.badq, sharding)
         lengths = jax.device_put(rb.lengths, sharding)
+        comm_stats.add_h2d(rb.codes.nbytes + rb.badq.nbytes + rb.lengths.nbytes)
+        comm_stats.add_collective(a2a_bytes, 3 if n_shards > 1 else 0)
         state = step(state, codes, badq, lengths)
     # flush_updates + finish_updates
-    finalize = cs.make_finalize(mesh, dmin_thres=options.dmin_thres)
+    if multiword:
+        finalize = cs.make_finalize_mw(mesh, dmin_thres=options.dmin_thres)
+    else:
+        finalize = cs.make_finalize(mesh, dmin_thres=options.dmin_thres)
     fin = finalize(state)
     num_dropped = int(np.sum(np.asarray(state.num_dropped)))
     num_overflow = int(np.sum(np.asarray(state.overflow)))
     stage_timers.analyze_kmers.stop()
+    comm_stats.end_stage()
 
     unique = int(np.sum(np.asarray(fin.num_kept)))
     total_sum = int(np.sum(np.asarray(fin.sum_counts)))
@@ -128,43 +142,62 @@ def analyze_kmers(
     return res, fin, n_shards
 
 
-def dump_kmers(fin: shard_table.FinalizedShard, k: int, output_dir: str, n_shards: int):
+def dump_kmers(fin, k: int, output_dir: str, n_shards: int):
     """Write per-shard kmers-<k>.txt.gz dumps, 'KMER count L R' lines
     (src/kcount/kmer_dht.cpp:269-297)."""
+    from ..table import shard_table_mw as stmw
+
     for shard in range(n_shards):
-        one = shard_table.FinalizedShard(*[x[shard] for x in fin])
-        vals, counts, left, right = shard_table.compact_to_host(one)
-        strings = shard_table.vals_to_strings(vals, k)
+        one = type(fin)(*[x[shard] for x in fin])
+        if k <= 32:
+            vals, counts, left, right = shard_table.compact_to_host(one)
+            strings = shard_table.vals_to_strings(vals, k)
+        else:
+            strings, counts, left, right = stmw.compact_to_host_mw(one, k)
         path = os.path.join(output_dir, "per_rank", f"kmers-{k}.txt.gz.{shard}")
         with gzip.open(path, "wt") as f:
             for s, c, l, r in zip(strings, counts, left, right):
                 f.write(f"{s} {c} {l} {r}\n")
 
 
-def contigging(fin: shard_table.FinalizedShard, k: int, n_shards: int, options: Options):
+def contigging(fin, k: int, n_shards: int, options: Options):
     """UU-tig traversal over the finalized table (the dbjg_traversal stage the
     reference stubs out at src/contigging.cpp:107-117), emitting
     uutigs-<k>.fasta."""
     from ..contig import utg
+    from ..table import shard_table_mw as stmw
 
     stage_timers.dbjg_traversal.start()
-    all_vals, all_counts, all_left, all_right = [], [], [], []
-    for shard in range(n_shards):
-        one = shard_table.FinalizedShard(*[x[shard] for x in fin])
-        keep = np.asarray(one.keep)
-        hi = np.asarray(one.keys_hi)[keep].astype(np.uint64)
-        lo = np.asarray(one.keys_lo)[keep].astype(np.uint64)
-        all_vals.append((hi << np.uint64(32)) | lo)
-        all_counts.append(np.asarray(one.counts)[keep])
-        all_left.append(np.asarray(one.left_ext)[keep])
-        all_right.append(np.asarray(one.right_ext)[keep])
-    vals = np.concatenate(all_vals)
-    order = np.argsort(vals)
-    vals = vals[order]
-    counts = np.concatenate(all_counts)[order]
-    left = np.concatenate(all_left)[order]
-    right = np.concatenate(all_right)[order]
-    utgs = utg.build_utgs(vals, counts, left, right, k)
+    if k > 32:
+        all_s, all_c, all_l, all_r = [], [], [], []
+        for shard in range(n_shards):
+            one = type(fin)(*[x[shard] for x in fin])
+            s, c, l, r = stmw.compact_to_host_mw(one, k)
+            all_s += s
+            all_c += list(c)
+            all_l += list(l)
+            all_r += list(r)
+        utgs = utg.build_utgs_dict(all_s, all_c, all_l, all_r, k)
+    else:
+        all_vals, all_counts, all_left, all_right = [], [], [], []
+        for shard in range(n_shards):
+            one = shard_table.FinalizedShard(*[x[shard] for x in fin])
+            keep = np.asarray(one.keep)
+            hi = np.asarray(one.keys_hi)[keep].astype(np.uint64)
+            lo = np.asarray(one.keys_lo)[keep].astype(np.uint64)
+            all_vals.append((hi << np.uint64(32)) | lo)
+            all_counts.append(np.asarray(one.counts)[keep])
+            all_left.append(np.asarray(one.left_ext)[keep])
+            all_right.append(np.asarray(one.right_ext)[keep])
+        vals = np.concatenate(all_vals)
+        order = np.argsort(vals)
+        utgs = utg.build_utgs(
+            vals[order],
+            np.concatenate(all_counts)[order],
+            np.concatenate(all_left)[order],
+            np.concatenate(all_right)[order],
+            k,
+        )
     stage_timers.dbjg_traversal.stop()
     path = os.path.join(options.output_dir, f"uutigs-{k}.fasta")
     stage_timers.dump_ctgs.start()
@@ -181,9 +214,14 @@ def run_pipeline(options: Options) -> list:
     t0 = time.time()
     options.setup_output_dir()
     from ..utils.logging import init_logger
+    from ..utils.memory import MemoryTracker, log_mem
 
     init_logger(options.output_dir, options.verbose)
+    options.write_config_file()
+    mem_tracker = MemoryTracker()
+    mem_tracker.start()
     pr = load_reads(options)
+    log_mem("after loading reads")
     results = []
     for k in options.kmer_lens:
         slog("_________________________")
@@ -196,22 +234,28 @@ def run_pipeline(options: Options) -> list:
         options.sequencing_depth = max(int(res.avg_kmer_count), 1)
         results.append(res)
         slog("Completed contig round k = ", k)
+        log_mem(f"after contig round k={k}")
     elapsed = time.time() - t0
-    write_summary_csv(options, results, elapsed)
+    peak_gb = mem_tracker.stop()
+    write_summary_csv(options, results, elapsed, peak_gb)
     slog(stage_timers.report(elapsed))
+    from ..utils.comm_stats import comm_stats
+
+    slog_verbose(comm_stats.report())
+    # the reference's machine-readable log contract lines (src/main.cpp:351-356)
+    tot_reads = sum(r.num_reads for r in results[:1])
+    slog("tot_num_reads: ", tot_reads)
+    if results:
+        slog("Total kmers: ", results[-1].unique_kmers)
+        slog("Total kmer count sum: ", results[-1].total_kmer_count_sum)
+    slog("Peak memory: ", f"{peak_gb:.2f} GB")
     return results
 
 
-def write_summary_csv(options: Options, results: list, elapsed: float):
+def write_summary_csv(options: Options, results: list, elapsed: float, peak_gb: float = 0.0):
     """proxy_results_summary.csv with the reference's schema
     (Reads, Unique kmers, Total kmers, Fraction, Peak mem GB, seconds —
     src/main.cpp:382-391)."""
-    try:
-        import resource
-
-        peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2
-    except Exception:
-        peak_gb = 0.0
     path = os.path.join(options.output_dir, "proxy_results_summary.csv")
     with open(path, "w") as f:
         f.write("Reads,Unique kmers,Total kmers,Fraction unique,Peak memory (GB),Timing (s)\n")

@@ -1,0 +1,71 @@
+"""Point queries against the shard table (KmerDHT::kmer_exists /
+get_kmer_count, src/kcount/kmer_dht.cpp:216-245).
+
+The reference resolves each query with a blocking RPC to the owner rank; here
+queries are batched, canonicalized, routed (same minimizer function), and
+resolved with a vectorized probe-read — no writes, same linear probe schedule
+as the insert path so any present key is found.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmer_ops import slot_hash
+from .shard_table import EMPTY, MAX_PROBE, ShardTable
+
+U32 = jnp.uint32
+
+
+@jax.jit
+def lookup_batch(table: ShardTable, hi, lo):
+    """Return per-query (found, count16, left4, right4 ext-count rows).
+
+    hi/lo must already be canonical k-mer pairs belonging to this shard.
+    """
+    cap = table.capacity
+    hi = hi.astype(U32)
+    lo = lo.astype(U32)
+    Q = hi.shape[0]
+    slot = (slot_hash(hi, lo) % U32(cap)).astype(jnp.int32)
+    found_slot = jnp.full((Q,), cap, jnp.int32)
+    active = jnp.ones((Q,), bool)
+
+    def cond(state):
+        active, _, _, it = state
+        return jnp.any(active) & (it < MAX_PROBE)
+
+    def body(state):
+        active, slot, found_slot, it = state
+        gslot = jnp.where(active, slot, 0)
+        thi = table.keys_hi[gslot]
+        tlo = table.keys_lo[gslot]
+        hit = active & (thi == hi) & (tlo == lo)
+        empty = active & (thi == EMPTY) & (tlo == EMPTY)
+        found_slot = jnp.where(hit, slot, found_slot)
+        active = active & ~hit & ~empty
+        slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+        return active, slot, found_slot, it + 1
+
+    zero_v = (slot[0] & 0).astype(jnp.int32)
+    _, _, found_slot, _ = jax.lax.while_loop(
+        cond, body, (active, slot, found_slot, zero_v)
+    )
+    found = found_slot < cap
+    g = jnp.where(found, found_slot, 0)
+    counts = jnp.where(found, jnp.minimum(table.counts[g], 65535), 0)
+    extc = jnp.where(found[:, None], table.extc.reshape(-1, 8)[g], 0)
+    return found, counts, extc
+
+
+def get_kmer_counts(table: ShardTable, kmers: list, k: int) -> list:
+    """Host-convenience: query canonical counts for k-mer strings (k <= 32)."""
+    from ..oracle import canonical_val, kmer_to_val
+
+    vals = [canonical_val(kmer_to_val(s), k)[0] for s in kmers]
+    hi = jnp.asarray([v >> 32 for v in vals], dtype=jnp.uint32)
+    lo = jnp.asarray([v & 0xFFFFFFFF for v in vals], dtype=jnp.uint32)
+    found, counts, _ = lookup_batch(table, hi, lo)
+    return [int(c) if f else 0 for f, c in zip(np.asarray(found), np.asarray(counts))]

@@ -1,0 +1,131 @@
+"""Auxiliary subsystems: restart/checkpoint, point queries, log parser,
+memory tracker, comm stats."""
+
+import gzip
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from mhm2_kmer_analysis_v2_tpu.config import Options, parse_args
+from mhm2_kmer_analysis_v2_tpu.io.ingest import get_merged_reads_fname, load_and_merge_reads
+from mhm2_kmer_analysis_v2_tpu.io.merge_reads import revcomp
+from mhm2_kmer_analysis_v2_tpu.io.packed_reads import encode_batch
+from mhm2_kmer_analysis_v2_tpu.ops import kmer_ops
+from mhm2_kmer_analysis_v2_tpu.table import query, shard_table
+
+from util import genome_reads
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mk_genome(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def test_dump_merged_and_restart(tmp_path):
+    g = _mk_genome(150, seed=1)
+    fq = tmp_path / "il.fastq"
+    with open(fq, "w") as f:
+        for i in range(5):
+            f.write(f"@p{i}/1\n{g[:100]}\n+\n{'K' * 100}\n")
+            f.write(f"@p{i}/2\n{revcomp(g[50:150])}\n+\n{'K' * 100}\n")
+    out = tmp_path / "out"
+    out.mkdir()
+    options = Options(
+        reads_fnames=[str(fq)], kmer_lens=[21], output_dir=str(out),
+        dump_merged=True, adapter_trim=False,
+    )
+    pr1, stats1 = load_and_merge_reads(options)
+    assert stats1.num_merged == 5
+    ckpt = get_merged_reads_fname(str(fq), str(out))
+    assert os.path.exists(ckpt)
+    with gzip.open(ckpt, "rt") as f:
+        assert f.readline().startswith("@r0/1")
+
+    # restart: merged checkpoint is loaded, no re-merge
+    options.restart = True
+    pr2, stats2 = load_and_merge_reads(options)
+    assert stats2.num_pairs == 0  # merge skipped
+    assert pr2.seqs == pr1.seqs
+    assert pr2.quals == pr1.quals
+
+
+def test_restart_cli_loads_config(tmp_path):
+    out = tmp_path / "out"
+    (out / "per_rank").mkdir(parents=True)
+    options = Options(reads_fnames=["x.fq"], kmer_lens=[33], output_dir=str(out))
+    options.write_config_file()
+    o2 = parse_args(["--restart", "-o", str(out)])
+    assert o2.kmer_lens == [33]
+    assert o2.reads_fnames == ["x.fq"]
+    assert o2.restart
+
+
+def test_point_queries():
+    k = 21
+    reads = genome_reads(60, 60, genome_len=300, seed=5)
+    batch = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    recs = kmer_ops.kmer_records(
+        jnp.asarray(batch.codes), jnp.asarray(batch.badq),
+        jnp.asarray(batch.lengths), k=k, n_shards=1,
+    )
+    table = shard_table.create(1 << 14)
+    flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+    table = shard_table.insert_batch(
+        table, flat["canon_hi"], flat["canon_lo"], flat["left"], flat["right"],
+        jnp.ones_like(flat["left"]), flat["valid"],
+    )
+    from util import oracle_count
+
+    oc = oracle_count(reads, k)
+    from mhm2_kmer_analysis_v2_tpu.oracle import val_to_kmer
+
+    some = sorted(oc.table)[:20]
+    kmers = [val_to_kmer(v, k) for v in some]
+    got = query.get_kmer_counts(table, kmers + ["A" * k], k)
+    for kmer_v, c in zip(some, got[:20]):
+        assert c == oc.table[kmer_v].count
+    assert got[20] == 0  # absent kmer (poly-A never counted here)
+
+
+def test_log_parser(tmp_path):
+    log = tmp_path / "mhm2.log"
+    log.write_text(
+        "   1.0 tot_num_reads: 500\n"
+        "   2.0 Total kmers: 1234\n"
+        "   2.1 Total kmer count sum: 9999\n"
+        "   3.0 Peak memory: 1.25 GB\n"
+        "      analyze_kmers                  5.00 s ( 90.0 %)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "parse_run_log.py"), str(log)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0
+    assert "1234" in r.stdout
+    assert "analyze_kmers" in r.stdout
+
+
+def test_memory_tracker():
+    from mhm2_kmer_analysis_v2_tpu.utils.memory import MemoryTracker
+
+    t = MemoryTracker(interval_s=0.01)
+    t.start()
+    peak = t.stop()
+    assert peak > 0
+
+
+def test_comm_stats_report():
+    from mhm2_kmer_analysis_v2_tpu.utils.comm_stats import CommStats
+
+    cs = CommStats()
+    cs.begin_stage("s1")
+    cs.add_h2d(1 << 20)
+    cs.add_collective(1 << 21, 3)
+    cs.end_stage()
+    rep = cs.report()
+    assert "s1" in rep and "1.0MB" in rep and "3 calls" in rep
