@@ -110,7 +110,18 @@ def encode_batch(
     max_len: int | None = None,
     pad_to: int | None = None,
 ) -> ReadBatch:
-    """Vectorized encode of a list of (seq, quals) strings."""
+    """Vectorized encode of a list of (seq, quals) strings.
+
+    Uses the native C++ kernel (io/native.py) when built — the host analogue
+    of PackedRead's per-base packing loop (src/packed_reads.cpp:90-126)."""
+    if max_len is None:
+        max_len = max((len(s) for s in seqs), default=1)
+    from .native import encode_reads_native
+
+    nat = encode_reads_native(seqs, quals, qual_offset, max_len, pad_to) if seqs else None
+    if nat is not None:
+        codes, badq, lengths = nat
+        return ReadBatch(codes=codes, badq=badq, lengths=lengths)
     B = len(seqs)
     rows = pad_to if pad_to is not None else B
     if max_len is None:

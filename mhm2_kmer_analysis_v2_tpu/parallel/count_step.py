@@ -222,6 +222,109 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 # ---------------------------------------------------------------------------
+# --use-qf variant: singleton-filter offload (k <= 32)
+# ---------------------------------------------------------------------------
+
+from ..table import singleton_filter as sf  # noqa: E402
+
+
+class QFShardedState(NamedTuple):
+    table: ShardedState
+    f_fp: jax.Array  # [n_shards, fcap]
+    f_meta: jax.Array
+    f_claim: jax.Array
+    f_stored: jax.Array  # [n_shards]
+
+
+_QF_STATE_SPEC = QFShardedState(
+    table=_STATE_SPEC,
+    f_fp=P("sh", None),
+    f_meta=P("sh", None),
+    f_claim=P("sh", None),
+    f_stored=P("sh"),
+)
+
+
+def create_sharded_qf(n_shards: int, max_elems_per_shard: int,
+                      filter_elems_per_shard: int, mesh: Mesh | None = None) -> QFShardedState:
+    base = create_sharded(n_shards, max_elems_per_shard, mesh=None)
+    one = sf.create_filter(filter_elems_per_shard)
+
+    def rep(x):
+        return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
+
+    state = QFShardedState(
+        table=base,
+        f_fp=rep(one.fp),
+        f_meta=rep(one.meta),
+        f_claim=rep(one.claim),
+        f_stored=jnp.zeros((n_shards,), jnp.int32),
+    )
+    if mesh is not None:
+        sharding = jax.sharding.NamedSharding(mesh, P("sh"))
+        state = jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    return state
+
+
+def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None):
+    """Sharded count step with singleton-filter offload (--use-qf)."""
+    n_shards = mesh.shape["sh"]
+
+    def per_device(state: QFShardedState, codes, badq, lengths):
+        recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
+        flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+        cnt = jnp.ones_like(flat["left"])
+        meta = _pack_meta(flat["left"], flat["right"], cnt, flat["valid"])
+        local = _local_table(state.table)
+        filt = sf.SingletonFilter(
+            fp=state.f_fp[0], meta=state.f_meta[0], claim=state.f_claim[0],
+            num_stored=state.f_stored[0],
+        )
+        if n_shards > 1:
+            buf_hi, buf_lo, buf_meta, overflow = _bucketize(
+                flat["canon_hi"], flat["canon_lo"], meta, flat["target"],
+                flat["valid"], n_shards, exchange_cap,
+            )
+            buf_hi = jax.lax.all_to_all(buf_hi, "sh", 0, 0, tiled=True)
+            buf_lo = jax.lax.all_to_all(buf_lo, "sh", 0, 0, tiled=True)
+            buf_meta = jax.lax.all_to_all(buf_meta, "sh", 0, 0, tiled=True)
+            rhi, rlo, rmeta = (
+                buf_hi.reshape(-1), buf_lo.reshape(-1), buf_meta.reshape(-1)
+            )
+        else:
+            overflow = jnp.zeros((), jnp.int32)
+            rhi, rlo, rmeta = flat["canon_hi"], flat["canon_lo"], meta
+        local, filt = sf.insert_batch_qf(
+            local, filt, rhi, rlo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
+            rmeta != 0,
+        )
+        base = ShardedState(
+            keys_hi=local.keys_hi[None],
+            keys_lo=local.keys_lo[None],
+            counts=local.counts[None],
+            extc=local.extc[None],
+            claim=local.claim[None],
+            num_dropped=local.num_dropped[None],
+            overflow=(state.table.overflow[0] + overflow)[None],
+        )
+        return QFShardedState(
+            table=base,
+            f_fp=filt.fp[None],
+            f_meta=filt.meta[None],
+            f_claim=filt.claim[None],
+            f_stored=filt.num_stored[None],
+        )
+
+    mapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(_QF_STATE_SPEC, P("sh", None), P("sh", None), P("sh")),
+        out_specs=_QF_STATE_SPEC,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
 # multi-word (k > 32) variants
 # ---------------------------------------------------------------------------
 

@@ -72,13 +72,26 @@ def analyze_kmers(
     slog_verbose("Using a minimizer length of ", m)
 
     est_kmers = pr.estimate_num_kmers(k)
-    per_shard = estimate_table_elems(est_kmers, k, options.sequencing_depth) // n_shards + 1024
     multiword = k > 32
+    use_qf = options.use_qf and not multiword  # like the reference: CUDA-only
+    adjusted = est_kmers // max(options.sequencing_depth, 1)
+    kmer_error_rate = 1.0 - (1.0 - BASE_ERROR_RATE) ** k
+    num_errors = int(est_kmers * kmer_error_rate)
+    if use_qf:
+        # main table sized WITHOUT error-kmer headroom; errors go to the
+        # filter (gpu_hash_table.cpp:552-557)
+        per_shard = max(adjusted, 1024) // n_shards + 1024
+        filter_per_shard = max(num_errors, 1024) // n_shards + 1024
+    else:
+        per_shard = max(adjusted + num_errors, 1024) // n_shards + 1024
+        filter_per_shard = 0
     if multiword:
         state = cs.create_sharded_mw(n_shards, per_shard, k, mesh=mesh)
+    elif use_qf:
+        state = cs.create_sharded_qf(n_shards, per_shard, filter_per_shard, mesh=mesh)
     else:
         state = cs.create_sharded(n_shards, per_shard, mesh=mesh)
-    slog_verbose("Initial counts for read kmers ", est_kmers)
+    slog_verbose("Initial counts for read kmers ", est_kmers, " num errors ", num_errors)
 
     batch = options.batch_reads
     # round batch to a multiple of shard count so every device gets equal rows
@@ -92,6 +105,8 @@ def analyze_kmers(
 
     if multiword:
         step = cs.make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m)
+    elif use_qf:
+        step = cs.make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m)
     else:
         step = cs.make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m)
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))
@@ -111,6 +126,10 @@ def analyze_kmers(
         comm_stats.add_collective(a2a_bytes, 3 if n_shards > 1 else 0)
         state = step(state, codes, badq, lengths)
     # flush_updates + finish_updates
+    if use_qf:
+        n_singleton = int(np.sum(np.asarray(state.f_stored)))
+        slog_verbose("Singleton filter stored ", n_singleton, " first occurrences")
+        state = state.table  # finalize the main table only
     if multiword:
         finalize = cs.make_finalize_mw(mesh, dmin_thres=options.dmin_thres)
     else:

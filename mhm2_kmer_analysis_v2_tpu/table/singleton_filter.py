@@ -1,0 +1,247 @@
+"""Singleton-offload filter — the point_tcf two-choice-filter analogue.
+
+The reference's --use-qf path (CUDA only; src/kcount/kcount-gpu/
+tcf_wrapper.hpp:96-178, gpu_hash_table.cpp:442-467) sends the FIRST
+occurrence of each k-mer into a compact GPU filter storing 6-bit packed
+extensions at ~2.4 B/k-mer; a second occurrence promotes the k-mer into the
+main table, replaying the stored extensions.  The main table is then sized
+without error-kmer headroom (~50% memory saving at <1% cost,
+docs/mhm_guide.md:337), at the price of "a negligible amount of variation in
+kmer count results" (README_v2.md:91).
+
+TPU version: a flat open-addressed fingerprint filter (8 B/slot: 32-bit
+fingerprint + packed ext/count meta).  Batch flow per record lane:
+
+  1. lookup-only probe of the main table: present -> scatter-add
+  2. miss -> claim-probe of the filter: fingerprint match -> promotion set;
+     empty -> store fingerprint + exts (the lane is done: first occurrence)
+  3. promotion lanes insert into the main table (full claim insert); exactly
+     one lane per filter entry (the claim winner) replays the stored exts
+     and clears the filter slot
+
+Like the reference filter, distinct k-mers colliding on (slot, fingerprint)
+can merge (~2^-64 per pair) and within-batch ordering can shift saturation
+boundaries — the documented "negligible variation".  Exact-parity runs keep
+--use-qf off, as the reference's determinism notes prescribe (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmer_ops import fmix32, slot_hash
+from . import shard_table as st
+from .shard_table import EMPTY, MAX_PROBE, ShardTable
+
+U32 = jnp.uint32
+FILTER_MAX_PROBE = 20
+FILTER_ATTEMPTS = 4
+FP_EMPTY = jnp.uint32(0xFFFFFFFF)
+# promoted entries leave a tombstone so probe chains over them stay intact
+# (classic open-addressing deletion; the reference TCF's backing store handles
+# deletes inside poggers, point_tcf/README.md:44)
+FP_TOMB = jnp.uint32(0xFFFFFFFE)
+
+
+class SingletonFilter(NamedTuple):
+    fp: jax.Array  # [fcap] uint32 fingerprints (FP_EMPTY = free)
+    meta: jax.Array  # [fcap] int32: left | right<<3 | count<<6
+    claim: jax.Array  # [fcap] int32 scratch (-1)
+    num_stored: jax.Array  # [] int32 (net occupancy is num_stored - promotions)
+
+    @property
+    def capacity(self) -> int:
+        return self.fp.shape[0]
+
+
+def create_filter(max_elems: int, load_factor: float = 0.66) -> SingletonFilter:
+    fcap = st.next_prime(max(int(max_elems / load_factor), 11))
+    return SingletonFilter(
+        fp=jnp.full((fcap,), FP_EMPTY, dtype=U32),
+        meta=jnp.zeros((fcap,), jnp.int32),
+        claim=jnp.full((fcap,), -1, jnp.int32),
+        num_stored=jnp.zeros((), jnp.int32),
+    )
+
+
+def _fingerprint(hi, lo):
+    """Independent of slot_hash so (slot, fp) gives ~63 distinguishing bits;
+    the top bit is cleared so fingerprints never collide with the EMPTY/TOMB
+    sentinels."""
+    f = fmix32(hi ^ U32(0xA5A5A5A5)) ^ fmix32(lo + U32(0x3C6EF372))
+    return f & U32(0x7FFFFFFF)
+
+
+def _fslot(hi, lo, fcap):
+    return (fmix32(slot_hash(hi, lo) + U32(0x9E3779B9)) % U32(fcap)).astype(jnp.int32)
+
+
+@jax.jit
+def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
+                    hi, lo, left, right, cnt, valid):
+    """QF-mode insert: returns (table', filter')."""
+    cap = table.capacity
+    fcap = filt.capacity
+    R = hi.shape[0]
+    hi = hi.astype(U32)
+    lo = lo.astype(U32)
+    left = left.astype(jnp.int32)
+    right = right.astype(jnp.int32)
+    cnt = cnt.astype(jnp.int32)
+    lane = jnp.arange(R, dtype=jnp.int32)
+
+    # ---- phase 1: lookup-only probe of the main table --------------------
+    keys_hi, keys_lo = table.keys_hi, table.keys_lo
+    counts, extc = table.counts, table.extc
+    slot = (slot_hash(hi, lo) % U32(cap)).astype(jnp.int32)
+    zero_v = (slot[0] & 0).astype(jnp.int32)
+    active = valid
+    absent = jnp.zeros((R,), bool) & valid
+    found_slot = jnp.full((R,), cap, jnp.int32) + zero_v
+
+    def body1b(state):
+        active, absent, slot, found_slot, it = state
+        gslot = jnp.where(active, slot, 0)
+        thi = keys_hi[gslot]
+        tlo = keys_lo[gslot]
+        hit = active & (thi == hi) & (tlo == lo)
+        empty = active & (thi == EMPTY) & (tlo == EMPTY)
+        found_slot = jnp.where(hit, slot, found_slot)
+        absent = absent | empty
+        active = active & ~hit & ~empty
+        slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+        return active, absent, slot, found_slot, it + 1
+
+    def cond1b(state):
+        active, _, _, _, it = state
+        return jnp.any(active) & (it < MAX_PROBE)
+
+    active, absent, _, found_slot, _ = jax.lax.while_loop(
+        cond1b, body1b, (active, absent, slot, found_slot, zero_v)
+    )
+    found = found_slot < cap
+    add_slot = jnp.where(found, found_slot, cap)
+    counts = counts.at[add_slot].add(cnt, mode="drop")
+    lidx = jnp.where(found & (left < 4), add_slot * 8 + left, cap * 8)
+    ridx = jnp.where(found & (right < 4), add_slot * 8 + 4 + right, cap * 8)
+    extc = extc.at[lidx].add(cnt, mode="drop")
+    extc = extc.at[ridx].add(cnt, mode="drop")
+
+    # ---- phase 2: filter lookup-then-claim for absent lanes --------------
+    # Each attempt: (a) probe the chain up to the first EMPTY, recording a
+    # fingerprint match and the first free slot (EMPTY or tombstone); (b)
+    # matched lanes promote (one replayer per entry), unmatched lanes claim
+    # their free slot (claim losers retry the whole attempt).
+    fps = _fingerprint(hi, lo)
+    fslot0 = _fslot(hi, lo, fcap)
+    fp_arr, fmeta, fclaim = filt.fp, filt.meta, filt.claim
+    meta_mine = left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6)
+    f_active = absent
+    promote = jnp.zeros((R,), bool) & valid
+    replayer = jnp.zeros((R,), bool) & valid
+    stored = jnp.zeros((R,), bool) & valid
+    pslot = jnp.full((R,), fcap, jnp.int32) + zero_v
+
+    def lookup_cond(state):
+        scanning = state[0]
+        it = state[-1]
+        return jnp.any(scanning) & (it < FILTER_MAX_PROBE)
+
+    for _attempt in range(FILTER_ATTEMPTS):
+        # (a) lookup scan
+        scanning = f_active
+        fslot = fslot0
+        match_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
+        free_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
+
+        def lookup_body(state):
+            scanning, fslot, match_slot, free_slot, it = state
+            g = jnp.where(scanning, fslot, 0)
+            tfp = fp_arr[g]
+            hit = scanning & (tfp == fps)
+            is_tomb = scanning & (tfp == FP_TOMB)
+            is_empty = scanning & (tfp == FP_EMPTY)
+            match_slot = jnp.where(hit, fslot, match_slot)
+            free_slot = jnp.where(
+                (is_tomb | is_empty) & (free_slot == fcap), fslot, free_slot
+            )
+            scanning = scanning & ~hit & ~is_empty
+            fslot = jnp.where(
+                scanning & (fslot + 1 >= fcap), 0,
+                jnp.where(scanning, fslot + 1, fslot),
+            )
+            return scanning, fslot, match_slot, free_slot, it + 1
+
+        _, _, match_slot, free_slot, _ = jax.lax.while_loop(
+            lookup_cond, lookup_body,
+            (scanning, fslot0, match_slot, free_slot, zero_v),
+        )
+
+        matched = f_active & (match_slot < fcap)
+        # (b1) promoters: one replayer per filter entry
+        rslot = jnp.where(matched, match_slot, fcap)
+        fclaim = fclaim.at[rslot].set(lane, mode="drop")
+        g = jnp.where(matched, match_slot, 0)
+        is_rep = matched & (fclaim[g] == lane)
+        fclaim = fclaim.at[rslot].set(-1, mode="drop")
+        promote = promote | matched
+        replayer = replayer | is_rep
+        pslot = jnp.where(matched, match_slot, pslot)
+        # (b2) storers: claim the free slot
+        want_store = f_active & ~matched & (free_slot < fcap)
+        cslot = jnp.where(want_store, free_slot, fcap)
+        fclaim = fclaim.at[cslot].set(lane, mode="drop")
+        g2 = jnp.where(want_store, free_slot, 0)
+        won = want_store & (fclaim[g2] == lane)
+        fclaim = fclaim.at[cslot].set(-1, mode="drop")
+        wslot = jnp.where(won, free_slot, fcap)
+        fp_arr = fp_arr.at[wslot].set(fps, mode="drop")
+        fmeta = fmeta.at[wslot].set(meta_mine, mode="drop")
+        stored = stored | won
+        # lanes without any free slot give up (handled by the main-table
+        # fallback); claim losers retry next attempt
+        f_active = f_active & ~matched & ~won & (free_slot < fcap)
+
+    f_left = f_active
+
+    # replay contributions (gather before clearing)
+    rmeta = jnp.where(replayer, fmeta[jnp.where(replayer, pslot, 0)], 0)
+    # promoted entries become tombstones
+    clear_slot = jnp.where(replayer, pslot, fcap)
+    fp_arr = fp_arr.at[clear_slot].set(FP_TOMB, mode="drop")
+    fmeta = fmeta.at[clear_slot].set(0, mode="drop")
+
+    # ---- phase 3: promoted lanes insert into the main table --------------
+    # own contribution for promote lanes; the replayer lane ALSO carries the
+    # stored first-occurrence contribution
+    table2 = ShardTable(
+        keys_hi=keys_hi, keys_lo=keys_lo, counts=counts, extc=extc,
+        claim=table.claim, num_dropped=table.num_dropped,
+    )
+    table2 = st.insert_batch(table2, hi, lo, left, right, cnt, promote)
+    table2 = st.insert_batch(
+        table2, hi, lo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6, replayer
+    )
+    # lanes that exhausted the filter probe fall through to a direct main
+    # insert (filter full) — no data loss, just no memory saving for them
+    table2 = st.insert_batch(table2, hi, lo, left, right, cnt, f_left)
+
+    filt2 = SingletonFilter(
+        fp=fp_arr,
+        meta=fmeta,
+        claim=fclaim,
+        num_stored=filt.num_stored + jnp.sum(stored).astype(jnp.int32),
+    )
+    return table2, filt2
+
+
+def filter_memory_bytes(filt: SingletonFilter) -> int:
+    return int(filt.fp.nbytes + filt.meta.nbytes + filt.claim.nbytes)
+
+
+def filter_occupancy(filt: SingletonFilter) -> int:
+    return int((np.asarray(filt.fp) != 0xFFFFFFFF).sum())

@@ -1,0 +1,154 @@
+// Native host-side kernels for the TPU k-mer analysis framework.
+//
+// The reference implements its host hot loops in C++/SIMD: the per-base read
+// packing (src/packed_reads.cpp:90-126), the SSE2 mismatch counter
+// (src/merge_reads.cpp:195-248) and the overlap merge scan
+// (src/merge_reads.cpp:477-652).  These are their TPU-host equivalents,
+// exposed through a plain C ABI consumed via ctypes (no pybind11 in the
+// image).  The Python implementations in io/ remain as the reference
+// semantics and the fallback when this library is not built.
+//
+// Build: g++ -O3 -shared -fPIC -o libkmer_native.so kmer_native.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+namespace {
+
+// phred error probabilities, identical values to src/merge_reads.cpp:74-82
+const double Q2PERROR[] = {
+    1.0,       0.7943,    0.6309,    0.5012,    0.3981,    0.3162,    0.2512,
+    0.1995,    0.1585,    0.1259,    0.1,       0.07943,   0.06310,   0.05012,
+    0.03981,   0.03162,   0.02512,   0.01995,   0.01585,   0.01259,   0.01,
+    0.007943,  0.006310,  0.005012,  0.003981,  0.003162,  0.002512,  0.001995,
+    0.001585,  0.001259,  0.001,     0.0007943, 0.0006310, 0.0005012, 0.0003981,
+    0.0003162, 0.0002512, 0.0001995, 0.0001585, 0.0001259, 0.0001,    7.943e-05,
+    6.310e-05, 5.012e-05, 3.981e-05, 3.162e-05, 2.512e-05, 1.995e-05, 1.585e-05,
+    1.259e-05, 1e-05,     7.943e-06, 6.310e-06, 5.012e-06, 3.981e-06, 3.162e-06,
+    2.512e-06, 1.995e-06, 1.585e-06, 1.259e-06, 1e-06,     7.943e-07, 6.310e-07,
+    5.012e-07, 3.981e-07, 3.1622e-07, 2.512e-07, 1.995e-07, 1.585e-07, 1.259e-07,
+    1e-07,     7.943e-08, 6.310e-08, 5.012e-08, 3.981e-08, 3.1622e-08, 2.512e-08,
+    1.995e-08, 1.585e-08, 1.259e-08, 1e-08,
+};
+const int Q2P_SIZE = sizeof(Q2PERROR) / sizeof(*Q2PERROR);
+
+// base -> code LUT: ACGT=0..3, N/IUPAC=4, invalid=255
+// (mirrors PackedRead's switch, src/packed_reads.cpp:99-123)
+struct CodeLut {
+  uint8_t t[256];
+  CodeLut() {
+    memset(t, 255, sizeof(t));
+    const char* bases = "ACGT";
+    for (int i = 0; i < 4; i++) {
+      t[(uint8_t)bases[i]] = i;
+      t[(uint8_t)(bases[i] + 32)] = i;
+    }
+    const char* iupac = "NURYKMSWBDHV";
+    for (const char* p = iupac; *p; p++) {
+      t[(uint8_t)*p] = 4;
+      t[(uint8_t)(*p + 32)] = 4;
+    }
+  }
+};
+const CodeLut CODE_LUT;
+
+}  // namespace
+
+extern "C" {
+
+// 64-bit-chunked byte mismatch counter with early exit — the
+// fast_count_mismatches equivalent (src/merge_reads.cpp:195-248).
+int32_t knat_count_mismatches(const char* a, const char* b, int32_t len, int32_t maxm) {
+  int32_t mism = 0;
+  int32_t i = 0;
+  for (; i + 8 <= len; i += 8) {
+    uint64_t x, y;
+    memcpy(&x, a + i, 8);
+    memcpy(&y, b + i, 8);
+    if (x != y) {
+      for (int j = 0; j < 8; j++) mism += (a[i + j] != b[i + j]);
+      if (mism > maxm) return mism;
+    }
+  }
+  for (; i < len; i++) mism += (a[i] != b[i]);
+  return mism;
+}
+
+// Batch read encoding: concatenated sequence/quality bytes with per-read
+// offsets -> [n_reads, max_len] code + bad-quality planes.
+// Returns the index of the first read containing an illegal character, or -1.
+int32_t knat_encode_reads(const uint8_t* seq_bytes, const uint8_t* qual_bytes,
+                          const int64_t* offsets, int32_t n_reads, int32_t max_len,
+                          int32_t qual_thresh, uint8_t* codes, uint8_t* badq,
+                          int32_t* lengths) {
+  for (int32_t r = 0; r < n_reads; r++) {
+    int64_t lo = offsets[r], hi = offsets[r + 1];
+    int32_t len = (int32_t)std::min<int64_t>(hi - lo, max_len);
+    lengths[r] = len;
+    uint8_t* crow = codes + (int64_t)r * max_len;
+    uint8_t* brow = badq + (int64_t)r * max_len;
+    for (int32_t i = 0; i < len; i++) {
+      uint8_t c = CODE_LUT.t[seq_bytes[lo + i]];
+      if (c == 255) return r;
+      crow[i] = c;
+      brow[i] = qual_bytes[lo + i] < (uint8_t)qual_thresh;
+    }
+    for (int32_t i = len; i < max_len; i++) {
+      crow[i] = 4;
+      brow[i] = 0;
+    }
+  }
+  return -1;
+}
+
+// Overlap merge scan for N-free pairs — semantics of the reference loop at
+// src/merge_reads.cpp:477-585 restricted to sequences without N (the Python
+// side falls back to its exact scalar path when N is present).
+// Returns best_i >= 0 on an unambiguous accepted overlap, -1 for none,
+// -2 for ambiguous (caller increments its ambiguity counter).
+int32_t knat_merge_scan(const char* seq1, const uint8_t* q1, int32_t len1,
+                        const char* rc2, const uint8_t* rq2, int32_t len2,
+                        int32_t qual_offset) {
+  const int32_t MIN_OVERLAP = 12, EXTRA_TEST_OVERLAP = 2, MAX_MISMATCHES = 3;
+  const int32_t EXTRA_MM_PER_1000 = 150;
+  const double MAX_PERROR = 0.025;
+  int32_t len = std::min(len1, len2);
+  int32_t start_i = (len == len1) ? 0 : len1 - len;
+  const char* a0 = seq1 + start_i;
+  const uint8_t* qa0 = q1 + start_i;
+
+  int32_t best_i = -1, found_i = -1;
+  for (int32_t i = 0; i < len - MIN_OVERLAP + EXTRA_TEST_OVERLAP; i++) {
+    int32_t overlap = len - i;
+    int32_t this_max_mm = MAX_MISMATCHES + (EXTRA_MM_PER_1000 * overlap) / 1000;
+    int32_t error_max_mm = this_max_mm * 4 / 3 + 1;
+    int32_t mism = knat_count_mismatches(a0 + i, rc2, overlap, error_max_mm);
+    if (mism > error_max_mm) continue;
+    int32_t matches = overlap - mism;
+    double perror = 0.0;
+    for (int32_t j = 0; j < overlap; j++) {
+      if (a0[i + j] != rc2[j]) {
+        int32_t d = (int32_t)qa0[i + j] - (int32_t)rq2[j];
+        if (d < 0) d = -d;
+        perror += (d <= 2) ? 0.5 : Q2PERROR[d < Q2P_SIZE ? d : Q2P_SIZE - 1];
+      }
+    }
+    int32_t match_thres = overlap - this_max_mm;
+    if (match_thres < MIN_OVERLAP) match_thres = MIN_OVERLAP;
+    if (matches >= match_thres && mism <= this_max_mm && perror / overlap <= MAX_PERROR) {
+      if (best_i < 0 && found_i < 0) {
+        best_i = i;
+      } else {
+        return -2;  // ambiguous
+      }
+    } else if (mism <= error_max_mm && perror / overlap <= MAX_PERROR * 4 / 3) {
+      found_i = i;
+      if (best_i >= 0) return -2;
+    }
+  }
+  return best_i;
+}
+
+}  // extern "C"

@@ -1,0 +1,121 @@
+"""Singleton filter (--use-qf analogue): finalized-output equivalence.
+
+Singletons live only in the filter and are purged at finalize anyway, so
+QF-mode runs must produce the same finalized table as plain mode on data
+without pathological filter-hole interactions (the reference documents its
+TCF as having 'a negligible amount of variation', README_v2.md:91 — exact
+parity testing keeps --use-qf off, SURVEY §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mhm2_kmer_analysis_v2_tpu.io.packed_reads import encode_batch
+from mhm2_kmer_analysis_v2_tpu.ops import kmer_ops
+from mhm2_kmer_analysis_v2_tpu.table import shard_table, singleton_filter as sf
+
+from util import genome_reads, oracle_count, random_reads
+
+
+def _flat(reads, k):
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    recs = kmer_ops.kmer_records(
+        jnp.asarray(b.codes), jnp.asarray(b.badq), jnp.asarray(b.lengths),
+        k=k, n_shards=1,
+    )
+    return {kk: v.reshape(-1) for kk, v in recs.items()}
+
+
+def _fin_dict(table, k):
+    fin = shard_table.finalize(table)
+    vals, counts, left, right = shard_table.compact_to_host(fin)
+    strs = shard_table.vals_to_strings(vals, k)
+    return {s: (int(c), l, r) for s, c, l, r in zip(strs, counts, left, right)}
+
+
+def test_qf_equivalent_finalized_output():
+    k = 21
+    reads = genome_reads(100, 70, genome_len=400, seed=31, err=0.01)
+    reads += random_reads(20, k + 2, 70, seed=32)  # singleton noise
+
+    plain = shard_table.create(1 << 14)
+    qf = shard_table.create(1 << 14)
+    filt = sf.create_filter(1 << 12)
+    for chunk in (reads[:40], reads[40:80], reads[80:]):
+        flat = _flat(chunk, k)
+        one = jnp.ones_like(flat["left"])
+        plain = shard_table.insert_batch(
+            plain, flat["canon_hi"], flat["canon_lo"], flat["left"],
+            flat["right"], one, flat["valid"],
+        )
+        qf, filt = sf.insert_batch_qf(
+            qf, filt, flat["canon_hi"], flat["canon_lo"], flat["left"],
+            flat["right"], one, flat["valid"],
+        )
+    exp = _fin_dict(plain, k)
+    got = _fin_dict(qf, k)
+    assert got == exp
+    # oracle agreement too
+    assert exp == oracle_count(reads, k).finalize()
+
+
+def test_qf_keeps_singletons_out_of_main_table():
+    k = 21
+    # all-singleton batch: nothing should land in the main table
+    reads = random_reads(30, k + 2, 60, seed=33)
+    flat = _flat(reads, k)
+    table = shard_table.create(1 << 14)
+    filt = sf.create_filter(1 << 13)
+    one = jnp.ones_like(flat["left"])
+    table, filt = sf.insert_batch_qf(
+        table, filt, flat["canon_hi"], flat["canon_lo"], flat["left"],
+        flat["right"], one, flat["valid"],
+    )
+    n_main = shard_table.num_elems(table)
+    occ = sf.filter_occupancy(filt)
+    # random 60bp reads over 4^21 space: essentially all kmers unique
+    assert occ > 0
+    assert n_main < occ / 4  # main stays (nearly) empty vs filter
+    # memory claim: filter bytes/slot is ~4.5x smaller than the main table's
+    per_slot_main = (
+        table.keys_hi.nbytes + table.keys_lo.nbytes + table.counts.nbytes
+        + table.extc.nbytes + table.claim.nbytes
+    ) / table.capacity
+    per_slot_filter = sf.filter_memory_bytes(filt) / filt.capacity
+    assert per_slot_filter * 3 < per_slot_main
+
+
+def test_qf_promotion_across_batches():
+    k = 21
+    seq = "C" + "ACGTACGTACGTACGTACGTA" + "G"
+    reads = [(seq, "K" * len(seq))]
+    table = shard_table.create(256)
+    filt = sf.create_filter(256)
+    for _ in range(3):
+        flat = _flat(reads, k)
+        one = jnp.ones_like(flat["left"])
+        table, filt = sf.insert_batch_qf(
+            table, filt, flat["canon_hi"], flat["canon_lo"], flat["left"],
+            flat["right"], one, flat["valid"],
+        )
+    got = _fin_dict(table, k)
+    assert len(got) == 1
+    (cnt, l, r) = next(iter(got.values()))
+    assert cnt == 3  # 1 replayed from the filter + 2 direct
+
+
+def test_qf_pipeline_end_to_end(tmp_path):
+    from mhm2_kmer_analysis_v2_tpu.config import Options
+    from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import run_pipeline
+
+    k = 21
+    reads = genome_reads(100, 70, genome_len=400, seed=41, err=0.01)
+    fq = tmp_path / "s.fastq"
+    with open(fq, "w") as f:
+        for i, (s, q) in enumerate(reads):
+            f.write(f"@r{i}\n{s}\n+\n{q}\n")
+    base = dict(unpaired_fnames=[str(fq) + ":"], kmer_lens=[k],
+                batch_reads=64, adapter_trim=False)
+    r_plain = run_pipeline(Options(output_dir=str(tmp_path / "o1"), **base))
+    r_qf = run_pipeline(Options(output_dir=str(tmp_path / "o2"), use_qf=True, **base))
+    assert r_qf[0].unique_kmers == r_plain[0].unique_kmers
+    assert r_qf[0].total_kmer_count_sum == r_plain[0].total_kmer_count_sum
