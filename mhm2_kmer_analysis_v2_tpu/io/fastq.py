@@ -175,14 +175,40 @@ def read_fastq(fname: str, subsample_pct: int = 100) -> list[FastqRecord]:
     return out
 
 
-def read_fastq_block(fname: str, rank: int, n_ranks: int) -> list[FastqRecord]:
+def read_fastq_block(fname: str, rank: int, n_ranks: int, pair_aware: bool = False) -> list[FastqRecord]:
     """Per-rank even byte-range split with boundary repair
-    (continue_open_default_per_rank_boundaries, src/fastq.cpp:810-892)."""
+    (continue_open_default_per_rank_boundaries, src/fastq.cpp:810-892).
+
+    With pair_aware (interleaved paired files), blocks are additionally
+    aligned to PAIR boundaries: a block whose first record is a '/2' mate
+    skips it (the previous block consumed that pair — the reference resolves
+    this with the paired-read disambiguation in get_fptr_for_next_record,
+    src/fastq.cpp:284-512, and RPC hand-off of boundaries)."""
     size = os.path.getsize(fname)
     start = size * rank // n_ranks
     end = size * (rank + 1) // n_ranks
     rdr = FastqReader(fname, start=start, end=end)
-    out = list(rdr)
+    out = []
+    first = True
+    for rec in rdr:
+        if first and pair_aware and start > 0 and rec.name.endswith("/2"):
+            first = False
+            continue  # belongs to the previous block's pair
+        first = False
+        out.append(rec)
+    # pair-aware blocks read one extra record when their last record starts a
+    # pair whose mate lies beyond `end`
+    if pair_aware and out and out[-1].name.endswith("/1") and end < size:
+        pos = rdr.f.tell()
+        peek = FastqReader(fname)  # start=0: no boundary seek
+        peek.f.seek(pos)
+        try:
+            mate = next(peek)
+        except StopIteration:
+            mate = None
+        peek.close()
+        if mate is not None and mate.name[:-1] == out[-1].name[:-1]:
+            out.append(mate)
     rdr.close()
     return out
 

@@ -97,3 +97,29 @@ def test_subsample(tmp_path):
     assert len(got) == 10  # deterministic modulo selection
     got2 = fastq.read_fastq(str(p), subsample_pct=10)
     assert [r.seq for r in got] == [r.seq for r in got2]
+
+
+def test_pair_aware_blocks_cover_pairs_exactly_once(tmp_path):
+    """Pair-aware byte-range partition: each pair lands in exactly one block
+    (the reference's pair-boundary discovery + RPC hand-off equivalent)."""
+    rng = __import__("numpy").random.default_rng(9)
+    pairs = []
+    for i in range(120):
+        l1 = int(rng.integers(40, 120))
+        l2 = int(rng.integers(40, 120))
+        s1 = "".join(rng.choice(list("ACGT"), l1))
+        s2 = "".join(rng.choice(list("ACGT"), l2))
+        pairs.append((s1, s2))
+    p = tmp_path / "il.fastq"
+    with open(p, "w") as f:
+        for i, (s1, s2) in enumerate(pairs):
+            f.write(f"@p{i}/1\n{s1}\n+\n{'K'*len(s1)}\n@p{i}/2\n{s2}\n+\n{'K'*len(s2)}\n")
+    for n_ranks in (2, 3, 5):
+        names = []
+        for rank in range(n_ranks):
+            recs = fastq.read_fastq_block(str(p), rank, n_ranks, pair_aware=True)
+            # every block starts with a /1 and has an even pair structure
+            if recs:
+                assert recs[0].name.endswith("/1")
+            names += [r.name for r in recs]
+        assert names == [f"p{i}/{j}" for i in range(120) for j in (1, 2)], n_ranks
