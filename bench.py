@@ -17,8 +17,9 @@ import time
 import numpy as np
 
 
-def make_reads(rng, n_reads, read_len, genome_len):
-    genome = rng.integers(0, 4, genome_len, dtype=np.uint8)
+def make_reads(rng, genome, n_reads, read_len):
+    """Coverage-style reads over one genome (realistic table load factor)."""
+    genome_len = len(genome)
     starts = rng.integers(0, genome_len - read_len + 1, n_reads)
     idx = starts[:, None] + np.arange(read_len)[None, :]
     codes = genome[idx]
@@ -46,11 +47,11 @@ def main():
     # ~10M-element table (well under one v5e chip's HBM)
     table = shard_table.create(10_000_000)
 
-    @jax.jit
-    def step(table, codes, badq, lengths):
+    def one(table, batch):
+        codes, badq, lengths = batch
         recs = kmer_records(codes, badq, lengths, k=k, n_shards=1)
         flat = {kk: v.reshape(-1) for kk, v in recs.items()}
-        return shard_table.insert_batch(
+        table = shard_table.insert_batch(
             table,
             flat["canon_hi"],
             flat["canon_lo"],
@@ -59,19 +60,27 @@ def main():
             jnp.ones_like(flat["left"]),
             flat["valid"],
         )
+        return table, 0
 
-    dev_batches = [
-        tuple(jnp.asarray(a) for a in make_reads(rng, batch_reads, read_len, 2_000_000))
-        for _ in range(n_batches)
-    ]
+    @jax.jit
+    def run_all(table, codes, badq, lengths):
+        table, _ = jax.lax.scan(one, table, (codes, badq, lengths))
+        return table
+
+    # coverage-style reads from one synthetic metagenome (~2M unique k-mers,
+    # ~25% table load — the operating point the sizing heuristics target)
+    genome = rng.integers(0, 4, 2_000_000, dtype=np.uint8)
+    batches = [make_reads(rng, genome, batch_reads, read_len) for _ in range(n_batches)]
+    codes = jnp.asarray(np.stack([b[0] for b in batches]))
+    badq = jnp.asarray(np.stack([b[1] for b in batches]))
+    lengths = jnp.asarray(np.stack([b[2] for b in batches]))
 
     # warmup / compile (also absorbs the one-time device-grant claim)
-    table = step(table, *dev_batches[0])
+    table = run_all(table, codes, badq, lengths)
     np.asarray(table.num_dropped)
 
     t0 = time.perf_counter()
-    for c, b, l in dev_batches:
-        table = step(table, c, b, l)
+    table = run_all(table, codes, badq, lengths)
     np.asarray(table.num_dropped)  # force full sync
     elapsed = time.perf_counter() - t0
 

@@ -49,6 +49,38 @@ class ReadBatch:
     def max_len(self) -> int:
         return self.codes.shape[1]
 
+    def pack(self):
+        """Wire form for host->device transfer: 2-bit base plane (N folded to
+        G) + N bitmask + bad-quality bitmask = 0.5 B/base instead of 2 B/base
+        (the transfer analogue of the reference's nibble-packed Supermer wire
+        format, src/kcount/kmer_dht.cpp:69-100)."""
+        B, L = self.codes.shape
+        L4 = -(-L // 4) * 4
+        codes_g = np.where(self.codes >= 4, 2, self.codes).astype(np.uint8)
+        pad = np.zeros((B, L4 - L), np.uint8)
+        c = np.concatenate([codes_g, pad], axis=1).reshape(B, L4 // 4, 4)
+        shifts = np.array([6, 4, 2, 0], np.uint8)
+        code2 = (c << shifts[None, None, :]).sum(axis=2, dtype=np.uint8)
+        nmask = np.packbits(self.codes >= 4, axis=1)
+        badq = np.packbits(self.badq, axis=1)
+        return PackedBatch(code2=code2, nmask=nmask, badq=badq,
+                           lengths=self.lengths, max_len=L)
+
+
+@dataclass
+class PackedBatch:
+    """Bit-packed wire form of a ReadBatch (see ReadBatch.pack)."""
+
+    code2: np.ndarray  # [B, ceil(L/4)] uint8, 4 bases/byte
+    nmask: np.ndarray  # [B, ceil(L/8)] uint8 bitmask of N positions
+    badq: np.ndarray  # [B, ceil(L/8)] uint8 bitmask
+    lengths: np.ndarray  # [B] int32
+    max_len: int
+
+    @property
+    def nbytes(self) -> int:
+        return self.code2.nbytes + self.nmask.nbytes + self.badq.nbytes + self.lengths.nbytes
+
 
 @dataclass
 class PackedReads:

@@ -22,6 +22,7 @@ dropped.  With one shard the bucketing and exchange are bypassed entirely.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -212,6 +213,54 @@ def make_finalize(mesh: Mesh, dmin_thres: int = 2):
         return mapped(state, lut)
 
     return finalize_fn
+
+
+def unpack_batch(code2, nmask, badq_bits, max_len: int):
+    """Device-side unpack of PackedBatch planes to (codes [B,L], badq [B,L]).
+
+    codes: 0-3 ACGT with N restored to 4; elementwise shifts only (cheap VPU
+    work traded for 4x fewer h2d bytes)."""
+    B = code2.shape[0]
+    c = code2.astype(jnp.uint8)
+    # [B, L4//4] -> [B, L4] via per-position shift
+    l4 = c.shape[1] * 4
+    rep = jnp.repeat(c, 4, axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, l4), 1) % 4
+    codes = (rep >> ((3 - pos).astype(jnp.uint8) * 2)) & 3
+    codes = codes[:, :max_len].astype(jnp.int32)
+
+    def unbits(bits):
+        rep8 = jnp.repeat(bits.astype(jnp.uint8), 8, axis=1)
+        p8 = jax.lax.broadcasted_iota(jnp.int32, rep8.shape, 1) % 8
+        return ((rep8 >> (7 - p8).astype(jnp.uint8)) & 1)[:, :max_len].astype(bool)
+
+    is_n = unbits(nmask)
+    badq = unbits(badq_bits)
+    codes = jnp.where(is_n, 4, codes)
+    return codes, badq
+
+
+def make_packed_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None, max_len: int):
+    """Count step taking bit-packed input planes (see ReadBatch.pack)."""
+    inner = make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m)
+    n_shards = mesh.shape["sh"]
+
+    def per_device_unpack(code2, nmask, badq_bits):
+        return unpack_batch(code2, nmask, badq_bits, max_len)
+
+    unpack = jax.shard_map(
+        per_device_unpack,
+        mesh=mesh,
+        in_specs=(P("sh", None), P("sh", None), P("sh", None)),
+        out_specs=(P("sh", None), P("sh", None)),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, code2, nmask, badq_bits, lengths):
+        codes, badq = unpack(code2, nmask, badq_bits)
+        return inner(state, codes, badq, lengths)
+
+    return step
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:

@@ -103,12 +103,17 @@ def analyze_kmers(
     mean = positions_per_device // max(n_shards, 1) + 1
     exchange_cap = min(positions_per_device, 4 * mean + 4096) if n_shards > 1 else 1
 
+    packed_input = False
     if multiword:
         step = cs.make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m)
     elif use_qf:
         step = cs.make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m)
     else:
-        step = cs.make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m)
+        # bit-packed h2d: 0.5 B/base on the wire, unpacked on device
+        step = cs.make_packed_count_step(
+            mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len
+        )
+        packed_input = True
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))
 
     from ..utils.comm_stats import comm_stats
@@ -119,12 +124,25 @@ def analyze_kmers(
     a2a_bytes = 3 * n_shards * n_shards * exchange_cap * 4 if n_shards > 1 else 0
     for rb in pr.batches(batch, max_len=max_len):
         num_reads += int((rb.lengths > 0).sum())
-        codes = jax.device_put(rb.codes, sharding)
-        badq = jax.device_put(rb.badq, sharding)
-        lengths = jax.device_put(rb.lengths, sharding)
-        comm_stats.add_h2d(rb.codes.nbytes + rb.badq.nbytes + rb.lengths.nbytes)
         comm_stats.add_collective(a2a_bytes, 3 if n_shards > 1 else 0)
-        state = step(state, codes, badq, lengths)
+        if packed_input:
+            pb = rb.pack()
+            comm_stats.add_h2d(pb.nbytes)
+            state = step(
+                state,
+                jax.device_put(pb.code2, sharding),
+                jax.device_put(pb.nmask, sharding),
+                jax.device_put(pb.badq, sharding),
+                jax.device_put(pb.lengths, sharding),
+            )
+        else:
+            comm_stats.add_h2d(rb.codes.nbytes + rb.badq.nbytes + rb.lengths.nbytes)
+            state = step(
+                state,
+                jax.device_put(rb.codes, sharding),
+                jax.device_put(rb.badq, sharding),
+                jax.device_put(rb.lengths, sharding),
+            )
     # flush_updates + finish_updates
     if use_qf:
         n_singleton = int(np.sum(np.asarray(state.f_stored)))

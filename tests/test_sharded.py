@@ -100,3 +100,34 @@ def test_overflow_detection():
         jax.device_put(b.lengths, sharding),
     )
     assert int(np.sum(np.asarray(state.overflow))) > 0
+
+
+def test_packed_step_equals_unpacked():
+    """Bit-packed h2d input path produces identical tables."""
+    from mhm2_kmer_analysis_v2_tpu.io.packed_reads import encode_batch
+
+    k = 21
+    reads = genome_reads(64, 60, genome_len=300, seed=77, err=0.02)
+    # add some N and low-quality content
+    reads = [(s[:10] + "N" + s[11:], q) for s, q in reads]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sh",))
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    sharding = NamedSharding(mesh, P("sh"))
+
+    s1 = cs.create_sharded(4, 1 << 13, mesh=mesh)
+    step1 = cs.make_count_step(mesh, k=k, exchange_cap=b.codes.size)
+    s1 = step1(s1, jax.device_put(b.codes, sharding),
+               jax.device_put(b.badq, sharding), jax.device_put(b.lengths, sharding))
+
+    s2 = cs.create_sharded(4, 1 << 13, mesh=mesh)
+    step2 = cs.make_packed_count_step(
+        mesh, k=k, exchange_cap=b.codes.size, max_len=b.max_len)
+    pb = b.pack()
+    s2 = step2(s2, jax.device_put(pb.code2, sharding),
+               jax.device_put(pb.nmask, sharding),
+               jax.device_put(pb.badq, sharding),
+               jax.device_put(pb.lengths, sharding))
+
+    fin1 = cs.make_finalize(mesh)(s1)
+    fin2 = cs.make_finalize(mesh)(s2)
+    assert _merged(fin1, k, 4) == _merged(fin2, k, 4)
