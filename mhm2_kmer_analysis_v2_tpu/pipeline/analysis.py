@@ -161,6 +161,15 @@ def analyze_kmers(
     unique = int(np.sum(np.asarray(fin.num_kept)))
     total_sum = int(np.sum(np.asarray(fin.sum_counts)))
     avg_count = total_sum / unique if unique else 0.0
+    # shard load balance (the supermer-insert balance report,
+    # src/kcount/kcount.cpp:97-100)
+    per_shard_kept = np.asarray(fin.num_kept)
+    if n_shards > 1 and per_shard_kept.max() > 0:
+        slog_verbose(
+            "Avg kmers per shard ", int(per_shard_kept.mean()), " max ",
+            int(per_shard_kept.max()), " load balance ",
+            f"{per_shard_kept.mean() / per_shard_kept.max():.3f}",
+        )
     if num_dropped:
         slog("WARNING: ", num_dropped, " kmers dropped (probe cap/table full)")
     if num_overflow:

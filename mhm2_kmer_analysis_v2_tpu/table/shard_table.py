@@ -158,9 +158,10 @@ def _probe_round(tbl, recs):
 
 
 # full-width sweeps before compacting the (rare) leftover lanes; at sane load
-# factors >95% of lanes commit in the first sweep (duplicates ride along with
-# their winner in the same sweep)
-_FULL_ROUNDS = 2
+# factors >90% of lanes commit in the first sweep (duplicates ride along with
+# their winner in the same sweep).  Lanes that overflow the compaction buffer
+# fall back to full-width sweeps, so one sweep + compaction is lossless.
+_FULL_ROUNDS = 1
 _COMPACT_FRACTION = 8
 
 
@@ -199,7 +200,6 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid) -> ShardTab
     S = max(R // _COMPACT_FRACTION, 256)
     idx = jnp.nonzero(active, size=S, fill_value=0)[0]
     n_left = jnp.sum(active).astype(jnp.int32)
-    lost = jnp.maximum(n_left - S, 0)  # overflowed the compaction buffer
     s_rank = jnp.arange(S, dtype=jnp.int32)
     s_active = s_rank < jnp.minimum(n_left, S)
     s = {
@@ -222,7 +222,28 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid) -> ShardTab
         return tbl, active, slot_s, it + 1
 
     tbl, s_left, _, _ = jax.lax.while_loop(cond, body, (tbl, s_active, s["slot"], zero_v))
-    dropped = (jnp.sum(s_left).astype(jnp.int32) + lost)  # probe cap / overflow
+
+    # lanes that overflowed the compaction buffer continue at full width — a
+    # no-op while_loop (one predicate check) in the common case of no overflow
+    sel_mask = jnp.zeros((R,), bool).at[jnp.where(s_active, idx, R)].set(
+        True, mode="drop"
+    )
+    fb_active = active & ~sel_mask
+
+    def fb_cond(state):
+        _, active, _, it = state
+        return jnp.any(active) & (it < MAX_PROBE - _FULL_ROUNDS)
+
+    def fb_body(state):
+        tbl, active, slot_f, it = state
+        tbl, active, slot_f = _probe_round(
+            tbl, (hi, lo, left, right, cnt, lane, active, slot_f)
+        )
+        return tbl, active, slot_f, it + 1
+
+    tbl, fb_left, _, _ = jax.lax.while_loop(fb_cond, fb_body, (tbl, fb_active, slot, zero_v))
+    # only probe-cap exhaustion remains (the reference's dropped-kmer case)
+    dropped = jnp.sum(s_left).astype(jnp.int32) + jnp.sum(fb_left).astype(jnp.int32)
     keys_hi, keys_lo, counts, extc, claim = tbl
     return ShardTable(
         keys_hi=keys_hi,

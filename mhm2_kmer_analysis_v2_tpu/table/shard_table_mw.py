@@ -110,7 +110,6 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid) -> MWSh
     S = max(R // st._COMPACT_FRACTION, 256)
     idx = jnp.nonzero(active, size=S, fill_value=0)[0]
     n_left = jnp.sum(active).astype(jnp.int32)
-    lost = jnp.maximum(n_left - S, 0)
     s_rank = jnp.arange(S, dtype=jnp.int32)
     s_active = s_rank < jnp.minimum(n_left, S)
     sw = words[:, idx]
@@ -129,7 +128,22 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid) -> MWSh
         return tbl, active, slot_s, it + 1
 
     tbl, s_left, _, _ = jax.lax.while_loop(cond, body, (tbl, s_active, ss, zero_v))
-    dropped = jnp.sum(s_left).astype(jnp.int32) + lost
+
+    # full-width fallback for compaction-buffer overflow (no-op when empty)
+    sel_mask = jnp.zeros((R,), bool).at[jnp.where(s_active, idx, R)].set(
+        True, mode="drop"
+    )
+    fb_active = active & ~sel_mask
+
+    def fb_body(state):
+        tbl, active, slot_f, it = state
+        tbl, active, slot_f = _probe_round_mw(
+            tbl, (words, left, right, cnt, lane, active, slot_f)
+        )
+        return tbl, active, slot_f, it + 1
+
+    tbl, fb_left, _, _ = jax.lax.while_loop(cond, fb_body, (tbl, fb_active, slot, zero_v))
+    dropped = jnp.sum(s_left).astype(jnp.int32) + jnp.sum(fb_left).astype(jnp.int32)
     keys, counts, extc, claim = tbl
     return MWShardTable(
         keys=keys,
