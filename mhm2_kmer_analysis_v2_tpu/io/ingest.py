@@ -137,7 +137,8 @@ def dump_merged(pr: PackedReads, lo: int, hi: int, path: str):
 
     with gzip.open(path, "wt") as f:
         for i in range(lo, hi):
-            f.write(f"@{pr.names[i]}\n{pr.seqs[i]}\n+\n{pr.quals[i]}\n")
+            name, seq, quals = pr.get_read(i)
+            f.write(f"@{name}\n{seq}\n+\n{quals}\n")
 
 
 def load_and_merge_reads(options) -> tuple:

@@ -2,22 +2,26 @@
 
 Re-design of PackedReads (src/packed_reads.{hpp,cpp}): the reference packs
 1 byte/base = 3-bit nucleotide + 5-bit capped quality into per-read heap
-blocks; on TPU the natural form is fixed-shape [B, Lmax] arrays:
+blocks from a linear allocator (ALLOCATION_BLOCK_SIZE 4 MB,
+src/packed_reads.hpp:136); here the store is columnar numpy — one growable
+code array (uint8 0-4), one quality array, and an offsets array — so memory
+is ~2 B/base with zero per-read Python object overhead, and batches slice
+out as fixed-shape [B, Lmax] planes:
 
   codes: uint8 base code 0-3=ACGT, 4=N (IUPAC -> N, packed_reads.cpp:99-126)
-  badq:  bool, quality < qual_offset + KCOUNT_QUAL_CUTOFF(=20) — this is the
-         explicit bit-plane replacing the reference's lowercase-letter marking
+  badq:  bool, quality < qual_offset + KCOUNT_QUAL_CUTOFF(=20) — the explicit
+         bit-plane replacing the reference's lowercase-letter marking
          (src/kcount/kcount.cpp:80-85)
   lengths: int32
 
-Qualities are capped at qual_offset+31 like the 5-bit packing
-(src/packed_reads.cpp:126); only the <20 threshold is ever consumed
-downstream, so the bit-plane is lossless for the pipeline.
+Only the <20 threshold is consumed downstream, so storing raw quality bytes
+is lossless for the pipeline (the reference caps at 5 bits the same way,
+src/packed_reads.cpp:126).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -31,6 +35,9 @@ for i, c in enumerate("ACGT"):
 for c in "NURYKMSWBDHV":
     _LUT[ord(c)] = 4
     _LUT[ord(c.lower())] = 4
+_BASES = np.array(list("ACGTN"))
+
+_CHUNK = 4 << 20  # growable-array chunk, the ALLOCATION_BLOCK_SIZE analogue
 
 
 @dataclass
@@ -82,56 +89,115 @@ class PackedBatch:
         return self.code2.nbytes + self.nmask.nbytes + self.badq.nbytes + self.lengths.nbytes
 
 
-@dataclass
-class PackedReads:
-    """Growable store of encoded reads, sliced into device batches."""
+class _ByteStore:
+    """Growable uint8 store (linear-allocator analogue)."""
 
-    qual_offset: int = 33
-    seqs: list = field(default_factory=list)
-    quals: list = field(default_factory=list)
-    names: list = field(default_factory=list)
-    bases: int = 0
-    max_read_len: int = 0
+    def __init__(self):
+        self.buf = np.empty(_CHUNK, np.uint8)
+        self.used = 0
+
+    def append(self, data: np.ndarray):
+        n = len(data)
+        while self.used + n > len(self.buf):
+            self.buf = np.concatenate([self.buf, np.empty(max(_CHUNK, n), np.uint8)])
+        self.buf[self.used : self.used + n] = data
+        self.used += n
+
+    def view(self) -> np.ndarray:
+        return self.buf[: self.used]
+
+
+class PackedReads:
+    """Columnar store of encoded reads, sliced into device batches."""
+
+    def __init__(self, qual_offset: int = 33):
+        self.qual_offset = qual_offset
+        self._codes = _ByteStore()
+        self._quals = _ByteStore()
+        self._offsets = [0]
+        self.names: list = []
+        self.bases = 0
+        self.max_read_len = 0
 
     def add_read(self, name: str, seq: str, quals: str):
         assert len(seq) == len(quals), (name, len(seq), len(quals))
+        sb = np.frombuffer(seq.encode(), np.uint8)
+        codes = _LUT[sb]
+        if (codes == 255).any():
+            bad = chr(sb[(codes == 255).argmax()])
+            raise ValueError(f"illegal base character {bad!r} in {name}")
+        self._codes.append(codes)
+        self._quals.append(np.frombuffer(quals.encode(), np.uint8))
+        self._offsets.append(self._offsets[-1] + len(seq))
         self.names.append(name)
-        self.seqs.append(seq)
-        self.quals.append(quals)
         self.bases += len(seq)
         self.max_read_len = max(self.max_read_len, len(seq))
 
     def __len__(self):
-        return len(self.seqs)
+        return len(self._offsets) - 1
+
+    def lengths(self) -> np.ndarray:
+        off = np.asarray(self._offsets, np.int64)
+        return (off[1:] - off[:-1]).astype(np.int32)
+
+    def get_read(self, i: int) -> tuple:
+        """(name, seq, quals) — the get_next_read analogue for dumps."""
+        lo, hi = self._offsets[i], self._offsets[i + 1]
+        seq = "".join(_BASES[self._codes.view()[lo:hi]])
+        quals = self._quals.view()[lo:hi].tobytes().decode()
+        return self.names[i], seq, quals
+
+    @property
+    def seqs(self):
+        """String views (test/debug convenience; O(total bases))."""
+        return [self.get_read(i)[1] for i in range(len(self))]
+
+    @property
+    def quals(self):
+        return [self.get_read(i)[2] for i in range(len(self))]
 
     def estimate_num_kmers(self, k: int, sample: int = 50000) -> int:
         """Sampled estimate like PackedReads::estimate_num_kmers
         (src/packed_reads.cpp:484-518)."""
-        n_kmers = n_reads = 0
-        for seq in self.seqs[:sample]:
-            if len(seq) < k:
-                continue
-            n_kmers += len(seq) - k + 1
-            n_reads += 1
-        if n_reads == 0:
+        lens = self.lengths()[:sample]
+        lens = lens[lens >= k]
+        if len(lens) == 0:
             return 0
-        return n_kmers * len(self.seqs) // max(n_reads, 1)
+        n_kmers = int((lens - k + 1).sum())
+        n_reads = len(lens)
+        return n_kmers * len(self) // max(n_reads, 1)
+
+    def slice_batch(self, lo: int, hi: int, max_len: int, pad_to: int | None = None) -> ReadBatch:
+        """Vectorized [lo:hi) batch extraction from the columnar store."""
+        off = np.asarray(self._offsets[lo : hi + 1], np.int64)
+        lens = (off[1:] - off[:-1]).astype(np.int32)
+        B = hi - lo
+        rows = pad_to if pad_to is not None else B
+        codes = np.full((rows, max_len), 4, np.uint8)
+        badq = np.zeros((rows, max_len), bool)
+        lengths = np.zeros((rows,), np.int32)
+        lengths[:B] = np.minimum(lens, max_len)
+        cview = self._codes.view()
+        qview = self._quals.view()
+        # gather: position j of row r = cview[off[r] + j] for j < len
+        idx = off[:-1, None] + np.arange(max_len)[None, :]
+        mask = np.arange(max_len)[None, :] < lengths[:B, None]
+        idx = np.minimum(idx, len(cview) - 1)
+        codes[:B] = np.where(mask, cview[idx], 4)
+        thresh = self.qual_offset + KCOUNT_QUAL_CUTOFF
+        badq[:B] = mask & (qview[idx] < thresh)
+        return ReadBatch(codes=codes, badq=badq, lengths=lengths)
 
     def batches(self, batch_size: int, max_len: int | None = None, pad_batch: bool = True):
         """Yield ReadBatch chunks; short final batch zero-padded when
         pad_batch so every device step sees one static shape."""
         if max_len is None:
             max_len = max(self.max_read_len, 1)
-        n = len(self.seqs)
+        n = len(self)
         for lo in range(0, max(n, 1), batch_size):
-            chunk_seqs = self.seqs[lo : lo + batch_size]
-            chunk_quals = self.quals[lo : lo + batch_size]
-            yield encode_batch(
-                chunk_seqs,
-                chunk_quals,
-                self.qual_offset,
-                max_len=max_len,
-                pad_to=batch_size if pad_batch else None,
+            hi = min(lo + batch_size, n)
+            yield self.slice_batch(
+                lo, hi, max_len, pad_to=batch_size if pad_batch else None
             )
 
 
@@ -156,8 +222,6 @@ def encode_batch(
         return ReadBatch(codes=codes, badq=badq, lengths=lengths)
     B = len(seqs)
     rows = pad_to if pad_to is not None else B
-    if max_len is None:
-        max_len = max((len(s) for s in seqs), default=1)
     codes = np.full((rows, max_len), 4, np.uint8)
     badq = np.zeros((rows, max_len), bool)
     lengths = np.zeros((rows,), np.int32)
