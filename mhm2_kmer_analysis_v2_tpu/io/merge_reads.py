@@ -52,6 +52,11 @@ _COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
 
 
 def revcomp(seq: str) -> str:
+    from .native import revcomp_native
+
+    rc = revcomp_native(seq)
+    if rc is not None:
+        return rc
     return "".join(_COMP.get(c, "N") for c in reversed(seq))
 
 
@@ -75,24 +80,26 @@ def merge_pair(seq1: str, quals1: str, seq2: str, quals2: str, qual_offset: int 
     if stats is None:
         stats = MergeStats()
     stats.num_pairs += 1
+
+    # whole pair in one native call (revcomp + validate + scan + finish)
+    from .native import merge_pair_native
+
+    nat = merge_pair_native(seq1, quals1, seq2, quals2, qual_offset)
+    if nat is not None:
+        status, mseq, mquals = nat
+        if status == -2:
+            stats.num_ambiguous += 1
+            return False, None, None
+        if status == 0:
+            return False, None, None
+        stats.num_merged += 1
+        stats.merged_len += len(mseq)
+        stats.overlap_len += len(seq1) + len(seq2) - len(mseq)
+        return True, mseq, mquals
+
     rc_seq2 = revcomp(seq2)
     rev_quals2 = quals2[::-1]
-
     if "N" not in seq1 and "N" not in rc_seq2:
-        from .native import merge_scan_native
-
-        best_i = merge_scan_native(seq1, quals1, rc_seq2, rev_quals2, qual_offset)
-        if best_i is not None:  # native library available
-            if best_i == -2:
-                stats.num_ambiguous += 1
-                return False, None, None
-            if best_i < 0:
-                return False, None, None
-            len_ = min(len(rc_seq2), len(seq1))
-            start_i = 0 if len_ == len(seq1) else len(seq1) - len_
-            return _finish_merge(
-                seq1, quals1, rc_seq2, rev_quals2, qual_offset, best_i, start_i, stats
-            )
         return _merge_fast(seq1, quals1, rc_seq2, rev_quals2, qual_offset, stats)
     return _merge_scalar(seq1, quals1, rc_seq2, rev_quals2, qual_offset, stats)
 

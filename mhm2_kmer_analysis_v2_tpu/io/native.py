@@ -61,8 +61,84 @@ def get_lib():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
         ctypes.c_int32,
     ]
+    lib.knat_merge_pair.restype = ctypes.c_int32
+    lib.knat_merge_pair.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.knat_revcomp.restype = ctypes.c_int32
+    lib.knat_revcomp.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+    ]
+    lib.knat_finish_merge.restype = ctypes.c_int32
+    lib.knat_finish_merge.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_char_p,
+    ]
     _lib = lib
     return _lib
+
+
+_MERGE_BUF_S = ctypes.create_string_buffer(1 << 17)
+_MERGE_BUF_Q = ctypes.create_string_buffer(1 << 17)
+
+
+def merge_pair_native(seq1: str, quals1: str, seq2: str, quals2: str, qual_offset: int):
+    """Whole-pair merge in one native call.
+
+    Returns (status, seq, quals): status 1 merged, 0 not merged, -2 ambiguous;
+    None when the library is unavailable or the pair needs the exact Python
+    N path; raises on invalid quality."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.knat_merge_pair(
+        seq1.encode(), quals1.encode(), len(seq1),
+        seq2.encode(), quals2.encode(), len(seq2),
+        qual_offset, _MERGE_BUF_S, _MERGE_BUF_Q,
+    )
+    if n == -4:
+        return None  # N present or oversized: exact scalar fallback
+    if n == -3:
+        raise ValueError("Invalid quality score (phred offset mismatch?)")
+    if n == -2:
+        return (-2, None, None)
+    if n == 0:
+        return (0, None, None)
+    return (1, _MERGE_BUF_S.raw[:n].decode(), _MERGE_BUF_Q.raw[:n].decode())
+
+
+def revcomp_native(seq: str):
+    """Native reverse complement; None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seq)
+    out = ctypes.create_string_buffer(n)
+    rc = lib.knat_revcomp(seq.encode(), n, out)
+    if rc != 0:
+        raise ValueError(f"illegal character in revcomp of {seq!r}")
+    return out.raw.decode()
+
+
+def finish_merge_native(seq1: str, quals1: str, rc2: str, rq2: str,
+                        best_i: int, start_i: int, qual_offset: int):
+    """Native merge finishing; returns (seq, quals) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(seq1) + len(rc2)
+    out_s = ctypes.create_string_buffer(cap)
+    out_q = ctypes.create_string_buffer(cap)
+    n = lib.knat_finish_merge(
+        seq1.encode(), quals1.encode(), len(seq1),
+        rc2.encode(), rq2.encode(), len(rc2),
+        best_i, start_i, qual_offset, out_s, out_q,
+    )
+    return out_s.raw[:n].decode(), out_q.raw[:n].decode()
 
 
 def _u8ptr(a: np.ndarray):

@@ -49,13 +49,6 @@ def load_reads(options: Options) -> PackedReads:
     return pr
 
 
-def estimate_table_elems(num_kmers: int, k: int, sequencing_depth: int) -> int:
-    """Reference sizing heuristics (src/kcount/kmer_dht.cpp:126-133): unique
-    estimate = raw/depth, error kmers = raw * (1-(1-err)^k)."""
-    adjusted = num_kmers // max(sequencing_depth, 1)
-    kmer_error_rate = 1.0 - (1.0 - BASE_ERROR_RATE) ** k
-    num_errors = int(num_kmers * kmer_error_rate)
-    return max(adjusted + num_errors, 1024)
 
 
 def analyze_kmers(

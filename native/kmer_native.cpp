@@ -151,4 +151,94 @@ int32_t knat_merge_scan(const char* seq1, const uint8_t* q1, int32_t len1,
   return best_i;
 }
 
+// Reverse complement with IUPAC->N (semantics of revcomp, src/utils.cpp:98-129).
+// Returns 0, or 1 if an illegal character was seen.
+int32_t knat_revcomp(const char* seq, int32_t len, char* out) {
+  static char comp[256];
+  static bool init = false;
+  if (!init) {
+    memset(comp, 0, sizeof(comp));
+    const char* from = "ACGTacgtNnURYKMSWBDHVurykmswbdhv";
+    const char* to = "TGCATGCANNNNNNNNNNNNNNNNNNNNNNNN";
+    for (int i = 0; from[i]; i++) comp[(uint8_t)from[i]] = to[i];
+    init = true;
+  }
+  for (int32_t i = 0; i < len; i++) {
+    char c = comp[(uint8_t)seq[len - 1 - i]];
+    if (!c) return 1;
+    out[i] = c;
+  }
+  return 0;
+}
+
+// Overlap-merge finishing: base picking + quality boost/discount
+// (src/merge_reads.cpp:587-648).  Writes the merged read into out_seq/out_quals
+// (caller-sized to start_i + len1... full merged length) and returns its length.
+int32_t knat_finish_merge(const char* seq1, const char* q1, int32_t len1,
+                          const char* rc2, const char* rq2, int32_t len2,
+                          int32_t best_i, int32_t start_i, int32_t qual_offset,
+                          char* out_seq, char* out_quals) {
+  int32_t len = len1 < len2 ? len1 : len2;
+  int32_t overlap = len - best_i;
+  int32_t max_match_qual = 41 + qual_offset;
+  memcpy(out_seq, seq1, len1);
+  memcpy(out_quals, q1, len1);
+  for (int32_t j = 0; j < overlap; j++) {
+    int32_t p = start_i + best_i + j;
+    if (out_seq[p] == rc2[j]) {
+      int32_t nq = (int32_t)(uint8_t)out_quals[p] + (uint8_t)rq2[j] - qual_offset;
+      out_quals[p] = (char)(nq > max_match_qual ? max_match_qual : nq);
+    } else {
+      int32_t nq;
+      if ((uint8_t)out_quals[p] < (uint8_t)rq2[j]) {
+        nq = (uint8_t)rq2[j] - (uint8_t)out_quals[p] + qual_offset;
+        out_seq[p] = rc2[j];
+      } else {
+        nq = (uint8_t)out_quals[p] - (uint8_t)rq2[j] + qual_offset;
+      }
+      out_quals[p] = (char)(nq > 2 + qual_offset ? nq : 2 + qual_offset);
+    }
+  }
+  int32_t head = start_i + best_i + overlap;  // == len1
+  int32_t tail = len2 - overlap;
+  memcpy(out_seq + head, rc2 + overlap, tail);
+  memcpy(out_quals + head, rq2 + overlap, tail);
+  return head + tail;
+}
+
+// Whole-pair merge in one call: revcomp mate 2, quality-validate, scan, and
+// finish.  Returns merged length > 0, 0 = no merge, -2 = ambiguous,
+// -3 = invalid quality (caller raises), -4 = N present (caller runs the exact
+// scalar path which mutates qualities mid-scan, merge_reads.cpp:516-530).
+int32_t knat_merge_pair(const char* seq1, const char* q1, int32_t len1,
+                        const char* seq2, const char* q2, int32_t len2,
+                        int32_t qual_offset, char* out_seq, char* out_quals) {
+  if (len1 > 65535 || len2 > 65535) return -4;
+  static thread_local char rc2_buf[65536], rq2_buf[65536];
+  for (int32_t i = 0; i < len1; i++)
+    if (seq1[i] == 'N' || seq1[i] == 'n') return -4;
+  for (int32_t i = 0; i < len2; i++)
+    if (seq2[i] == 'N' || seq2[i] == 'n') return -4;
+  if (knat_revcomp(seq2, len2, rc2_buf)) return -4;
+  for (int32_t i = 0; i < len2; i++) rq2_buf[i] = q2[len2 - 1 - i];
+  for (int32_t i = 0; i < len1; i++) {
+    int32_t qv = (uint8_t)q1[i] - qual_offset;
+    if (qv < 0 || qv >= Q2P_SIZE) return -3;
+  }
+  for (int32_t i = 0; i < len2; i++) {
+    int32_t qv = (uint8_t)rq2_buf[i] - qual_offset;
+    if (qv < 0 || qv >= Q2P_SIZE) return -3;
+  }
+  int32_t best_i = knat_merge_scan(seq1, (const uint8_t*)q1, len1, rc2_buf,
+                                   (const uint8_t*)rq2_buf, len2, qual_offset);
+  // knat_merge_scan takes qualities relative to 0; ours carry the offset —
+  // only DIFFERENCES are consumed there, so the offset cancels.
+  if (best_i == -2) return -2;
+  if (best_i < 0) return 0;
+  int32_t len = len1 < len2 ? len1 : len2;
+  int32_t start_i = (len == len1) ? 0 : len1 - len;
+  return knat_finish_merge(seq1, q1, len1, rc2_buf, rq2_buf, len2, best_i,
+                           start_i, qual_offset, out_seq, out_quals);
+}
+
 }  // extern "C"

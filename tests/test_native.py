@@ -102,3 +102,44 @@ def test_merge_scan_matches_python():
 def test_merge_scan_bad_quality_raises():
     with pytest.raises(ValueError):
         native.merge_scan_native("ACGT" * 10, chr(130) * 40, "ACGT" * 10, "K" * 40, 33)
+
+
+def test_revcomp_native():
+    from mhm2_kmer_analysis_v2_tpu.io.merge_reads import _COMP
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        s = "".join(rng.choice(list("ACGTN"), int(rng.integers(1, 200))))
+        exp = "".join(_COMP.get(c, "N") for c in reversed(s))
+        assert native.revcomp_native(s) == exp
+    # IUPAC -> N
+    assert native.revcomp_native("ARYG") == "CNNT"
+    with pytest.raises(ValueError):
+        native.revcomp_native("ACGX")
+
+
+def test_finish_merge_native_matches_python():
+    from mhm2_kmer_analysis_v2_tpu.io.merge_reads import MergeStats, _finish_merge, revcomp
+
+    rng = np.random.default_rng(6)
+    for trial in range(30):
+        g = "".join(rng.choice(list("ACGT"), 250))
+        l1 = int(rng.integers(40, 120))
+        l2 = int(rng.integers(40, 120))
+        seq1 = list(g[:l1])
+        # sprinkle mismatches in the overlap
+        for _ in range(3):
+            p = int(rng.integers(0, l1))
+            seq1[p] = "ACGT"[int(rng.integers(4))]
+        seq1 = "".join(seq1)
+        ov = int(rng.integers(12, min(l1, l2)))
+        start2 = max(0, l1 - ov)
+        rc2 = g[start2 : start2 + l2]
+        q1 = "".join(chr(33 + int(q)) for q in rng.integers(2, 41, l1))
+        rq2 = "".join(chr(33 + int(q)) for q in rng.integers(2, 41, l2))
+        len_ = min(l1, l2)
+        start_i = 0 if len_ == l1 else l1 - len_
+        best_i = int(rng.integers(0, len_ - 12))
+        exp = _finish_merge(seq1, q1, rc2, rq2, 33, best_i, start_i, MergeStats())
+        got = native.finish_merge_native(seq1, q1, rc2, rq2, best_i, start_i, 33)
+        assert got == (exp[1], exp[2]), trial
