@@ -198,13 +198,137 @@ def _rc_str(s: str) -> str:
     return "".join(_COMP_STR[c] for c in reversed(s))
 
 
+_COMP_CODE = np.zeros(256, np.uint8)
+for _a, _b in zip(b"ACGT", b"TGCA"):
+    _COMP_CODE[_a] = _b
+
+
+def build_utgs_mw(kmer_strs: list, counts, left_chars, right_chars, k: int) -> Utgs:
+    """Vectorized unitig construction for any k via byte-matrix k-mers.
+
+    Same pointer-doubling scheme as build_utgs but nodes are rows of a
+    [2N, k] uint8 base matrix (multi-word values exceed uint64); ordering and
+    successor lookup use lexicographic row sort + searchsorted, which for
+    byte matrices equals base-string order.
+    """
+    N = len(kmer_strs)
+    if N == 0:
+        return Utgs([], [])
+    counts = np.asarray(counts, np.int64)
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    left_code = np.array([code[c] for c in left_chars], np.int64)
+    right_code = np.array([code[c] for c in right_chars], np.int64)
+    mat = np.frombuffer("".join(kmer_strs).encode(), np.uint8).reshape(N, k)
+    rc_mat = _COMP_CODE[mat[:, ::-1]]
+
+    ids = np.arange(2 * N)
+    omat = np.empty((2 * N, k), np.uint8)
+    omat[0::2] = mat
+    omat[1::2] = rc_mat
+    o_left = np.empty(2 * N, np.int64)
+    o_right = np.empty(2 * N, np.int64)
+    o_left[0::2] = left_code
+    o_left[1::2] = 3 - right_code
+    o_right[0::2] = right_code
+    o_right[1::2] = 3 - left_code
+    BASE = np.frombuffer(b"ACGT", np.uint8)
+    first_base = omat[:, 0]
+    last_base = omat[:, -1]
+
+    nxt_mat = np.empty_like(omat)
+    nxt_mat[:, :-1] = omat[:, 1:]
+    nxt_mat[:, -1] = BASE[o_right]
+    nxt_rc = _COMP_CODE[nxt_mat[:, ::-1]]
+    flip = _rows_lt(nxt_rc, nxt_mat)
+    nxt_canon = np.where(flip[:, None], nxt_rc, nxt_mat)
+    # canonical sorted order of the table rows for searchsorted
+    # (mat is already sorted by k-mer string: callers pass sorted tables)
+    j = _rows_searchsorted(mat, nxt_canon)
+    j = np.clip(j, 0, N - 1)
+    exists = (mat[j] == nxt_canon).all(axis=1)
+    nxt_node = 2 * j + flip.astype(np.int64)
+    recip = exists & (BASE[o_left[nxt_node]] == first_base)
+    not_self = nxt_node != ids
+    not_mirror = nxt_node != (ids ^ 1)
+    NULL = 2 * N
+    succ = np.where(recip & not_self & not_mirror, nxt_node, NULL).astype(np.int64)
+
+    succ, cycle_head = _break_cycles(succ, NULL)
+    p = np.where(succ == NULL, ids, succ)
+    d = (succ != NULL).astype(np.int64)
+    steps = max(1, int(np.ceil(np.log2(max(2 * N, 2)))) + 1)
+    for _ in range(steps):
+        d = d + d[p]
+        p = p[p]
+    term = p
+
+    pred = np.full(2 * N, NULL, np.int64)
+    has_succ = succ != NULL
+    pred[succ[has_succ]] = ids[has_succ]
+    ph = np.where(pred == NULL, ids, pred)
+    pos = (pred != NULL).astype(np.int64)
+    for _ in range(steps):
+        pos = pos + pos[ph]
+        ph = ph[ph]
+    head_of = ph
+
+    heads = pred == NULL
+    mirror_term = term ^ 1
+    emit = heads & np.where(cycle_head, ids % 2 == 0, ids <= mirror_term)
+    if not emit.any():
+        return Utgs([], [])
+
+    emit_set = np.zeros(2 * N, bool)
+    emit_set[ids[emit]] = True
+    on_emitted = emit_set[head_of]
+    sel = np.nonzero(on_emitted)[0]
+    order = np.lexsort((pos[sel], head_of[sel]))
+    sel = sel[order]
+    sel_head = head_of[sel]
+    boundaries = np.nonzero(np.concatenate([[True], sel_head[1:] != sel_head[:-1]]))[0]
+
+    counts2 = np.empty(2 * N, np.int64)
+    counts2[0::2] = counts
+    counts2[1::2] = counts
+    sel_last = last_base[sel]
+    sel_count = counts2[sel]
+    seqs, depths = [], []
+    for bi, b in enumerate(boundaries):
+        e = boundaries[bi + 1] if bi + 1 < len(boundaries) else len(sel)
+        head_node = sel[b]
+        kmer_str = omat[head_node].tobytes().decode()
+        tail = sel_last[b + 1 : e].tobytes().decode()
+        seqs.append(kmer_str + tail)
+        depths.append(float(sel_count[b:e].mean()))
+    return Utgs(seqs, depths)
+
+
+def _rows_lt(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rowwise lexicographic a < b for equal-shape byte matrices."""
+    neq = a != b
+    first = neq.argmax(axis=1)
+    any_neq = neq.any(axis=1)
+    r = np.arange(len(a))
+    return any_neq & (a[r, first] < b[r, first])
+
+
+def _rows_searchsorted(sorted_mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """searchsorted over lexicographically sorted byte-matrix rows via void
+    views (rows compared as big-endian byte strings == base-string order)."""
+    kk = sorted_mat.shape[1]
+    dt = np.dtype((np.void, kk))
+    a = np.ascontiguousarray(sorted_mat).view(dt).ravel()
+    q = np.ascontiguousarray(queries).view(dt).ravel()
+    return np.searchsorted(a, q)
+
+
 def build_utgs_dict(kmer_strs: list, counts, left_chars, right_chars, k: int) -> Utgs:
     """Dict-based unitig construction for multi-word k (> 32).
 
     Same walk semantics as build_utgs (oriented successors with reciprocity,
     cycles started at the canonical orientation of their smallest k-mer);
-    host-side hash walk instead of pointer doubling — the multi-word values
-    exceed uint64 so the vectorized path doesn't apply directly.
+    host-side hash walk instead of pointer doubling — kept as the readable
+    reference for build_utgs_mw.
     """
     table = {}
     for s, c, l, r in zip(kmer_strs, counts, left_chars, right_chars):

@@ -181,6 +181,25 @@ def analyze_kmers(
     return res, fin, n_shards
 
 
+def count_histogram(fin, n_shards: int) -> dict:
+    """count -> number of distinct kept k-mers (the BASELINE parity metric)."""
+    hist: dict = {}
+    for shard in range(n_shards):
+        one = type(fin)(*[x[shard] for x in fin])
+        keep = np.asarray(one.keep)
+        counts = np.asarray(one.counts)[keep]
+        vals, freqs = np.unique(counts, return_counts=True)
+        for v, f in zip(vals, freqs):
+            hist[int(v)] = hist.get(int(v), 0) + int(f)
+    return hist
+
+
+def write_histogram(hist: dict, k: int, output_dir: str):
+    with open(os.path.join(output_dir, f"kmer-histogram-{k}.txt"), "w") as f:
+        for c in sorted(hist):
+            f.write(f"{c} {hist[c]}\n")
+
+
 def dump_kmers(fin, k: int, output_dir: str, n_shards: int):
     """Write per-shard kmers-<k>.txt.gz dumps, 'KMER count L R' lines
     (src/kcount/kmer_dht.cpp:269-297)."""
@@ -216,7 +235,14 @@ def contigging(fin, k: int, n_shards: int, options: Options):
             all_c += list(c)
             all_l += list(l)
             all_r += list(r)
-        utgs = utg.build_utgs_dict(all_s, all_c, all_l, all_r, k)
+        order = np.argsort(all_s)
+        utgs = utg.build_utgs_mw(
+            [all_s[i] for i in order],
+            [all_c[i] for i in order],
+            [all_l[i] for i in order],
+            [all_r[i] for i in order],
+            k,
+        )
     else:
         all_vals, all_counts, all_left, all_right = [], [], [], []
         for shard in range(n_shards):
@@ -268,6 +294,7 @@ def run_pipeline(options: Options) -> list:
         res, fin, n_shards = analyze_kmers(pr, k, options)
         if options.dump_kmers:
             dump_kmers(fin, k, options.output_dir, n_shards)
+        write_histogram(count_histogram(fin, n_shards), k, options.output_dir)
         contigging(fin, k, n_shards, options)
         # sequencing depth update for next round (src/contigging.cpp:148-150)
         options.sequencing_depth = max(int(res.avg_kmer_count), 1)

@@ -67,3 +67,22 @@ def test_cli_parsing():
     assert o.kmer_lens == [21, 33]
     assert o.dump_kmers
     assert o.all_read_groups() == [["a.fq"], ["r1.fq", "r2.fq"]]
+
+
+def test_count_histogram(tmp_path):
+    k = 21
+    reads = genome_reads(64, 60, genome_len=300, seed=88)
+    fq = tmp_path / "s.fastq"
+    _write_fastq(fq, reads)
+    out = tmp_path / "out"
+    options = Options(
+        unpaired_fnames=[str(fq) + ":"], kmer_lens=[k], output_dir=str(out),
+        batch_reads=64, adapter_trim=False,
+    )
+    run_pipeline(options)
+    hist_lines = (out / f"kmer-histogram-{k}.txt").read_text().splitlines()
+    got = {int(a): int(b) for a, b in (ln.split() for ln in hist_lines)}
+    exp = {}
+    for c, _, _ in oracle_count(reads, k).finalize().values():
+        exp[c] = exp.get(c, 0) + 1
+    assert got == exp

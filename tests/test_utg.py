@@ -112,3 +112,19 @@ def test_dump_fasta(tmp_path):
     lines = path.read_text().splitlines()
     assert len(lines) == 2 * len(got.seqs)
     assert lines[0].startswith(">uutig_0 ")
+
+
+def test_mw_vectorized_matches_dict():
+    """build_utgs_mw (byte-matrix pointer doubling) == build_utgs_dict == oracle."""
+    for k, seed in ((33, 1), (33, 2), (55, 3), (21, 4)):
+        reads = genome_reads(120, k + 50, genome_len=400, seed=seed, err=0.015)
+        oc = oracle_count(reads, k)
+        fin = oc.finalize()
+        items = sorted(fin.items())
+        strs = [s for s, _ in items]
+        counts = [v[0] for _, v in items]
+        lefts = [v[1] for _, v in items]
+        rights = [v[2] for _, v in items]
+        got_mw = utg.build_utgs_mw(strs, counts, lefts, rights, k)
+        got_dict = utg.build_utgs_dict(strs, counts, lefts, rights, k)
+        assert _canon_set(got_mw.seqs) == _canon_set(got_dict.seqs) == oc.utgs(), (k, seed)
