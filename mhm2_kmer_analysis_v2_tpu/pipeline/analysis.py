@@ -114,8 +114,12 @@ def analyze_kmers(
     comm_stats.begin_stage(f"analyze_kmers k={k}")
     stage_timers.analyze_kmers.start()
     num_reads = 0
+    total_reads = len(pr)
     a2a_bytes = 3 * n_shards * n_shards * exchange_cap * 4 if n_shards > 1 else 0
     for rb in pr.batches(batch, max_len=max_len):
+        if options.show_progress and total_reads:
+            pct = 100 * num_reads // total_reads
+            print(f"\rProcessing reads to count kmers: {pct}% ", end="", flush=True)
         num_reads += int((rb.lengths > 0).sum())
         comm_stats.add_collective(a2a_bytes, 3 if n_shards > 1 else 0)
         if packed_input:
@@ -136,6 +140,8 @@ def analyze_kmers(
                 jax.device_put(rb.badq, sharding),
                 jax.device_put(rb.lengths, sharding),
             )
+    if options.show_progress:
+        print("\rProcessing reads to count kmers: 100%")
     # flush_updates + finish_updates
     if use_qf:
         n_singleton = int(np.sum(np.asarray(state.f_stored)))
@@ -296,8 +302,11 @@ def run_pipeline(options: Options) -> list:
             dump_kmers(fin, k, options.output_dir, n_shards)
         write_histogram(count_histogram(fin, n_shards), k, options.output_dir)
         contigging(fin, k, n_shards, options)
-        # sequencing depth update for next round (src/contigging.cpp:148-150)
+        # sequencing depth update for next round (src/contigging.cpp:148-150),
+        # written back to the config like adjust_config_option
+        # (src/main.cpp:227-229)
         options.sequencing_depth = max(int(res.avg_kmer_count), 1)
+        options.write_config_file()
         results.append(res)
         slog("Completed contig round k = ", k)
         log_mem(f"after contig round k={k}")
