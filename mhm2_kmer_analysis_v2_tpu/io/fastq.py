@@ -95,7 +95,6 @@ class FastqReader:
             if start > 0:
                 self.f.seek(start)
                 self._seek_next_record()
-        self._buf = io.BufferedReader(self.f) if not isinstance(self.f, io.BufferedReader) else self.f
 
     def _seek_next_record(self):
         """Advance to the next record boundary (header line start)."""

@@ -123,6 +123,9 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     active, absent, _, found_slot, _ = jax.lax.while_loop(
         cond1b, body1b, (active, absent, slot, found_slot, zero_v)
     )
+    # lanes that exhausted the lookup probe join the main-table fallback (the
+    # full insert counts them as dropped properly instead of losing them)
+    phase1_exhausted = active
     found = found_slot < cap
     add_slot = jnp.where(found, found_slot, cap)
     counts = counts.at[add_slot].add(cnt, mode="drop")
@@ -206,7 +209,7 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
         # fallback); claim losers retry next attempt
         f_active = f_active & ~matched & ~won & (free_slot < fcap)
 
-    f_left = f_active
+    f_left = f_active | phase1_exhausted
 
     # replay contributions (gather before clearing)
     rmeta = jnp.where(replayer, fmeta[jnp.where(replayer, pslot, 0)], 0)

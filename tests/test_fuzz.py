@@ -1,0 +1,149 @@
+"""Randomized cross-implementation consistency sweeps.
+
+Each trial draws a random dataset shape (read lengths, N density, quality
+distribution, error rate, genome size) and checks that every implementation
+tier agrees: device table vs oracle, native merge vs Python scalar merge,
+multi-word vs pair k-mer paths, and UTG builders vs the oracle walker.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mhm2_kmer_analysis_v2_tpu import oracle
+from mhm2_kmer_analysis_v2_tpu.io.merge_reads import (
+    MergeStats,
+    merge_pair,
+    _merge_fast,
+    _merge_scalar,
+    revcomp,
+)
+from mhm2_kmer_analysis_v2_tpu.io.packed_reads import encode_batch
+from mhm2_kmer_analysis_v2_tpu.ops import kmer_ops, kmer_multiword as mw
+from mhm2_kmer_analysis_v2_tpu.table import shard_table, shard_table_mw as stmw
+
+from util import oracle_count
+
+
+def _rand_reads(rng, n, lo, hi, n_frac, genome=None):
+    reads = []
+    for _ in range(n):
+        L = int(rng.integers(lo, hi))
+        if genome is not None and rng.random() < 0.8:
+            p = int(rng.integers(0, max(len(genome) - L, 1)))
+            seq = list(genome[p : p + L])
+        else:
+            seq = list(rng.choice(list("ACGT"), L))
+        for i in range(L):
+            if rng.random() < n_frac:
+                seq[i] = "N"
+        quals = "".join(chr(33 + int(q)) for q in rng.integers(0, 42, L))
+        reads.append(("".join(seq), quals))
+    return reads
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_count_parity(trial):
+    rng = np.random.default_rng(1000 + trial)
+    k = int(rng.choice([15, 17, 21, 27, 31, 32]))
+    genome = "".join(rng.choice(list("ACGT"), int(rng.integers(150, 600))))
+    reads = _rand_reads(rng, 50, k + 2, 3 * k + 30, n_frac=0.01, genome=genome)
+    batch = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    recs = kmer_ops.kmer_records(
+        jnp.asarray(batch.codes), jnp.asarray(batch.badq),
+        jnp.asarray(batch.lengths), k=k, m=min(15, k), n_shards=1,
+    )
+    flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+    table = shard_table.create(1 << 15)
+    table = shard_table.insert_batch(
+        table, flat["canon_hi"], flat["canon_lo"], flat["left"], flat["right"],
+        jnp.ones_like(flat["left"]), flat["valid"],
+    )
+    fin = shard_table.finalize(table)
+    vals, counts, left, right = shard_table.compact_to_host(fin)
+    strings = shard_table.vals_to_strings(vals, k)
+    got = {s: (int(c), l, r) for s, c, l, r in zip(strings, counts, left, right)}
+    assert got == oracle_count(reads, k).finalize(), (trial, k)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_mw_vs_pair(trial):
+    """k in 17..32 runs on both the pair path and the multi-word path."""
+    rng = np.random.default_rng(2000 + trial)
+    k = int(rng.choice([17, 21, 25, 32]))
+    genome = "".join(rng.choice(list("ACGT"), 400))
+    reads = _rand_reads(rng, 40, k + 2, 2 * k + 40, n_frac=0.005, genome=genome)
+    batch = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    args = (jnp.asarray(batch.codes), jnp.asarray(batch.badq), jnp.asarray(batch.lengths))
+    recs_p = kmer_ops.kmer_records(*args, k=k, m=15, n_shards=7)
+    recs_m = mw.kmer_records_mw(*args, k=k, m=15, n_shards=7)
+    hi = np.asarray(recs_p["canon_hi"]).astype(np.uint64)
+    lo = np.asarray(recs_p["canon_lo"]).astype(np.uint64)
+    vp = (hi << np.uint64(32)) | lo
+    canon_m = np.asarray(recs_m["canon"])
+    Wn = mw.n_words(k)
+    r = k - 16 * (Wn - 1)
+    vm = np.zeros_like(vp)
+    for j, width in enumerate([r] + [16] * (Wn - 1)):
+        vm = (vm << np.uint64(2 * width)) | canon_m[j].astype(np.uint64)
+    valid = np.asarray(recs_p["valid"])
+    assert (vp[valid] == vm[valid]).all()
+    assert (np.asarray(recs_p["target"])[valid] == np.asarray(recs_m["target"])[valid]).all()
+    assert (np.asarray(recs_p["left"])[valid] == np.asarray(recs_m["left"])[valid]).all()
+
+
+@pytest.mark.parametrize("trial", range(5))
+def test_fuzz_merge_native_vs_scalar(trial):
+    """Native whole-pair merge == exact scalar transcription on N-free pairs;
+    decision-equal on all pairs."""
+    rng = np.random.default_rng(3000 + trial)
+    genome = "".join(rng.choice(list("ACGT"), 400))
+    for _ in range(40):
+        ov = int(rng.integers(0, 90))
+        l1 = int(rng.integers(30, 120))
+        l2 = int(rng.integers(30, 120))
+        p = int(rng.integers(0, max(len(genome) - l1, 1)))
+        seq1 = genome[p : p + l1]
+        start2 = p + max(0, len(seq1) - ov)
+        seq2 = revcomp(genome[start2 : start2 + l2])
+        if not seq1 or not seq2:
+            continue
+        q1 = "".join(chr(33 + int(q)) for q in rng.integers(2, 41, len(seq1)))
+        q2 = "".join(chr(33 + int(q)) for q in rng.integers(2, 41, len(seq2)))
+        s_nat = MergeStats()
+        got = merge_pair(seq1, q1, seq2, q2, 33, s_nat)
+        s_ref = MergeStats()
+        ref = _merge_scalar(seq1, q1, revcomp(seq2), q2[::-1], 33, s_ref)
+        assert got[0] == ref[0], trial
+        if got[0]:
+            assert got[1:] == ref[1:]
+        assert s_nat.num_ambiguous == s_ref.num_ambiguous
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_utg_consistency(trial):
+    rng = np.random.default_rng(4000 + trial)
+    k = 21
+    from mhm2_kmer_analysis_v2_tpu.contig import utg
+
+    genome = "".join(rng.choice(list("ACGT"), int(rng.integers(200, 800))))
+    reads = _rand_reads(rng, 150, k + 10, 90, n_frac=0.0, genome=genome)
+    oc = oracle_count(reads, k)
+    fin = oc.finalize()
+    if not fin:
+        return
+    items = sorted(fin.items())
+    strs = [s for s, _ in items]
+    counts = [v[0] for _, v in items]
+    lefts = [v[1] for _, v in items]
+    rights = [v[2] for _, v in items]
+    got_mw = utg.build_utgs_mw(strs, counts, lefts, rights, k)
+    vals = np.array([oracle.kmer_to_val(s) for s in strs], np.uint64)
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    got_pd = utg.build_utgs(
+        vals, np.array(counts), np.array([code[c] for c in lefts]),
+        np.array([code[c] for c in rights]), k,
+    )
+    exp = oc.utgs()
+    canon = lambda seqs: {min(s, oracle.revcomp_str(s)) for s in seqs}
+    assert canon(got_mw.seqs) == canon(got_pd.seqs) == exp, trial
