@@ -69,3 +69,36 @@ def get_kmer_counts(table: ShardTable, kmers: list, k: int) -> list:
     lo = jnp.asarray([v & 0xFFFFFFFF for v in vals], dtype=jnp.uint32)
     found, counts, _ = lookup_batch(table, hi, lo)
     return [int(c) if f else 0 for f, c in zip(np.asarray(found), np.asarray(counts))]
+
+
+def get_kmer_counts_sharded(state, kmers: list, k: int, n_shards: int) -> list:
+    """Sharded point queries — the KmerDHT::get_kmer_count RPC analogue
+    (src/kcount/kmer_dht.cpp:231-245): canonicalize, route by the minimizer
+    hash, and resolve each query on its owner shard's table.
+
+    state: a parallel.count_step.ShardedState (host-visible arrays).
+    """
+    from ..oracle import canonical_val, kmer_target_shard, kmer_to_val
+    from .shard_table import ShardTable
+
+    routed: dict = {}
+    for qi, s in enumerate(kmers):
+        cv = canonical_val(kmer_to_val(s), k)[0]
+        shard = kmer_target_shard(cv, k, n_shards)
+        routed.setdefault(shard, []).append((qi, cv))
+    out = [0] * len(kmers)
+    for shard, items in routed.items():
+        local = ShardTable(
+            keys_hi=jnp.asarray(np.asarray(state.keys_hi)[shard]),
+            keys_lo=jnp.asarray(np.asarray(state.keys_lo)[shard]),
+            counts=jnp.asarray(np.asarray(state.counts)[shard]),
+            extc=jnp.asarray(np.asarray(state.extc)[shard]),
+            claim=jnp.asarray(np.asarray(state.claim)[shard]),
+            num_dropped=jnp.zeros((), jnp.int32),
+        )
+        hi = jnp.asarray([cv >> 32 for _, cv in items], dtype=jnp.uint32)
+        lo = jnp.asarray([cv & 0xFFFFFFFF for _, cv in items], dtype=jnp.uint32)
+        found, counts, _ = lookup_batch(local, hi, lo)
+        for (qi, _), f, c in zip(items, np.asarray(found), np.asarray(counts)):
+            out[qi] = int(c) if f else 0
+    return out

@@ -129,3 +129,32 @@ def test_comm_stats_report():
     cs.end_stage()
     rep = cs.report()
     assert "s1" in rep and "1.0MB" in rep and "3 calls" in rep
+
+
+def test_point_queries_sharded():
+    """Routed queries find every kmer on its owner shard (KmerDHT RPC analogue)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mhm2_kmer_analysis_v2_tpu.parallel import count_step as cs
+    from mhm2_kmer_analysis_v2_tpu.oracle import val_to_kmer
+
+    k = 21
+    n_shards = 4
+    reads = genome_reads(48, 60, genome_len=250, seed=15)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    state = cs.create_sharded(n_shards, 1 << 13, mesh=mesh)
+    step = cs.make_count_step(mesh, k=k, exchange_cap=b.codes.size)
+    sharding = NamedSharding(mesh, P("sh"))
+    state = step(state, jax.device_put(b.codes, sharding),
+                 jax.device_put(b.badq, sharding), jax.device_put(b.lengths, sharding))
+
+    from util import oracle_count as _oc
+
+    oc = _oc(reads, k)
+    some = sorted(oc.table)[:30]
+    kmers = [val_to_kmer(v, k) for v in some] + ["C" * k]
+    got = query.get_kmer_counts_sharded(state, kmers, k, n_shards)
+    for v, c in zip(some, got[:30]):
+        assert c == oc.table[v].count
+    assert got[30] == 0
