@@ -88,12 +88,14 @@ def get_kmer_counts_sharded(state, kmers: list, k: int, n_shards: int) -> list:
         routed.setdefault(shard, []).append((qi, cv))
     out = [0] * len(kmers)
     for shard, items in routed.items():
+        # index through jnp so sharded (device-resident) state gathers
+        # correctly regardless of layout
         local = ShardTable(
-            keys_hi=jnp.asarray(np.asarray(state.keys_hi)[shard]),
-            keys_lo=jnp.asarray(np.asarray(state.keys_lo)[shard]),
-            counts=jnp.asarray(np.asarray(state.counts)[shard]),
-            extc=jnp.asarray(np.asarray(state.extc)[shard]),
-            claim=jnp.asarray(np.asarray(state.claim)[shard]),
+            keys_hi=jnp.asarray(state.keys_hi)[shard],
+            keys_lo=jnp.asarray(state.keys_lo)[shard],
+            counts=jnp.asarray(state.counts)[shard],
+            extc=jnp.asarray(state.extc)[shard],
+            claim=jnp.asarray(state.claim)[shard],
             num_dropped=jnp.zeros((), jnp.int32),
         )
         hi = jnp.asarray([cv >> 32 for _, cv in items], dtype=jnp.uint32)
