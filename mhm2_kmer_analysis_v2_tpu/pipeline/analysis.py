@@ -102,9 +102,13 @@ def analyze_kmers(
     elif use_qf:
         step = cs.make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m)
     else:
-        # bit-packed h2d: 0.5 B/base on the wire, unpacked on device
+        # bit-packed h2d (0.5 B/base on the wire) + supermer-compressed
+        # all_to_all when sharded; cap is in supermers per destination then
+        if n_shards > 1:
+            exchange_cap = max(exchange_cap // 4, 1024)
         step = cs.make_packed_count_step(
-            mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len
+            mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
+            supermers=True,
         )
         packed_input = True
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))

@@ -131,3 +131,38 @@ def test_packed_step_equals_unpacked():
     fin1 = cs.make_finalize(mesh)(s1)
     fin2 = cs.make_finalize(mesh)(s2)
     assert _merged(fin1, k, 4) == _merged(fin2, k, 4)
+
+
+def test_supermer_exchange_equals_record_exchange():
+    """Supermer-compressed exchange produces bit-identical tables to the
+    per-k-mer-record exchange (owner-side recompute parity)."""
+    k = 21
+    reads = genome_reads(96, 80, genome_len=500, seed=91, err=0.02)
+    # add N + low-quality content to exercise the ext-invalid bitmask
+    reads = [(s[:15] + "N" + s[16:], q[:30] + "#" + q[31:]) for s, q in reads]
+    n_shards = 4
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    sharding = NamedSharding(mesh, P("sh"))
+    args = (
+        jax.device_put(b.codes, sharding),
+        jax.device_put(b.badq, sharding),
+        jax.device_put(b.lengths, sharding),
+    )
+
+    s1 = cs.create_sharded(n_shards, 1 << 13, mesh=mesh)
+    step1 = cs.make_count_step(mesh, k=k, exchange_cap=b.codes.size)
+    s1 = step1(s1, *args)
+
+    s2 = cs.create_sharded(n_shards, 1 << 13, mesh=mesh)
+    step2 = cs.make_count_step_supermer(mesh, k=k, exchange_cap=2048)
+    s2 = step2(s2, *args)
+    assert int(np.sum(np.asarray(s2.overflow))) == 0
+
+    fin1 = cs.make_finalize(mesh)(s1)
+    fin2 = cs.make_finalize(mesh)(s2)
+    assert _merged(fin1, k, n_shards) == _merged(fin2, k, n_shards)
+
+    # and both equal the oracle
+    exp = oracle_count(reads, k).finalize()
+    assert _merged(fin2, k, n_shards) == exp
