@@ -39,6 +39,9 @@ class Options:
     sequencing_depth: int = 4  # src/options.hpp:103
     optimize_for: str = "default"
     restart: bool = False
+    # contig-kmer carryover between k rounds (the add_ctg_kmers stage the
+    # reference proxy keeps commented out; off by default for proxy parity)
+    ctg_kmers: bool = False
     # TPU-native knobs (no reference analogue)
     batch_reads: int = 8192
     n_devices: int = 0  # 0 = all
@@ -90,6 +93,8 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--dump-merged", action="store_true")
     p.add_argument("--checkpoint", action="store_true")
     p.add_argument("--use-qf", action="store_true")
+    p.add_argument("--ctg-kmers", action="store_true",
+                   help="seed each k round with the previous round's contig kmers")
     p.add_argument("--adapter-refs", default="")
     p.add_argument("--no-adapter-trim", action="store_true")
     p.add_argument("--progress", action="store_true")
@@ -138,6 +143,7 @@ def parse_args(argv=None) -> Options:
         output_dir=a.output,
         dump_kmers=a.dump_kmers,
         use_qf=a.use_qf,
+        ctg_kmers=a.ctg_kmers,
         sequencing_depth=a.sequencing_depth,
         batch_reads=a.batch_reads,
         n_devices=a.n_devices,

@@ -227,6 +227,7 @@ class KmerEntry:
     # left/right ext counts indexed by base code A=0 C=1 G=2 T=3
     left: list = field(default_factory=lambda: [0, 0, 0, 0])
     right: list = field(default_factory=lambda: [0, 0, 0, 0])
+    from_ctg: bool = False
 
 
 def _sat_add(a: int, b: int) -> int:
@@ -277,6 +278,59 @@ class OracleCounter:
                 e.left[li] = _sat_add(e.left[li], depth)
             if ri is not None:
                 e.right[ri] = _sat_add(e.right[ri], depth)
+
+    def add_ctg_seq(self, seq: str, depth: int):
+        """Contig-kmer insertion (insert_supermer_from_ctg,
+        src/kcount/kcount_cpu.cpp:357-407): kmers of a previous round's contig
+        seed the table with depth-weighted counts; singleton or non-UU read
+        entries are overwritten; conflicting ctg kmers purge via count=0.
+
+        Counted positions are 1..L-k-1 like reads (process_seq is shared;
+        contigs shorter than k+2 skip, kcount.cpp:128)."""
+        k = self.k
+        if len(seq) < k + 2:
+            return
+        up = seq.upper()
+        for i in range(1, len(seq) - k):
+            v = kmer_to_val(up[i : i + k])
+            left, right = up[i - 1], up[i + k]
+            cv, flipped = canonical_val(v, k)
+            if flipped:
+                left, right = _COMP[right], _COMP[left]
+            li = _CODE.get(left) if left in "ACGT" else None
+            ri = _CODE.get(right) if right in "ACGT" else None
+            e = self.table.get(cv)
+            d = depth
+            insert_it = False
+            if e is None:
+                e = self.table[cv] = KmerEntry()
+                insert_it = True
+            elif not e.from_ctg:
+                if e.count == 1:
+                    insert_it = True
+                else:
+                    l = self.get_ext(e.left, e.count, self.dmin_thres)
+                    r = self.get_ext(e.right, e.count, self.dmin_thres)
+                    if l in "XF" or r in "XF":
+                        insert_it = True
+            else:
+                if e.count:
+                    insert_it = True
+                    l = self.get_ext(e.left, e.count, self.dmin_thres)
+                    r = self.get_ext(e.right, e.count, self.dmin_thres)
+                    if (l, r) != (left, right):
+                        d = 0  # conflicting ctg kmers purge
+                    else:
+                        d = min(d, e.count)
+            if insert_it:
+                e.count = min(d, UINT16_MAX)
+                e.left = [0, 0, 0, 0]
+                e.right = [0, 0, 0, 0]
+                e.from_ctg = True
+                if li is not None:
+                    e.left[li] = _sat_add(0, d)
+                if ri is not None:
+                    e.right[ri] = _sat_add(0, d)
 
     @staticmethod
     def get_ext(counts: list, count: int, dmin_thres: int) -> str:

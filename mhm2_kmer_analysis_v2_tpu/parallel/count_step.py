@@ -275,6 +275,66 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devs, ("sh",))
 
 
+def make_ctg_step(mesh: Mesh, *, k: int, exchange_cap: int, dmin_thres: int = 2,
+                  m: int | None = None):
+    """Contig-kmer pass (the add_ctg_kmers stage, src/kcount/kcount.cpp:106-140,
+    unreachable in the reference proxy; enabled here with --ctg-kmers): routes
+    the previous round's contig k-mers with their depths and applies the
+    from-ctg insert rules (shard_table.insert_ctg_batch)."""
+    n_shards = mesh.shape["sh"]
+    lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
+
+    def per_device(state: ShardedState, codes, badq, lengths, depths, lut_rep):
+        recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
+        flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+        L = codes.shape[1]
+        cnt = jnp.repeat(depths.astype(jnp.int32), L)
+        meta = _pack_meta(flat["left"], flat["right"], cnt, flat["valid"])
+        local = _local_table(state)
+        if n_shards > 1:
+            buf_hi, buf_lo, buf_meta, overflow = _bucketize(
+                flat["canon_hi"], flat["canon_lo"], meta, flat["target"],
+                flat["valid"], n_shards, exchange_cap,
+            )
+            buf_hi = jax.lax.all_to_all(buf_hi, "sh", 0, 0, tiled=True)
+            buf_lo = jax.lax.all_to_all(buf_lo, "sh", 0, 0, tiled=True)
+            buf_meta = jax.lax.all_to_all(buf_meta, "sh", 0, 0, tiled=True)
+            rhi, rlo, rmeta = (
+                buf_hi.reshape(-1), buf_lo.reshape(-1), buf_meta.reshape(-1)
+            )
+        else:
+            overflow = jnp.zeros((), jnp.int32)
+            rhi, rlo, rmeta = flat["canon_hi"], flat["canon_lo"], meta
+        local = shard_table.insert_ctg_batch(
+            local, rhi, rlo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
+            rmeta != 0, lut_rep,
+        )
+        return ShardedState(
+            keys_hi=local.keys_hi[None],
+            keys_lo=local.keys_lo[None],
+            counts=local.counts[None],
+            extc=local.extc[None],
+            claim=local.claim[None],
+            num_dropped=local.num_dropped[None],
+            overflow=(state.overflow[0] + overflow)[None],
+        )
+
+    mapped = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(_STATE_SPEC, P("sh", None), P("sh", None), P("sh"), P("sh"), P(None)),
+            out_specs=_STATE_SPEC,
+        ),
+        donate_argnums=(0,),
+    )
+
+    def step(state, codes, badq, lengths, depths):
+        return mapped(state, codes, badq, lengths, depths, lut)
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # supermer-compressed exchange (k <= 32)
 # ---------------------------------------------------------------------------

@@ -56,8 +56,10 @@ def analyze_kmers(
     k: int,
     options: Options,
     mesh=None,
+    prev_ctgs=None,
 ) -> tuple[AnalysisResult, shard_table.FinalizedShard, int]:
-    """One k-round: count all reads' k-mers on the mesh, finalize, report."""
+    """One k-round: count all reads' k-mers on the mesh (optionally followed
+    by the previous round's contig k-mers), finalize, report."""
     if mesh is None:
         mesh = cs.make_mesh(options.n_devices or None)
     n_shards = mesh.shape["sh"]
@@ -146,6 +148,44 @@ def analyze_kmers(
             )
     if options.show_progress:
         print("\rProcessing reads to count kmers: 100%")
+
+    # contig-kmer pass (add_ctg_kmers; only with --ctg-kmers and k <= 32)
+    if prev_ctgs and not multiword and not use_qf:
+        from ..io.packed_reads import encode_batch
+
+        ctg_step = cs.make_ctg_step(
+            mesh, k=k, exchange_cap=exchange_cap if n_shards > 1 else 1,
+            dmin_thres=options.dmin_thres, m=m,
+        )
+        # long contigs are split into fixed windows with k+2 overlap: window
+        # interiors tile the contig's counted positions exactly (each window
+        # skips its first/last k-mer like any sequence; the overlap makes the
+        # neighbor's interior cover them) — the fixed-block analogue of the
+        # reference's 3 MB seq blocks (KCOUNT_SEQ_BLOCK_SIZE)
+        WC = max(max_len, 512)
+        seqs, depths = [], []
+        for s, d in prev_ctgs:
+            if len(s) < k + 2:
+                continue
+            dd = max(1, min(int(round(d)), 65535))
+            step_w = WC - (k + 1)
+            for lo in range(0, max(len(s) - (k + 1), 1), step_w):
+                seqs.append(s[lo : lo + WC])
+                depths.append(dd)
+        cb = batch  # reuse the read batch row count
+        for lo in range(0, len(seqs), cb):
+            chunk = seqs[lo : lo + cb]
+            eb = encode_batch(chunk, ["K" * len(s) for s in chunk], max_len=WC, pad_to=cb)
+            dep = np.zeros((cb,), np.int32)
+            dep[: len(chunk)] = depths[lo : lo + cb]
+            state = ctg_step(
+                state,
+                jax.device_put(eb.codes, sharding),
+                jax.device_put(eb.badq, sharding),
+                jax.device_put(eb.lengths, sharding),
+                jax.device_put(dep, sharding),
+            )
+
     # flush_updates + finish_updates
     if use_qf:
         n_singleton = int(np.sum(np.asarray(state.f_stored)))
@@ -298,14 +338,18 @@ def run_pipeline(options: Options) -> list:
     pr = load_reads(options)
     log_mem("after loading reads")
     results = []
+    prev_ctgs = None
     for k in options.kmer_lens:
         slog("_________________________")
         slog("Contig generation k = ", k)
-        res, fin, n_shards = analyze_kmers(pr, k, options)
+        res, fin, n_shards = analyze_kmers(pr, k, options, prev_ctgs=prev_ctgs)
         if options.dump_kmers:
             dump_kmers(fin, k, options.output_dir, n_shards)
         write_histogram(count_histogram(fin, n_shards), k, options.output_dir)
-        contigging(fin, k, n_shards, options)
+        utgs = contigging(fin, k, n_shards, options)
+        if options.ctg_kmers:
+            # next round seeds from this round's contigs (add_ctg_kmers)
+            prev_ctgs = list(zip(utgs.seqs, utgs.depths))
         # sequencing depth update for next round (src/contigging.cpp:148-150),
         # written back to the config like adjust_config_option
         # (src/main.cpp:227-229)

@@ -255,6 +255,135 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid) -> ShardTab
     )
 
 
+CTG_BIT = jnp.int32(1 << 30)  # from_ctg flag in the counts word
+
+
+@jax.jit
+def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_lut) -> ShardTable:
+    """Contig-kmer insertion pass — insert_supermer_from_ctg semantics
+    (src/kcount/kcount_cpu.cpp:357-407), run AFTER the read pass of a round:
+
+      new k-mer            -> insert {count=depth, from_ctg, exts=depth@L/R}
+      read entry, count==1 -> overwrite (singleton)
+      read entry, non-UU   -> overwrite (called ext X/F on either side)
+      read entry, UU       -> keep
+      ctg entry, count!=0  -> exts agree: count=min(depth, count);
+                              exts differ: count=0 (purged at finalize)
+
+    Batch pre-reduction replaces the sequential scan: per unique k-mer the
+    depth is the min over occurrences and any extension disagreement yields
+    the 0-purge marker — provably the same outcome as the reference's
+    occurrence-by-occurrence loop.  The CPU backend's singleton-override
+    eviction under memory pressure (kcount_cpu.cpp:249-265) is not carried:
+    probe-cap overflow counts as dropped instead.
+    """
+    cap = table.capacity
+    R = hi.shape[0]
+    hi = hi.astype(U32)
+    lo = lo.astype(U32)
+    left = left.astype(jnp.int32)
+    right = right.astype(jnp.int32)
+    depth = jnp.minimum(depth.astype(jnp.int32), UINT16_MAX)
+
+    # ---- within-batch reduction by k-mer ---------------------------------
+    key64 = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    key64 = jnp.where(valid, key64, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    order = jnp.argsort(key64)
+    sk = key64[order]
+    sv = valid[order]
+    sl, sr, sd = left[order], right[order], depth[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & sv
+    idx = jnp.arange(R, dtype=jnp.int32)
+    gsp = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
+    gsp = jnp.where(sv, gsp, R)
+    epack = sl * 4 + sr
+    gmin_e = jnp.full((R,), 99, jnp.int32).at[gsp].min(epack, mode="drop")
+    gmax_e = jnp.full((R,), -1, jnp.int32).at[gsp].max(epack, mode="drop")
+    gmin_d = jnp.full((R,), UINT16_MAX + 1, jnp.int32).at[gsp].min(sd, mode="drop")
+    conflict = gmin_e != gmax_e
+    u_hi = (sk >> jnp.uint64(32)).astype(U32)
+    u_lo = (sk & jnp.uint64(0xFFFFFFFF)).astype(U32)
+    u_left = sl
+    u_right = sr
+    u_depth = jnp.where(conflict, 0, gmin_d)
+    active = first
+
+    # ---- apply unique records against the table --------------------------
+    lane = idx
+    slot = (slot_hash(u_hi, u_lo) % U32(cap)).astype(jnp.int32)
+    zero_v = (slot[0] & 0).astype(jnp.int32)
+    tbl = (table.keys_hi, table.keys_lo, table.counts, table.extc, table.claim)
+
+    def cond(state):
+        _, active, _, it = state
+        return jnp.any(active) & (it < MAX_PROBE)
+
+    def body(state):
+        tbl, active, slot, it = state
+        keys_hi, keys_lo, counts, extc, claim = tbl
+        gslot = jnp.where(active, slot, 0)
+        thi = keys_hi[gslot]
+        tlo = keys_lo[gslot]
+        is_match = active & (thi == u_hi) & (tlo == u_lo)
+        is_empty = active & (thi == EMPTY) & (tlo == EMPTY)
+        # claim empties (unique keys -> winners are conflict-free)
+        cslot = jnp.where(is_empty, slot, cap)
+        claim = claim.at[cslot].set(lane, mode="drop")
+        won = is_empty & (claim[gslot] == lane)
+        claim = claim.at[cslot].set(-1, mode="drop")
+        wslot = jnp.where(won, slot, cap)
+        keys_hi = keys_hi.at[wslot].set(u_hi, mode="drop")
+        keys_lo = keys_lo.at[wslot].set(u_lo, mode="drop")
+
+        # decision for matches
+        cur = counts[gslot]
+        cur_ctg = (cur & CTG_BIT) != 0
+        cur_cnt = jnp.minimum(cur & (CTG_BIT - 1), UINT16_MAX)
+        ext_rows = extc.reshape(-1, 8)[gslot]
+        ext_rows = jnp.minimum(ext_rows, UINT16_MAX)
+        dmin = dmin_lut[jnp.clip(cur_cnt, 0, UINT16_MAX)]
+        cl = _call_ext(ext_rows[:, :4], dmin)
+        cr = _call_ext(ext_rows[:, 4:], dmin)
+        non_uu = (cl >= 4) | (cr >= 4)
+        # read entries: overwrite singletons and non-UU
+        ow_read = is_match & ~cur_ctg & ((cur_cnt == 1) | non_uu)
+        # ctg entries with count!=0: always overwrite; exts disagree -> 0
+        live_ctg = is_match & cur_ctg & (cur_cnt != 0)
+        agree = (cl == u_left) & (cr == u_right)
+        ctg_depth = jnp.where(agree, jnp.minimum(u_depth, cur_cnt), 0)
+        write = won | ow_read | live_ctg
+        new_cnt = jnp.where(live_ctg, ctg_depth, u_depth)
+        wr_slot = jnp.where(write, slot, cap)
+        counts = counts.at[wr_slot].set(new_cnt | CTG_BIT, mode="drop")
+        # reset the ext row then set the two contributions
+        base = wr_slot * 8
+        zero8 = jnp.zeros((R, 8), jnp.int32)
+        extc = extc.at[
+            jnp.where(write, base, cap * 8)[:, None] + jnp.arange(8)[None, :]
+        ].set(zero8, mode="drop")
+        lidx = jnp.where(write & (u_left < 4), base + u_left, cap * 8)
+        ridx = jnp.where(write & (u_right < 4), base + 4 + u_right, cap * 8)
+        extc = extc.at[lidx].set(new_cnt, mode="drop")
+        extc = extc.at[ridx].set(new_cnt, mode="drop")
+
+        resolved = is_match | won
+        active = active & ~resolved
+        slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+        return (keys_hi, keys_lo, counts, extc, claim), active, slot, it + 1
+
+    tbl, left_over, _, _ = jax.lax.while_loop(cond, body, (tbl, active, slot, zero_v))
+    keys_hi, keys_lo, counts, extc, claim = tbl
+    dropped = jnp.sum(left_over).astype(jnp.int32)
+    return ShardTable(
+        keys_hi=keys_hi,
+        keys_lo=keys_lo,
+        counts=counts,
+        extc=extc,
+        claim=claim,
+        num_dropped=table.num_dropped + dropped,
+    )
+
+
 def _dmin_lut(dmin_thres: int) -> np.ndarray:
     """LUT count -> dmin_dyn, exactly (int)((1.0-DYN_MIN_DEPTH)*count) in C
     double arithmetic (src/kcount/kcount_cpu.cpp:178; DYN_MIN_DEPTH=0.9).
@@ -309,7 +438,7 @@ def _call_ext(extc4: jax.Array, dmin: jax.Array) -> jax.Array:
 @jax.jit
 def _finalize_jit(table: ShardTable, dmin_lut: jax.Array) -> FinalizedShard:
     occupied = (table.keys_hi != EMPTY) | (table.keys_lo != EMPTY)
-    counts = jnp.minimum(table.counts, UINT16_MAX)
+    counts = jnp.minimum(table.counts & (CTG_BIT - 1), UINT16_MAX)
     extc = jnp.minimum(table.extc.reshape(-1, 8), UINT16_MAX)
     dmin = dmin_lut[jnp.clip(counts, 0, UINT16_MAX)]
     left = _call_ext(extc[:, :4], dmin)
