@@ -191,6 +191,129 @@ def _break_cycles(succ: np.ndarray, NULL: int) -> np.ndarray:
     return out, cycle_head
 
 
+def build_utgs_device(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,
+                      right_code: np.ndarray, k: int) -> Utgs:
+    """build_utgs with the pointer-doubling core on the JAX device.
+
+    Same algorithm as the numpy path; the log-step rounds are jnp gathers (on
+    a sharded mesh these become all_gather rounds — the collective-friendly
+    formulation).  String assembly stays host-side.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    N = len(vals)
+    if N == 0:
+        return Utgs([], [])
+
+    @jax.jit
+    def core(vals, left_code, right_code):
+        vals = vals.astype(jnp.uint64)
+        left_code = left_code.astype(jnp.int64)
+        right_code = right_code.astype(jnp.int64)
+        mask = jnp.uint64((1 << (2 * k)) - 1)
+        top_shift = jnp.uint64(2 * (k - 1))
+
+        def rc_vals(v):
+            out = jnp.zeros_like(v)
+            for _ in range(k):
+                out = (out << jnp.uint64(2)) | (jnp.uint64(3) - (v & jnp.uint64(3)))
+                v = v >> jnp.uint64(2)
+            return out
+
+        rc = rc_vals(vals)
+        n2 = 2 * N
+        ids = jnp.arange(n2)
+        ov = jnp.stack([vals, rc], axis=1).reshape(-1)
+        o_left = jnp.stack([left_code, 3 - right_code], axis=1).reshape(-1)
+        o_right = jnp.stack([right_code, 3 - left_code], axis=1).reshape(-1)
+        first_base = (ov >> top_shift).astype(jnp.int64)
+        last_base = (ov & jnp.uint64(3)).astype(jnp.int64)
+
+        nxt_val = ((ov << jnp.uint64(2)) | o_right.astype(jnp.uint64)) & mask
+        nxt_rc = rc_vals(nxt_val)
+        nxt_canon = jnp.minimum(nxt_val, nxt_rc)
+        nxt_s = (nxt_rc < nxt_val).astype(jnp.int64)
+        j = jnp.clip(jnp.searchsorted(vals, nxt_canon), 0, N - 1)
+        exists = vals[j] == nxt_canon
+        nxt_node = 2 * j + nxt_s
+        recip = exists & (o_left[nxt_node] == first_base)
+        not_self = nxt_node != ids
+        not_mirror = nxt_node != (ids ^ 1)
+        NULL = n2
+        succ = jnp.where(recip & not_self & not_mirror, nxt_node, NULL)
+
+        steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
+        # cycle breaking at the min-id leader
+        p = jnp.where(succ == NULL, ids, succ)
+        ml = jnp.minimum(ids, p)
+        for _ in range(steps):
+            ml = jnp.minimum(ml, ml[p])
+            p = p[p]
+        in_cycle = succ[jnp.clip(p, 0, n2 - 1)] != NULL
+        cut = in_cycle & (succ == ml)
+        cycle_head = jnp.zeros((n2,), bool).at[jnp.where(cut, succ, n2)].set(
+            True, mode="drop"
+        )
+        succ = jnp.where(cut, NULL, succ)
+
+        # forward doubling: terminal
+        p = jnp.where(succ == NULL, ids, succ)
+        for _ in range(steps):
+            p = p[p]
+        term = p
+        # backward doubling over scatter-built pred: head + position
+        pred = jnp.full((n2,), NULL).at[jnp.where(succ != NULL, succ, n2)].set(
+            jnp.where(succ != NULL, ids, 0), mode="drop"
+        )
+        ph = jnp.where(pred == NULL, ids, pred)
+        pos = (pred != NULL).astype(jnp.int64)
+        for _ in range(steps):
+            pos = pos + pos[ph]
+            ph = ph[ph]
+        head_of = ph
+        heads = pred == NULL
+        emit = heads & jnp.where(cycle_head, ids % 2 == 0, ids <= (term ^ 1))
+        return ov, last_base, head_of, pos, emit
+
+    ov, last_base, head_of, pos, emit = core(
+        jnp.asarray(vals), jnp.asarray(left_code.astype(np.int64)),
+        jnp.asarray(right_code.astype(np.int64)),
+    )
+    return _assemble(
+        np.asarray(ov), np.asarray(last_base), np.asarray(head_of),
+        np.asarray(pos), np.asarray(emit), np.asarray(counts), k,
+    )
+
+
+def _assemble(ov, last_base, head_of, pos, emit, counts, k) -> Utgs:
+    """Host-side contig string assembly from per-node path labels."""
+    n2 = len(ov)
+    if not emit.any():
+        return Utgs([], [])
+    emit_set = np.zeros(n2, bool)
+    emit_set[np.nonzero(emit)[0]] = True
+    on_emitted = emit_set[head_of]
+    sel = np.nonzero(on_emitted)[0]
+    order = np.lexsort((pos[sel], head_of[sel]))
+    sel = sel[order]
+    sel_head = head_of[sel]
+    boundaries = np.nonzero(np.concatenate([[True], sel_head[1:] != sel_head[:-1]]))[0]
+    counts2 = np.repeat(np.asarray(counts), 2)
+    shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+    seqs, depths = [], []
+    sel_last = last_base[sel]
+    sel_count = counts2[sel]
+    for bi, b in enumerate(boundaries):
+        e = boundaries[bi + 1] if bi + 1 < len(boundaries) else len(sel)
+        hv = ov[sel[b]]
+        kmer_str = "".join(_BASES[((hv >> shifts) & np.uint64(3)).astype(np.int64)])
+        tail = "".join(_BASES[sel_last[b + 1 : e]])
+        seqs.append(kmer_str + tail)
+        depths.append(float(sel_count[b:e].mean()))
+    return Utgs(seqs, depths)
+
+
 _COMP_STR = {"A": "T", "C": "G", "G": "C", "T": "A"}
 
 

@@ -128,3 +128,23 @@ def test_mw_vectorized_matches_dict():
         got_mw = utg.build_utgs_mw(strs, counts, lefts, rights, k)
         got_dict = utg.build_utgs_dict(strs, counts, lefts, rights, k)
         assert _canon_set(got_mw.seqs) == _canon_set(got_dict.seqs) == oc.utgs(), (k, seed)
+
+
+def test_device_core_matches_numpy():
+    """The jnp (device) pointer-doubling core produces identical contigs."""
+    for seed in (21, 22, 23):
+        k = 21
+        reads = genome_reads(150, 70, genome_len=500, seed=seed, err=0.015)
+        oc = oracle_count(reads, k)
+        fin = oc.finalize()
+        items = sorted((kmer_to_val(s), c, l, r) for s, (c, l, r) in fin.items())
+        vals = np.array([v for v, _, _, _ in items], np.uint64)
+        counts = np.array([c for _, c, _, _ in items], np.int64)
+        code = {"A": 0, "C": 1, "G": 2, "T": 3}
+        left = np.array([code[l] for _, _, l, _ in items], np.int64)
+        right = np.array([code[r] for _, _, _, r in items], np.int64)
+        got_np = utg.build_utgs(vals, counts, left, right, k)
+        got_dev = utg.build_utgs_device(vals, counts, left, right, k)
+        assert got_np.seqs == got_dev.seqs, seed
+        assert np.allclose(got_np.depths, got_dev.depths)
+        assert _canon_set(got_dev.seqs) == oc.utgs()
