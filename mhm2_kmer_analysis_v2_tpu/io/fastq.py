@@ -130,6 +130,23 @@ class FastqReader:
     def __next__(self) -> FastqRecord:
         if self.end is not None and self.f.tell() >= self.end:
             raise StopIteration
+        try:
+            return self._read_record()
+        except OSError:
+            # mid-read stream failure: reopen and reseek, like the
+            # reopen-on-failure path at src/fastq.cpp:1086-1099
+            pos = self._safe_tell()
+            self.f = open(self.fname, "rb")
+            self.f.seek(pos)
+            return self._read_record()
+
+    def _safe_tell(self) -> int:
+        try:
+            return self.f.tell()
+        except OSError:
+            return 0
+
+    def _read_record(self) -> FastqRecord:
         header = self.f.readline()
         if not header:
             raise StopIteration

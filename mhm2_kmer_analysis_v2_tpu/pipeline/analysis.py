@@ -94,9 +94,14 @@ def analyze_kmers(
     max_len = max(pr.max_read_len, k + 2)
     positions_per_device = (batch // n_shards) * max_len
     # exchange capacity: worst-case skew headroom over the mean (the
-    # fixed-capacity analogue of --max-kmer-store sizing, kmer_dht.cpp:141-144)
+    # fixed-capacity analogue of --max-kmer-store sizing, kmer_dht.cpp:141-144);
+    # an explicit --max-kmer-store (MB/rank) caps the per-destination buffer
     mean = positions_per_device // max(n_shards, 1) + 1
     exchange_cap = min(positions_per_device, 4 * mean + 4096) if n_shards > 1 else 1
+    if options.max_kmer_store_mb > 0 and n_shards > 1:
+        record_bytes = 12  # hi + lo + meta words
+        cap_from_store = options.max_kmer_store_mb * (1 << 20) // (record_bytes * n_shards)
+        exchange_cap = max(min(exchange_cap, cap_from_store), 1024)
 
     packed_input = False
     if multiword:
