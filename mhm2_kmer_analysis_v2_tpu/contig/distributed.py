@@ -1,0 +1,282 @@
+"""Distributed UU-tig traversal: pointer doubling over a sharded node space.
+
+The single-device builders (utg.build_utgs / build_utgs_device) assume the
+whole oriented-node array fits one chip.  Here the node space is range-sharded
+over the mesh axis 'sh' and every pointer-doubling round resolves its jumps
+with a request/response exchange: requests sort by owner shard, ride one
+all_to_all, gather locally, and ride a second all_to_all home — the
+collective analogue of the reference's aggregated RPC gets, turning the
+O(log N) doubling rounds into O(log N) all_to_all pairs over ICI/DCN.
+
+Demonstrated on the virtual CPU mesh (tests); the formulation is
+device-count-agnostic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .utg import Utgs, _assemble
+
+
+def _dist_gather(values, idx, n_shards: int, n_local: int):
+    """values[idx] where `values` is the local slice of a range-sharded global
+    array and `idx` holds GLOBAL indices.  Runs inside shard_map.
+
+    Request/response over two all_to_alls; request capacity per destination is
+    the full local query count (safe under arbitrary skew - pointer doubling
+    converges many pointers onto few terminals).
+    """
+    Q = idx.shape[0]
+    owner = (idx // n_local).astype(jnp.int32)
+    owner = jnp.clip(owner, 0, n_shards - 1)
+    order = jnp.argsort(owner)
+    sowner = owner[order]
+    sidx = idx[order]
+    starts = jnp.searchsorted(sowner, jnp.arange(n_shards, dtype=sowner.dtype))
+    col = jnp.arange(Q, dtype=jnp.int32) - starts[sowner]
+    # requests: global index + return slot (position in the sorted order)
+    req_idx = jnp.full((n_shards, Q), -1, jnp.int32).at[sowner, col].set(
+        sidx.astype(jnp.int32), mode="drop"
+    )
+    req_idx = jax.lax.all_to_all(req_idx, "sh", 0, 0, tiled=True)
+    # answer: local gather (rows = requesting shard)
+    my_base = jax.lax.axis_index("sh") * n_local
+    local_pos = jnp.clip(req_idx - my_base, 0, n_local - 1)
+    ans = jnp.where(req_idx >= 0, values[local_pos], values[0])
+    ans = jax.lax.all_to_all(ans, "sh", 0, 0, tiled=True)
+    # unsort: answer for sorted-query q sits at ans[sowner[q], col[q]]
+    flat = ans[sowner, col]
+    out = jnp.zeros((Q,), values.dtype).at[order].set(flat)
+    return out
+
+
+def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,
+                       right_code: np.ndarray, k: int, mesh: Mesh) -> Utgs:
+    """Unitig construction with every doubling round as collective exchanges.
+
+    vals must be globally sorted (the compact table is); node space =
+    2*N oriented nodes range-sharded over the mesh.
+    """
+    N = len(vals)
+    if N == 0:
+        return Utgs([], [])
+    n_shards = mesh.shape["sh"]
+    n2 = 2 * N
+    pad = (-n2) % (n_shards * 2)
+    n2p = n2 + pad
+    n_local = n2p // n_shards
+    steps = max(1, int(np.ceil(np.log2(max(n2p, 2)))) + 1)
+
+    # shard boundaries for the distributed searchsorted (replicated, small)
+    Np = n2p // 2
+    kmer_bounds = np.empty(n_shards, np.uint64)
+    for s in range(n_shards):
+        first_kmer = min((s * n_local) // 2, N - 1)
+        kmer_bounds[s] = vals[first_kmer]
+
+    vals_p = np.full(Np, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    vals_p[:N] = vals
+    lc = np.zeros(Np, np.int64)
+    rc_ = np.zeros(Np, np.int64)
+    lc[:N] = left_code
+    rc_[:N] = right_code
+    cnts = np.zeros(Np, np.int64)
+    cnts[:N] = counts
+
+    mask = (1 << (2 * k)) - 1
+    top_shift = 2 * (k - 1)
+
+    def rc_vals_np(v):
+        out = np.zeros_like(v)
+        vv = v.copy()
+        for _ in range(k):
+            out = (out << np.uint64(2)) | (np.uint64(3) - (vv & np.uint64(3)))
+            vv >>= np.uint64(2)
+        return out
+
+    rcv = rc_vals_np(vals_p)
+    # oriented arrays (interleaved), padded region self-looping
+    ov = np.empty(n2p, np.uint64)
+    ov[0::2] = vals_p
+    ov[1::2] = rcv
+    o_left = np.empty(n2p, np.int64)
+    o_right = np.empty(n2p, np.int64)
+    o_left[0::2] = lc
+    o_left[1::2] = 3 - rc_
+    o_right[0::2] = rc_
+    o_right[1::2] = 3 - lc
+    node_valid = np.zeros(n2p, bool)
+    node_valid[: 2 * N] = True
+
+    sharding = NamedSharding(mesh, P("sh"))
+    rep = NamedSharding(mesh, P())
+
+    def shard2d(x):
+        return jax.device_put(np.asarray(x).reshape(n_shards, n_local), sharding)
+
+    NULL = n2p
+
+    @jax.jit
+    def run(ovs, o_lefts, o_rights, valids, kb):
+        def per_device(ov, o_left, o_right, valid, kmer_bounds):
+            ov = ov.reshape(-1)
+            o_left = o_left.reshape(-1)
+            o_right = o_right.reshape(-1)
+            valid = valid.reshape(-1)
+            me = jax.lax.axis_index("sh")
+            gid = me * n_local + jnp.arange(n_local)
+
+            # successor candidate
+            nxt_val = ((ov << jnp.uint64(2)) | o_right.astype(jnp.uint64)) & jnp.uint64(mask)
+            out = jnp.zeros_like(nxt_val)
+            vv = nxt_val
+            for _ in range(k):
+                out = (out << jnp.uint64(2)) | (jnp.uint64(3) - (vv & jnp.uint64(3)))
+                vv = vv >> jnp.uint64(2)
+            nxt_rc = out
+            nxt_canon = jnp.minimum(nxt_val, nxt_rc)
+            nxt_s = (nxt_rc < nxt_val).astype(jnp.int32)
+            # distributed searchsorted: owner by boundary, then remote lookup
+            owner_guess = jnp.clip(
+                jnp.searchsorted(kmer_bounds, nxt_canon, side="right") - 1, 0, n_shards - 1
+            )
+            # request: find index of nxt_canon within the owner's val range.
+            # Send the query VALUE; owner answers with global kmer index or -1.
+            Q = n_local
+            order = jnp.argsort(owner_guess)
+            so = owner_guess[order]
+            sq = nxt_canon[order]
+            starts = jnp.searchsorted(so, jnp.arange(n_shards, dtype=so.dtype))
+            col = jnp.arange(Q, dtype=jnp.int32) - starts[so]
+            req = jnp.zeros((n_shards, Q), jnp.uint64).at[so, col].set(sq, mode="drop")
+            req_mk = jnp.zeros((n_shards, Q), bool).at[so, col].set(
+                jnp.ones_like(sq, dtype=bool), mode="drop"
+            )
+            req = jax.lax.all_to_all(req, "sh", 0, 0, tiled=True)
+            req_mk = jax.lax.all_to_all(req_mk, "sh", 0, 0, tiled=True)
+            # local kmer values of this shard: even oriented slots
+            my_kmers = ov.reshape(-1, 2)[:, 0]  # [n_local//2]
+            my_kvalid = valid.reshape(-1, 2)[:, 0]
+            pos = jnp.searchsorted(my_kmers, req.reshape(-1)).reshape(req.shape)
+            pos = jnp.clip(pos, 0, n_local // 2 - 1)
+            hit = req_mk & (my_kmers[pos] == req) & my_kvalid[pos]
+            my_kbase = me * (n_local // 2)
+            ans = jnp.where(hit, (my_kbase + pos).astype(jnp.int32), -1)
+            ans = jax.lax.all_to_all(ans, "sh", 0, 0, tiled=True)
+            flat = ans[so, col]
+            j = jnp.zeros((Q,), jnp.int32).at[order].set(flat)
+
+            exists = j >= 0
+            nxt_node = jnp.where(exists, 2 * j + nxt_s, 0)
+            first_base = (ov >> jnp.uint64(top_shift)).astype(jnp.int32)
+            # reciprocity: gather next's oriented left ext remotely
+            nl = _dist_gather(o_left.astype(jnp.int32), nxt_node, n_shards, n_local)
+            recip = exists & (nl == first_base)
+            not_self = nxt_node != gid
+            not_mirror = nxt_node != (gid ^ 1)
+            succ = jnp.where(
+                valid & recip & not_self & not_mirror, nxt_node, NULL
+            )
+
+            # cycle breaking
+            p = jnp.where(succ == NULL, gid, succ)
+            ml = jnp.minimum(gid, p)
+            for _ in range(steps):
+                ml = jnp.minimum(ml, _dist_gather(ml, p, n_shards, n_local))
+                p = _dist_gather(p, p, n_shards, n_local)
+            succ_at_p = _dist_gather(succ, p, n_shards, n_local)
+            in_cycle = succ_at_p != NULL
+            cut = in_cycle & (succ == ml)
+            # mark cycle heads: scatter via exchange — heads are succ[cut];
+            # reuse the gather machinery by gathering "am I a cut target"
+            # from the perspective of each node's pred... simpler: exchange a
+            # flag array via one all_to_all scatter round
+            tgt = jnp.where(cut, succ, NULL)
+            towner = jnp.clip(tgt // n_local, 0, n_shards - 1).astype(jnp.int32)
+            order2 = jnp.argsort(jnp.where(cut, towner, n_shards))
+            so2 = jnp.where(cut, towner, n_shards)[order2]
+            st2 = jnp.searchsorted(so2, jnp.arange(n_shards, dtype=so2.dtype))
+            col2 = jnp.arange(n_local, dtype=jnp.int32) - st2[jnp.clip(so2, 0, n_shards - 1)]
+            buf = jnp.full((n_shards, n_local), -1, jnp.int32).at[
+                jnp.where(so2 < n_shards, so2, n_shards),
+                jnp.clip(col2, 0, n_local - 1),
+            ].set(tgt[order2].astype(jnp.int32), mode="drop")
+            buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
+            my_base = me * n_local
+            flat2 = buf.reshape(-1)
+            loc = jnp.clip(flat2 - my_base, 0, n_local - 1)
+            cycle_head = jnp.zeros((n_local,), bool).at[
+                jnp.where(flat2 >= 0, loc, n_local)
+            ].set(True, mode="drop")
+            succ = jnp.where(cut, NULL, succ)
+
+            # forward doubling: terminal
+            p = jnp.where(succ == NULL, gid, succ)
+            for _ in range(steps):
+                p = _dist_gather(p, p, n_shards, n_local)
+            term = p
+            # pred via the same scatter-exchange
+            sowner3 = jnp.clip(succ // n_local, 0, n_shards - 1).astype(jnp.int32)
+            has = succ != NULL
+            order3 = jnp.argsort(jnp.where(has, sowner3, n_shards))
+            so3 = jnp.where(has, sowner3, n_shards)[order3]
+            st3 = jnp.searchsorted(so3, jnp.arange(n_shards, dtype=so3.dtype))
+            col3 = jnp.arange(n_local, dtype=jnp.int32) - st3[jnp.clip(so3, 0, n_shards - 1)]
+            bufS = jnp.full((n_shards, n_local, 2), -1, jnp.int32).at[
+                jnp.where(so3 < n_shards, so3, n_shards),
+                jnp.clip(col3, 0, n_local - 1),
+            ].set(
+                jnp.stack([succ[order3].astype(jnp.int32),
+                           gid[order3].astype(jnp.int32)], axis=-1),
+                mode="drop",
+            )
+            bufS = jax.lax.all_to_all(bufS, "sh", 0, 0, tiled=True)
+            flatT = bufS[..., 0].reshape(-1)
+            flatF = bufS[..., 1].reshape(-1)
+            locT = jnp.clip(flatT - my_base, 0, n_local - 1)
+            pred = jnp.full((n_local,), NULL, jnp.int32).at[
+                jnp.where(flatT >= 0, locT, n_local)
+            ].set(flatF, mode="drop")
+
+            ph = jnp.where(pred == NULL, gid, pred.astype(succ.dtype))
+            pos_d = (pred != NULL).astype(jnp.int64)
+            for _ in range(steps):
+                pos_d = pos_d + _dist_gather(pos_d, ph, n_shards, n_local)
+                ph = _dist_gather(ph, ph, n_shards, n_local)
+            head_of = ph
+            heads = pred == NULL
+            mt = term ^ 1
+            emit = valid & heads & jnp.where(cycle_head, gid % 2 == 0, gid <= mt)
+            last_base = (ov & jnp.uint64(3)).astype(jnp.int32)
+            return (
+                ov[None], last_base[None], head_of[None], pos_d[None], emit[None]
+            )
+
+        return jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P("sh"), P("sh"), P("sh"), P("sh"), P(None)),
+            out_specs=(P("sh"), P("sh"), P("sh"), P("sh"), P("sh")),
+        )(ovs, o_lefts, o_rights, valids, kb)
+
+    ovs = shard2d(ov)
+    o_lefts = shard2d(o_left)
+    o_rights = shard2d(o_right)
+    valids = shard2d(node_valid)
+    kb = jax.device_put(jnp.asarray(kmer_bounds), rep)
+    r_ov, r_last, r_head, r_pos, r_emit = run(ovs, o_lefts, o_rights, valids, kb)
+
+    counts2 = np.zeros(Np, np.int64)
+    counts2[:N] = counts
+    return _assemble(
+        np.asarray(r_ov).reshape(-1),
+        np.asarray(r_last).reshape(-1),
+        np.asarray(r_head).reshape(-1).astype(np.int64),
+        np.asarray(r_pos).reshape(-1),
+        np.asarray(r_emit).reshape(-1),
+        counts2, k,
+    )

@@ -148,3 +148,28 @@ def test_device_core_matches_numpy():
         assert got_np.seqs == got_dev.seqs, seed
         assert np.allclose(got_np.depths, got_dev.depths)
         assert _canon_set(got_dev.seqs) == oc.utgs()
+
+
+def test_sharded_traversal_matches_numpy():
+    """Distributed pointer doubling (all_to_all request/response rounds) ==
+    the single-device builder."""
+    import jax
+    from jax.sharding import Mesh
+    from mhm2_kmer_analysis_v2_tpu.contig import distributed
+
+    for n_shards, seed in ((2, 31), (4, 32), (8, 33)):
+        k = 21
+        reads = genome_reads(150, 70, genome_len=400, seed=seed, err=0.01)
+        oc = oracle_count(reads, k)
+        fin = oc.finalize()
+        items = sorted((kmer_to_val(s), c, l, r) for s, (c, l, r) in fin.items())
+        vals = np.array([v for v, _, _, _ in items], np.uint64)
+        counts = np.array([c for _, c, _, _ in items], np.int64)
+        code = {"A": 0, "C": 1, "G": 2, "T": 3}
+        left = np.array([code[l] for _, _, l, _ in items], np.int64)
+        right = np.array([code[r] for _, _, _, r in items], np.int64)
+        exp = utg.build_utgs(vals, counts, left, right, k)
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+        got = distributed.build_utgs_sharded(vals, counts, left, right, k, mesh)
+        assert sorted(got.seqs) == sorted(exp.seqs), (n_shards, seed)
+        assert _canon_set(got.seqs) == oc.utgs()
