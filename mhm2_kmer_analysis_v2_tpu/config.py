@@ -45,6 +45,9 @@ class Options:
     # TPU-native knobs (no reference analogue)
     batch_reads: int = 8192
     n_devices: int = 0  # 0 = all
+    # run the UU-tig traversal with the sharded collective builder instead of
+    # the host pointer-doubling (useful on real multi-chip meshes)
+    distributed_traversal: bool = False
 
     def all_read_groups(self) -> list:
         """Expand to a list of file-name lists: [f] interleaved, [f1,f2] pair."""
@@ -103,6 +106,7 @@ def parse_args(argv=None) -> Options:
                    help="resume in an existing output dir from its config + checkpoints")
     p.add_argument("--batch-reads", type=int, default=8192)
     p.add_argument("--n-devices", type=int, default=0)
+    p.add_argument("--distributed-traversal", action="store_true")
     p.add_argument("--config", default="", help="load options from a config file")
     a = p.parse_args(argv)
 
@@ -144,6 +148,7 @@ def parse_args(argv=None) -> Options:
         dump_kmers=a.dump_kmers,
         use_qf=a.use_qf,
         ctg_kmers=a.ctg_kmers,
+        distributed_traversal=a.distributed_traversal,
         sequencing_depth=a.sequencing_depth,
         batch_reads=a.batch_reads,
         n_devices=a.n_devices,

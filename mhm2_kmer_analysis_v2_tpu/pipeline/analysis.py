@@ -311,13 +311,20 @@ def contigging(fin, k: int, n_shards: int, options: Options):
             all_right.append(np.asarray(one.right_ext)[keep])
         vals = np.concatenate(all_vals)
         order = np.argsort(vals)
-        utgs = utg.build_utgs(
+        args_t = (
             vals[order],
             np.concatenate(all_counts)[order],
             np.concatenate(all_left)[order],
             np.concatenate(all_right)[order],
             k,
         )
+        if options.distributed_traversal:
+            from ..contig.distributed import build_utgs_sharded
+            from ..parallel import count_step as cs2
+
+            utgs = build_utgs_sharded(*args_t, mesh=cs2.make_mesh(options.n_devices or None))
+        else:
+            utgs = utg.build_utgs(*args_t)
     stage_timers.dbjg_traversal.stop()
     path = os.path.join(options.output_dir, f"uutigs-{k}.fasta")
     stage_timers.dump_ctgs.start()
