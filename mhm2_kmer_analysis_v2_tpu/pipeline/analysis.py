@@ -158,16 +158,21 @@ def analyze_kmers(
     if prev_ctgs and not multiword and not use_qf:
         from ..io.packed_reads import encode_batch
 
-        ctg_step = cs.make_ctg_step(
-            mesh, k=k, exchange_cap=exchange_cap if n_shards > 1 else 1,
-            dmin_thres=options.dmin_thres, m=m,
-        )
-        # long contigs are split into fixed windows with k+2 overlap: window
-        # interiors tile the contig's counted positions exactly (each window
-        # skips its first/last k-mer like any sequence; the overlap makes the
-        # neighbor's interior cover them) — the fixed-block analogue of the
-        # reference's 3 MB seq blocks (KCOUNT_SEQ_BLOCK_SIZE)
+        # long contigs are split into fixed windows with k+1-base overlap:
+        # window interiors tile the contig's counted positions exactly (each
+        # window skips its first/last k-mer like any sequence; the overlap
+        # makes the neighbor's interior cover them) — the fixed-block analogue
+        # of the reference's 3 MB seq blocks (KCOUNT_SEQ_BLOCK_SIZE)
         WC = max(max_len, 512)
+        # the ctg pass exchanges per-k-mer records: size its own capacity
+        ctg_positions = (batch // n_shards) * WC
+        ctg_cap = (
+            min(ctg_positions, 4 * (ctg_positions // n_shards + 1) + 4096)
+            if n_shards > 1 else 1
+        )
+        ctg_step = cs.make_ctg_step(
+            mesh, k=k, exchange_cap=ctg_cap, dmin_thres=options.dmin_thres, m=m,
+        )
         seqs, depths = [], []
         for s, d in prev_ctgs:
             if len(s) < k + 2:
