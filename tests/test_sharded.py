@@ -166,3 +166,27 @@ def test_supermer_exchange_equals_record_exchange():
     # and both equal the oracle
     exp = oracle_count(reads, k).finalize()
     assert _merged(fin2, k, n_shards) == exp
+
+
+def test_supermer_forced_splits():
+    """max_run=3 forces many window splits; results stay identical (the
+    halo-overlap convention holds across forced boundaries)."""
+    k = 21
+    reads = genome_reads(64, 90, genome_len=400, seed=101)
+    n_shards = 2  # few shards -> long same-owner runs -> many forced splits
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    sharding = NamedSharding(mesh, P("sh"))
+    args = (
+        jax.device_put(b.codes, sharding),
+        jax.device_put(b.badq, sharding),
+        jax.device_put(b.lengths, sharding),
+    )
+    s1 = cs.create_sharded(n_shards, 1 << 13, mesh=mesh)
+    s1 = cs.make_count_step(mesh, k=k, exchange_cap=b.codes.size)(s1, *args)
+    s2 = cs.create_sharded(n_shards, 1 << 13, mesh=mesh)
+    s2 = cs.make_count_step_supermer(mesh, k=k, exchange_cap=4096, max_run=3)(s2, *args)
+    assert int(np.sum(np.asarray(s2.overflow))) == 0
+    fin1 = cs.make_finalize(mesh)(s1)
+    fin2 = cs.make_finalize(mesh)(s2)
+    assert _merged(fin1, k, n_shards) == _merged(fin2, k, n_shards)
