@@ -211,6 +211,26 @@ def analyze_kmers(
     stage_timers.analyze_kmers.stop()
     comm_stats.end_stage()
 
+    # probe-length / load-factor report (flush_inserts, kcount_cpu.cpp:496-521)
+    if not multiword:
+        import jax.numpy as jnp
+
+        from ..table.shard_table import ShardTable as _ST, probe_stats
+
+        stats0 = probe_stats(_ST(
+            keys_hi=jnp.asarray(state.keys_hi)[0],
+            keys_lo=jnp.asarray(state.keys_lo)[0],
+            counts=jnp.asarray(state.counts)[0],
+            extc=jnp.asarray(state.extc)[0],
+            claim=jnp.asarray(state.claim)[0],
+            num_dropped=jnp.zeros((), jnp.int32),
+        ))
+        slog_verbose(
+            "  load factor: ", f"{stats0['load_factor']:.3f}",
+            ", probe lengths: ", f"{stats0['avg_probe']:.2f}", " avg, ",
+            stats0["max_probe"], " max (shard 0)",
+        )
+
     unique = int(np.sum(np.asarray(fin.num_kept)))
     total_sum = int(np.sum(np.asarray(fin.sum_counts)))
     avg_count = total_sum / unique if unique else 0.0

@@ -114,6 +114,34 @@ def create(max_elems: int, load_factor: float = TARGET_LOAD_FACTOR) -> ShardTabl
     )
 
 
+def probe_stats(table: ShardTable) -> dict:
+    """Final-contents probe statistics — the load-factor / probe-length
+    report of HashTableInserter::flush_inserts (kcount_cpu.cpp:496-521),
+    derived from slot displacement (no per-insert state needed): each
+    occupied slot's probe length is its linear distance from the key's home
+    slot, mod capacity."""
+    cap = table.capacity
+    hi = np.asarray(table.keys_hi)
+    lo = np.asarray(table.keys_lo)
+    occ = (hi != 0xFFFFFFFF) | (lo != 0xFFFFFFFF)
+    n = int(occ.sum())
+    if n == 0:
+        return {"occupied": 0, "load_factor": 0.0, "avg_probe": 0.0, "max_probe": 0}
+    import jax.numpy as _jnp
+
+    home = np.asarray(
+        slot_hash(_jnp.asarray(hi[occ]), _jnp.asarray(lo[occ])) % U32(cap)
+    ).astype(np.int64)
+    slot = np.nonzero(occ)[0].astype(np.int64)
+    dist = (slot - home) % cap + 1  # 1-based like the reference's probe count
+    return {
+        "occupied": n,
+        "load_factor": n / cap,
+        "avg_probe": float(dist.mean()),
+        "max_probe": int(dist.max()),
+    }
+
+
 def _probe_round(tbl, recs):
     """One synchronized probe sweep over all active lanes.
 

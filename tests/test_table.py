@@ -151,3 +151,16 @@ def test_saturation():
     vals, counts, left, right = shard_table.compact_to_host(fin)
     assert len(counts) == 1
     assert counts[0] == 65535
+
+
+def test_probe_stats():
+    k = 21
+    reads = genome_reads(60, 70, genome_len=400, seed=5)
+    table = _insert_reads(reads, k)
+    from mhm2_kmer_analysis_v2_tpu.table.shard_table import probe_stats
+
+    st = probe_stats(table)
+    assert st["occupied"] == len(oracle_count(reads, k).table)
+    assert 0 < st["load_factor"] < 1
+    assert st["avg_probe"] >= 1.0
+    assert st["max_probe"] >= 1
