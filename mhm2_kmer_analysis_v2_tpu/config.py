@@ -48,6 +48,9 @@ class Options:
     # run the UU-tig traversal with the sharded collective builder instead of
     # the host pointer-doubling (useful on real multi-chip meshes)
     distributed_traversal: bool = False
+    # jax.profiler trace dir for the count stage (SURVEY §5.1 tracing; empty
+    # = off) — the xprof/GASNet-trace analogue
+    xprof_dir: str = ""
 
     def all_read_groups(self) -> list:
         """Expand to a list of file-name lists: [f] interleaved, [f1,f2] pair."""
@@ -107,6 +110,8 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--batch-reads", type=int, default=8192)
     p.add_argument("--n-devices", type=int, default=0)
     p.add_argument("--distributed-traversal", action="store_true")
+    p.add_argument("--xprof", default="",
+                   help="write a jax.profiler trace of the count stage to this dir")
     p.add_argument("--config", default="", help="load options from a config file")
     a = p.parse_args(argv)
 
@@ -149,6 +154,7 @@ def parse_args(argv=None) -> Options:
         use_qf=a.use_qf,
         ctg_kmers=a.ctg_kmers,
         distributed_traversal=a.distributed_traversal,
+        xprof_dir=a.xprof,
         sequencing_depth=a.sequencing_depth,
         batch_reads=a.batch_reads,
         n_devices=a.n_devices,

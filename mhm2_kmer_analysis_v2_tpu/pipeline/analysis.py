@@ -124,6 +124,9 @@ def analyze_kmers(
 
     comm_stats.begin_stage(f"analyze_kmers k={k}")
     stage_timers.analyze_kmers.start()
+    profiling = bool(getattr(options, "xprof_dir", ""))
+    if profiling:
+        jax.profiler.start_trace(options.xprof_dir)
     num_reads = 0
     total_reads = len(pr)
     a2a_bytes = 3 * n_shards * n_shards * exchange_cap * 4 if n_shards > 1 else 0
@@ -208,6 +211,8 @@ def analyze_kmers(
     fin = finalize(state)
     num_dropped = int(np.sum(np.asarray(state.num_dropped)))
     num_overflow = int(np.sum(np.asarray(state.overflow)))
+    if profiling:
+        jax.profiler.stop_trace()
     stage_timers.analyze_kmers.stop()
     comm_stats.end_stage()
 
