@@ -75,8 +75,14 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
     Np = n2p // 2
     kmer_bounds = np.empty(n_shards, np.uint64)
     for s in range(n_shards):
-        first_kmer = min((s * n_local) // 2, N - 1)
-        kmer_bounds[s] = vals[first_kmer]
+        first_kmer = (s * n_local) // 2
+        if first_kmer >= N:
+            # shard holds only padding: sentinel above every real canonical
+            # k-mer (canonical = min(v, rc(v)) can never be all-ones), so
+            # searchsorted never routes a real query here
+            kmer_bounds[s] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        else:
+            kmer_bounds[s] = vals[first_kmer]
 
     vals_p = np.full(Np, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
     vals_p[:N] = vals

@@ -158,6 +158,12 @@ def analyze_kmers(
         print("\rProcessing reads to count kmers: 100%")
 
     # contig-kmer pass (add_ctg_kmers; only with --ctg-kmers and k <= 32)
+    if prev_ctgs and (multiword or use_qf):
+        slog(
+            "WARNING: --ctg-kmers carryover is not implemented for ",
+            "k > 32" if multiword else "--use-qf",
+            " rounds; skipping the contig-kmer pass for k = ", k,
+        )
     if prev_ctgs and not multiword and not use_qf:
         from ..io.packed_reads import encode_batch
 

@@ -147,6 +147,7 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     promote = jnp.zeros((R,), bool) & valid
     replayer = jnp.zeros((R,), bool) & valid
     stored = jnp.zeros((R,), bool) & valid
+    give_up = jnp.zeros((R,), bool) & valid
     pslot = jnp.full((R,), fcap, jnp.int32) + zero_v
 
     def lookup_cond(state):
@@ -207,9 +208,10 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
         stored = stored | won
         # lanes without any free slot give up (handled by the main-table
         # fallback); claim losers retry next attempt
+        give_up = give_up | (f_active & ~matched & (free_slot == fcap))
         f_active = f_active & ~matched & ~won & (free_slot < fcap)
 
-    f_left = f_active | phase1_exhausted
+    f_left = f_active | phase1_exhausted | give_up
 
     # replay contributions (gather before clearing)
     rmeta = jnp.where(replayer, fmeta[jnp.where(replayer, pslot, 0)], 0)

@@ -215,10 +215,17 @@ int32_t knat_merge_pair(const char* seq1, const char* q1, int32_t len1,
                         int32_t qual_offset, char* out_seq, char* out_quals) {
   if (len1 > 65535 || len2 > 65535) return -4;
   static thread_local char rc2_buf[65536], rq2_buf[65536];
+  // Any non-ACGT (N or other IUPAC codes — revcomp maps those to N too)
+  // takes the exact scalar path; screening only 'N' would let revcomp'd
+  // IUPAC-born Ns slip through the N-free scan.
+  auto is_acgt = [](char c) {
+    return c == 'A' || c == 'C' || c == 'G' || c == 'T' ||
+           c == 'a' || c == 'c' || c == 'g' || c == 't';
+  };
   for (int32_t i = 0; i < len1; i++)
-    if (seq1[i] == 'N' || seq1[i] == 'n') return -4;
+    if (!is_acgt(seq1[i])) return -4;
   for (int32_t i = 0; i < len2; i++)
-    if (seq2[i] == 'N' || seq2[i] == 'n') return -4;
+    if (!is_acgt(seq2[i])) return -4;
   if (knat_revcomp(seq2, len2, rc2_buf)) return -4;
   for (int32_t i = 0; i < len2; i++) rq2_buf[i] = q2[len2 - 1 - i];
   for (int32_t i = 0; i < len1; i++) {

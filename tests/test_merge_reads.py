@@ -125,3 +125,23 @@ def test_many_ns_abort():
     stats = MergeStats()
     merged, _, _ = merge_pair("".join(s), _quals(100), seq2, _quals(100), 33, stats)
     assert not merged  # Ncount > 3 aborts (merge_reads.cpp:545-549)
+
+
+def test_iupac_codes_use_scalar_path():
+    """Regression: non-ACGT IUPAC codes (R, Y, ...) revcomp to N, so the
+    native fast path must decline the pair (-4) and let the exact scalar
+    N-handling run — previously only literal 'N' was screened."""
+    g = _mk_genome(150, seed=10)
+    for mutate_first in (True, False):
+        seq1 = g[:100]
+        seq2 = revcomp(g[50:150])
+        if mutate_first:
+            seq1 = seq1[:70] + "R" + seq1[71:]
+        else:
+            seq2 = seq2[:30] + "Y" + seq2[31:]
+        q1, q2 = _quals(100), _quals(100)
+        stats = MergeStats()
+        got = merge_pair(seq1, q1, seq2, q2, 33, stats)
+        rc2 = revcomp(seq2)
+        exp = _merge_scalar(seq1, q1, rc2, q2[::-1], 33, MergeStats())
+        assert got == exp, mutate_first

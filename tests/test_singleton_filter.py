@@ -119,3 +119,41 @@ def test_qf_pipeline_end_to_end(tmp_path):
     r_qf = run_pipeline(Options(output_dir=str(tmp_path / "o2"), use_qf=True, **base))
     assert r_qf[0].unique_kmers == r_plain[0].unique_kmers
     assert r_qf[0].total_kmer_count_sum == r_plain[0].total_kmer_count_sum
+
+
+def test_qf_saturated_filter_falls_back_to_main_table():
+    """Regression: lanes that find NO free filter slot (filter saturated)
+    must take the direct main-table insert, not vanish (previously they were
+    dropped from f_active before the fallback mask was computed)."""
+    k = 21
+    reads = random_reads(30, 60, 60, seed=77)
+    flat = _flat(reads, k)
+    # dedupe on host so both modes see an identical duplicate-free stream
+    hi = np.asarray(flat["canon_hi"], np.uint64)
+    lo = np.asarray(flat["canon_lo"], np.uint64)
+    valid = np.asarray(flat["valid"])
+    key = (hi << np.uint64(32)) | lo
+    _, first = np.unique(np.where(valid, key, np.uint64(0)), return_index=True)
+    keep = np.zeros(len(key), bool)
+    keep[first] = True
+    valid = valid & keep
+    fv = {kk: jnp.asarray(v) for kk, v in flat.items()}
+    fv["valid"] = jnp.asarray(valid)
+    one = jnp.ones_like(fv["left"])
+
+    plain = shard_table.create(1 << 13)
+    qf = shard_table.create(1 << 13)
+    filt = sf.create_filter(48)  # ~1100 distinct kmers >> filter capacity
+    for _ in range(2):  # second pass: every kmer seen twice
+        plain = shard_table.insert_batch(
+            plain, fv["canon_hi"], fv["canon_lo"], fv["left"],
+            fv["right"], one, fv["valid"],
+        )
+        qf, filt = sf.insert_batch_qf(
+            qf, filt, fv["canon_hi"], fv["canon_lo"], fv["left"],
+            fv["right"], one, fv["valid"],
+        )
+    exp = _fin_dict(plain, k)
+    got = _fin_dict(qf, k)
+    assert len(exp) > 250  # the stream really is big vs the 48-slot filter
+    assert got == exp

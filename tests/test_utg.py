@@ -173,3 +173,32 @@ def test_sharded_traversal_matches_numpy():
         got = distributed.build_utgs_sharded(vals, counts, left, right, k, mesh)
         assert sorted(got.seqs) == sorted(exp.seqs), (n_shards, seed)
         assert _canon_set(got.seqs) == oc.utgs()
+
+
+def test_sharded_traversal_tiny_n_padded_shards():
+    """Regression: with N so small that some shards hold only padding, the
+    owner-routing bounds must not alias the last real shard (padding shards
+    previously inherited vals[N-1] as their bound, stealing the largest
+    k-mers' successor lookups and dropping edges)."""
+    import jax
+    from jax.sharding import Mesh
+    from mhm2_kmer_analysis_v2_tpu.contig import distributed
+
+    k = 21
+    for seed in range(6):
+        # tiny genomes -> N ~ 5-15 distinct kept kmers on 8 shards
+        reads = genome_reads(40, 32, genome_len=32, seed=100 + seed)
+        oc = oracle_count(reads, k)
+        fin = oc.finalize()
+        if not fin:
+            continue
+        items = sorted((kmer_to_val(s), c, l, r) for s, (c, l, r) in fin.items())
+        vals = np.array([v for v, _, _, _ in items], np.uint64)
+        counts = np.array([c for _, c, _, _ in items], np.int64)
+        code = {"A": 0, "C": 1, "G": 2, "T": 3}
+        left = np.array([code[l] for _, _, l, _ in items], np.int64)
+        right = np.array([code[r] for _, _, _, r in items], np.int64)
+        exp = utg.build_utgs(vals, counts, left, right, k)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sh",))
+        got = distributed.build_utgs_sharded(vals, counts, left, right, k, mesh)
+        assert sorted(got.seqs) == sorted(exp.seqs), (seed, len(vals))
