@@ -15,9 +15,14 @@ dense, fixed-capacity `jax.lax.all_to_all` exchange over the device mesh:
   4. each shard runs the vectorized insert (table/shard_table.py).
 
 The three-tier (rank->node->network) aggregation is subsumed by XLA's
-hierarchical all_to_all over ICI vs DCN.  Buffer overflow (more records for
-one destination than `cap`) is counted and reported rather than silently
-dropped.  With one shard the bucketing and exchange are bypassed entirely.
+hierarchical all_to_all over ICI vs DCN.  The exchange is LOSSLESS under
+arbitrary skew: when any destination has more records than `cap`, the step
+runs additional spill rounds (one all_to_all each, uniform trip count via
+pmax) until every queue drains — the collective-loop analogue of
+ThreeTierAggrStore's backpressure (src/kcount/kmer_dht.cpp:247-258).
+--max-rpcs-in-flight bounds the rounds; only then can records be dropped,
+and they are counted in `overflow`.  With one shard the bucketing and
+exchange are bypassed entirely.
 """
 
 from __future__ import annotations
@@ -45,7 +50,8 @@ class ShardedState(NamedTuple):
     extc: jax.Array
     claim: jax.Array
     num_dropped: jax.Array
-    overflow: jax.Array  # records lost to exchange-buffer overflow
+    overflow: jax.Array  # records lost ONLY when --max-rpcs-in-flight caps rounds
+    spill_rounds: jax.Array  # extra exchange rounds beyond the first (skew signal)
 
 
 def create_sharded(n_shards: int, max_elems_per_shard: int, mesh: Mesh | None = None) -> ShardedState:
@@ -62,6 +68,7 @@ def create_sharded(n_shards: int, max_elems_per_shard: int, mesh: Mesh | None = 
         claim=rep(one.claim),
         num_dropped=jnp.zeros((n_shards,), jnp.int32),
         overflow=jnp.zeros((n_shards,), jnp.int32),
+        spill_rounds=jnp.zeros((n_shards,), jnp.int32),
     )
     if mesh is not None:
         sharding = jax.sharding.NamedSharding(mesh, P("sh"))
@@ -77,6 +84,7 @@ _STATE_SPEC = ShardedState(
     claim=P("sh", None),
     num_dropped=P("sh"),
     overflow=P("sh"),
+    spill_rounds=P("sh"),
 )
 
 
@@ -102,24 +110,50 @@ def _pack_meta(left, right, cnt, valid):
     return jnp.where(valid, meta, 0)
 
 
-def _bucketize(hi, lo, meta, target, valid, n_shards: int, cap: int):
-    """Sort records by destination shard and pack into [n_shards, cap]
-    buffers — the vectorized replacement for ThreeTierAggrStore's
-    per-destination Supermer buffers."""
-    R = hi.shape[0]
+def _round_exchange(planes, target, valid, n_shards: int, cap: int,
+                    insert_fn, carry, max_rounds: int = 0):
+    """Lossless owner exchange: sort records by destination ONCE, then ship
+    successive cap-sized windows per destination — one all_to_all per round —
+    until every destination's queue drains.  This is the no-drop contract of
+    the reference's ThreeTierAggrStore backpressure (src/kcount/
+    kmer_dht.cpp:247-258) rebuilt as a collective loop whose trip count is
+    made uniform across devices with a pmax.
+
+    planes: list of [R] record planes (uint32/int32, shipped bit-cast u32).
+    insert_fn(carry, *received_planes) -> carry runs per round on the
+    receiver; received planes are [n_shards * cap] u32 with zero padding.
+    max_rounds > 0 bounds the rounds (--max-rpcs-in-flight); only then can
+    records drop, counted in the returned overflow.
+
+    Returns (carry, spill_rounds, overflow) — spill_rounds = rounds - 1.
+    """
+    R = target.shape[0]
+    nplanes = len(planes)
     sort_key = jnp.where(valid, target, n_shards)
     order = jnp.argsort(sort_key)
     tgt = sort_key[order]
-    starts = jnp.searchsorted(tgt, jnp.arange(n_shards, dtype=tgt.dtype))
-    col = jnp.arange(R, dtype=jnp.int32) - starts[jnp.clip(tgt, 0, n_shards - 1)]
-    overflow = jnp.sum((col >= cap) & (tgt < n_shards)).astype(jnp.int32)
-    in_range = (col < cap) & (tgt < n_shards)
-    row = jnp.where(in_range, tgt, n_shards)  # out-of-range -> dropped
-    col = jnp.clip(col, 0, cap - 1)
-    buf_hi = jnp.zeros((n_shards, cap), U32).at[row, col].set(hi[order], mode="drop")
-    buf_lo = jnp.zeros((n_shards, cap), U32).at[row, col].set(lo[order], mode="drop")
-    buf_meta = jnp.zeros((n_shards, cap), jnp.int32).at[row, col].set(meta[order], mode="drop")
-    return buf_hi, buf_lo, buf_meta, overflow
+    sp = [p[order].astype(U32) for p in planes]
+    bounds = jnp.searchsorted(tgt, jnp.arange(n_shards + 1, dtype=tgt.dtype))
+    col = jnp.arange(R, dtype=jnp.int32) - bounds[jnp.clip(tgt, 0, n_shards - 1)].astype(jnp.int32)
+    max_dest = jnp.max(bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    rounds = jax.lax.pmax((max_dest + cap - 1) // cap, "sh")
+    if max_rounds:
+        rounds = jnp.minimum(rounds, max_rounds)
+    overflow = jnp.sum((col >= rounds * cap) & (tgt < n_shards)).astype(jnp.int32)
+
+    def body(r, carry):
+        in_range = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
+        row = jnp.where(in_range, tgt, n_shards)
+        ccol = jnp.clip(col - r * cap, 0, cap - 1)
+        buf = jnp.zeros((n_shards, nplanes, cap), U32)
+        for p_i, p in enumerate(sp):
+            buf = buf.at[row, p_i, ccol].set(p, mode="drop")
+        buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
+        received = [buf[:, p_i, :].reshape(-1) for p_i in range(nplanes)]
+        return insert_fn(carry, *received)
+
+    carry = jax.lax.fori_loop(0, rounds, body, carry)
+    return carry, jnp.maximum(rounds - 1, 0).astype(jnp.int32), overflow
 
 
 def _insert_from_buffers(table: ShardTable, hi, lo, meta) -> ShardTable:
@@ -130,7 +164,8 @@ def _insert_from_buffers(table: ShardTable, hi, lo, meta) -> ShardTable:
     return shard_table.insert_batch(table, hi, lo, left, right, cnt, valid)
 
 
-def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None):
+def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
+                    max_rounds: int = 0):
     """Build the jitted sharded count step for a device mesh with axis 'sh'.
 
     Returns step(state, codes, badq, lengths) -> state where codes/badq/
@@ -146,19 +181,15 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
         meta = _pack_meta(flat["left"], flat["right"], cnt, flat["valid"])
         local = _local_table(state)
         if n_shards > 1:
-            buf_hi, buf_lo, buf_meta, overflow = _bucketize(
-                flat["canon_hi"], flat["canon_lo"], meta, flat["target"],
-                flat["valid"], n_shards, exchange_cap,
-            )
-            # deliver: row j of the result = what device j sent to me
-            buf_hi = jax.lax.all_to_all(buf_hi, "sh", 0, 0, tiled=True)
-            buf_lo = jax.lax.all_to_all(buf_lo, "sh", 0, 0, tiled=True)
-            buf_meta = jax.lax.all_to_all(buf_meta, "sh", 0, 0, tiled=True)
-            local = _insert_from_buffers(
-                local, buf_hi.reshape(-1), buf_lo.reshape(-1), buf_meta.reshape(-1)
+            def ins(tbl, rhi, rlo, rmeta):
+                return _insert_from_buffers(tbl, rhi, rlo, rmeta.astype(jnp.int32))
+
+            local, spill, overflow = _round_exchange(
+                [flat["canon_hi"], flat["canon_lo"], meta], flat["target"],
+                flat["valid"], n_shards, exchange_cap, ins, local, max_rounds,
             )
         else:
-            overflow = jnp.zeros((), jnp.int32)
+            spill = overflow = jnp.zeros((), jnp.int32)
             local = _insert_from_buffers(
                 local, flat["canon_hi"], flat["canon_lo"], meta
             )
@@ -170,6 +201,7 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
             claim=local.claim[None],
             num_dropped=local.num_dropped[None],
             overflow=(state.overflow[0] + overflow)[None],
+            spill_rounds=(state.spill_rounds[0] + spill)[None],
         )
 
     mapped = jax.shard_map(
@@ -241,13 +273,15 @@ def unpack_batch(code2, nmask, badq_bits, max_len: int):
 
 
 def make_packed_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
-                           max_len: int, supermers: bool = False):
+                           max_len: int, supermers: bool = False, max_rounds: int = 0):
     """Count step taking bit-packed input planes (see ReadBatch.pack); with
     `supermers` the multi-shard exchange uses the compressed supermer wire."""
     if supermers and mesh.shape["sh"] > 1:
-        inner = make_count_step_supermer(mesh, k=k, exchange_cap=exchange_cap, m=m)
+        inner = make_count_step_supermer(mesh, k=k, exchange_cap=exchange_cap, m=m,
+                                         max_rounds=max_rounds)
     else:
-        inner = make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m)
+        inner = make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m,
+                                max_rounds=max_rounds)
     n_shards = mesh.shape["sh"]
 
     def per_device_unpack(code2, nmask, badq_bits):
@@ -276,7 +310,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def make_ctg_step(mesh: Mesh, *, k: int, exchange_cap: int, dmin_thres: int = 2,
-                  m: int | None = None):
+                  m: int | None = None, max_rounds: int = 0):
     """Contig-kmer pass (the add_ctg_kmers stage, src/kcount/kcount.cpp:106-140,
     unreachable in the reference proxy; enabled here with --ctg-kmers): routes
     the previous round's contig k-mers with their depths and applies the
@@ -291,24 +325,22 @@ def make_ctg_step(mesh: Mesh, *, k: int, exchange_cap: int, dmin_thres: int = 2,
         cnt = jnp.repeat(depths.astype(jnp.int32), L)
         meta = _pack_meta(flat["left"], flat["right"], cnt, flat["valid"])
         local = _local_table(state)
-        if n_shards > 1:
-            buf_hi, buf_lo, buf_meta, overflow = _bucketize(
-                flat["canon_hi"], flat["canon_lo"], meta, flat["target"],
-                flat["valid"], n_shards, exchange_cap,
+
+        def ins(tbl, rhi, rlo, rmeta):
+            rmeta = rmeta.astype(jnp.int32)
+            return shard_table.insert_ctg_batch(
+                tbl, rhi, rlo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
+                rmeta != 0, lut_rep,
             )
-            buf_hi = jax.lax.all_to_all(buf_hi, "sh", 0, 0, tiled=True)
-            buf_lo = jax.lax.all_to_all(buf_lo, "sh", 0, 0, tiled=True)
-            buf_meta = jax.lax.all_to_all(buf_meta, "sh", 0, 0, tiled=True)
-            rhi, rlo, rmeta = (
-                buf_hi.reshape(-1), buf_lo.reshape(-1), buf_meta.reshape(-1)
+
+        if n_shards > 1:
+            local, spill, overflow = _round_exchange(
+                [flat["canon_hi"], flat["canon_lo"], meta], flat["target"],
+                flat["valid"], n_shards, exchange_cap, ins, local, max_rounds,
             )
         else:
-            overflow = jnp.zeros((), jnp.int32)
-            rhi, rlo, rmeta = flat["canon_hi"], flat["canon_lo"], meta
-        local = shard_table.insert_ctg_batch(
-            local, rhi, rlo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
-            rmeta != 0, lut_rep,
-        )
+            spill = overflow = jnp.zeros((), jnp.int32)
+            local = ins(local, flat["canon_hi"], flat["canon_lo"], meta)
         return ShardedState(
             keys_hi=local.keys_hi[None],
             keys_lo=local.keys_lo[None],
@@ -317,6 +349,7 @@ def make_ctg_step(mesh: Mesh, *, k: int, exchange_cap: int, dmin_thres: int = 2,
             claim=local.claim[None],
             num_dropped=local.num_dropped[None],
             overflow=(state.overflow[0] + overflow)[None],
+            spill_rounds=(state.spill_rounds[0] + spill)[None],
         )
 
     mapped = jax.jit(
@@ -347,7 +380,8 @@ def _supermer_words(k: int, max_run: int) -> tuple:
 
 
 def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
-                             m: int | None = None, max_run: int = 16):
+                             m: int | None = None, max_run: int = 16,
+                             max_rounds: int = 0):
     """Sharded count step exchanging SUPERMERS instead of per-k-mer records.
 
     This is the reference's Supermer wire format (src/kcount/kmer_dht.hpp:78-90,
@@ -364,6 +398,12 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
     exchange.  Wire cost ~24 B/supermer vs 12 B/k-mer — a 2-3x traffic
     reduction at typical 4-6-k-mer runs, matching the reference's logged
     supermer compression (kcount_cpu.cpp:107-112).
+
+    Like the record exchange, delivery is LOSSLESS: supermers are sorted by
+    destination once, and cap-sized per-destination windows ship in spill
+    rounds (uniform trip count via pmax) until all queues drain.  Each
+    round's windows are compacted with a fixed-size nonzero so pack/gather
+    cost stays O(n_shards * cap) per round.
     """
     n_shards = mesh.shape["sh"]
     assert n_shards > 1, "supermer exchange only makes sense with >1 shard"
@@ -398,91 +438,112 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
         )
         run_len_max = jnp.where(flat_v, idx - run_start_idx + 1, 0)
 
-        # compact supermer starts
-        S = exchange_cap * n_shards  # upper bound on shipped supermers
-        sidx = jnp.nonzero(start, size=S, fill_value=0)[0]
-        n_runs = jnp.sum(start).astype(jnp.int32)
-        lost_runs = jnp.maximum(n_runs - S, 0)
-        s_ok = jnp.arange(S, dtype=jnp.int32) < jnp.minimum(n_runs, S)
-        # run length = max over the run of run_len_max: gather at (next start-1)
-        # simpler: scatter-max of run_len_max into run slots
+        # per-run arrays, R-sized (every run covers >= 1 position so the run
+        # count is bounded by R); run id = rank of the run's start position
         run_slot_of_pos = jnp.cumsum(start.astype(jnp.int32)) - 1
-        run_slot_of_pos = jnp.where(flat_v, run_slot_of_pos, S)
-        run_len = jnp.zeros((S,), jnp.int32).at[run_slot_of_pos].max(
+        run_slot_of_pos = jnp.where(flat_v, run_slot_of_pos, R)
+        n_runs = jnp.sum(start).astype(jnp.int32)
+        run_len = jnp.zeros((R,), jnp.int32).at[run_slot_of_pos].max(
             run_len_max, mode="drop"
         )
         run_len = jnp.minimum(run_len, max_run)
-        s_target = flat_t[sidx]
+        slot_of_start = jnp.where(start, run_slot_of_pos, R)
+        run_start = jnp.zeros((R,), jnp.int32).at[slot_of_start].set(idx, mode="drop")
+        run_tgt = jnp.full((R,), n_shards, jnp.int32).at[slot_of_start].set(
+            flat_t.astype(jnp.int32), mode="drop"
+        )
 
-        # gather + pack base windows (start-1 .. start-1+SB)
+        # sort runs by destination once; rounds peel cap-sized windows
+        run_ok = idx < n_runs
+        key = jnp.where(run_ok, run_tgt, n_shards)
+        order = jnp.argsort(key)
+        tgt = key[order]
+        bounds = jnp.searchsorted(tgt, jnp.arange(n_shards + 1, dtype=tgt.dtype))
+        col = idx - bounds[jnp.clip(tgt, 0, n_shards - 1)].astype(jnp.int32)
+        max_dest = jnp.max(bounds[1:] - bounds[:-1]).astype(jnp.int32)
+        cap = exchange_cap
+        rounds = jax.lax.pmax((max_dest + cap - 1) // cap, "sh")
+        if max_rounds:
+            rounds = jnp.minimum(rounds, max_rounds)
+        # overflow counts LOST K-MERS (records), not runs
+        sorted_len = run_len[order]
+        lost = (col >= rounds * cap) & (tgt < n_shards)
+        overflow = jnp.sum(jnp.where(lost, sorted_len, 0)).astype(jnp.int32)
+
         codes_g = jnp.where(codes >= 4, 2, codes).astype(jnp.uint32).reshape(-1)
         ext_inv = (badq | (codes >= 4)).reshape(-1)
-        row_of = sidx // L
-        col0 = (sidx % L) - 1
         offs = jnp.arange(SB, dtype=jnp.int32)
-        gcols = jnp.clip(col0[:, None] + offs[None, :], 0, L - 1)
-        gidx = row_of[:, None] * L + gcols
-        win_codes = codes_g[gidx]  # [S, SB]
-        win_inv = ext_inv[gidx]
-        # pack: base j -> word j//16, bits 2*(j%16) (little-endian in word)
         word_of = offs // 16
         shift_of = (offs % 16) * 2
-        bwords = []
-        for w in range(BW):
-            sel = word_of == w
-            vals = jnp.where(sel[None, :], win_codes << shift_of[None, :].astype(jnp.uint32), 0)
-            bwords.append(jnp.sum(vals, axis=1, dtype=jnp.uint32))
         mword_of = offs // 32
         mshift = offs % 32
-        mwords = []
-        for w in range(MW):
-            sel = mword_of == w
-            vals = jnp.where(sel[None, :] & win_inv, jnp.uint32(1) << mshift[None, :].astype(jnp.uint32), 0)
-            mwords.append(jnp.sum(vals, axis=1, dtype=jnp.uint32))
-        meta = jnp.where(s_ok, run_len | (1 << 8), 0)  # count=1 in bits 8+
-        planes = jnp.stack(bwords + mwords + [meta.astype(jnp.uint32)], axis=0)  # [W, S]
+        Scap = n_shards * cap  # per-round compact window count
+        Wn = BW + MW + 1
 
-        # bucketize supermers by target
-        Wn = planes.shape[0]
-        sort_key = jnp.where(s_ok, s_target, n_shards)
-        order = jnp.argsort(sort_key)
-        tgt = sort_key[order]
-        starts_b = jnp.searchsorted(tgt, jnp.arange(n_shards, dtype=tgt.dtype))
-        col = jnp.arange(S, dtype=jnp.int32) - starts_b[jnp.clip(tgt, 0, n_shards - 1)]
-        overflow = jnp.sum((col >= exchange_cap) & (tgt < n_shards)).astype(jnp.int32)
-        in_range = (col < exchange_cap) & (tgt < n_shards)
-        row = jnp.where(in_range, tgt, n_shards)
-        col = jnp.clip(col, 0, exchange_cap - 1)
-        buf = jnp.zeros((n_shards, Wn, exchange_cap), jnp.uint32)
-        for w in range(Wn):
-            buf = buf.at[row, w, col].set(planes[w][order], mode="drop")
-        buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
+        def body(r, local):
+            in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
+            sel = jnp.nonzero(in_r, size=Scap, fill_value=R)[0]
+            ok = sel < R
+            sel_c = jnp.clip(sel, 0, R - 1)
+            rid = order[sel_c]
+            s_start = run_start[rid]
+            s_len = jnp.where(ok, run_len[rid], 0)
+            s_row = jnp.where(ok, tgt[sel_c], n_shards)
+            s_col = jnp.clip(col[sel_c] - r * cap, 0, cap - 1)
 
-        # receiver: unpack supermers into windows, re-extract k-mers, insert
-        rS = n_shards * exchange_cap
-        rplanes = buf.transpose(1, 0, 2).reshape(Wn, rS)
-        rmeta = rplanes[Wn - 1]
-        rlen = (rmeta & 0xFF).astype(jnp.int32)
-        rcount = (rmeta >> 8).astype(jnp.int32)
-        rb = [rplanes[w] for w in range(BW)]
-        rm = [rplanes[BW + w] for w in range(MW)]
-        base_cols, inv_cols = [], []
-        for j in range(SB):
-            w, sh = j // 16, (j % 16) * 2
-            base_cols.append(((rb[w] >> jnp.uint32(sh)) & jnp.uint32(3)).astype(jnp.int32))
-            mw_, msh = j // 32, j % 32
-            inv_cols.append(((rm[mw_] >> jnp.uint32(msh)) & jnp.uint32(1)).astype(bool))
-        rcodes = jnp.stack(base_cols, axis=1)  # [rS, SB]
-        rinv = jnp.stack(inv_cols, axis=1)
-        rlengths = jnp.where(rlen > 0, rlen + k + 1, 0)
-        sub = kmer_records(rcodes, rinv, rlengths, k=k, n_shards=1)
-        fl = {kk: v.reshape(-1) for kk, v in sub.items()}
-        cnt = jnp.repeat(rcount, SB)
-        local = _local_table(state)
-        local = shard_table.insert_batch(
-            local, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
-            cnt, fl["valid"] & (cnt > 0),
-        )
+            # gather + pack base windows (start-1 .. start-1+SB)
+            row_of = s_start // L
+            col0 = (s_start % L) - 1
+            gcols = jnp.clip(col0[:, None] + offs[None, :], 0, L - 1)
+            gidx = row_of[:, None] * L + gcols
+            win_codes = codes_g[gidx]  # [Scap, SB]
+            win_inv = ext_inv[gidx]
+            # pack: base j -> word j//16, bits 2*(j%16) (little-endian in word)
+            bwords = []
+            for w in range(BW):
+                selw = word_of == w
+                vals = jnp.where(selw[None, :], win_codes << shift_of[None, :].astype(jnp.uint32), 0)
+                bwords.append(jnp.sum(vals, axis=1, dtype=jnp.uint32))
+            mwords = []
+            for w in range(MW):
+                selw = mword_of == w
+                vals = jnp.where(selw[None, :] & win_inv, jnp.uint32(1) << mshift[None, :].astype(jnp.uint32), 0)
+                mwords.append(jnp.sum(vals, axis=1, dtype=jnp.uint32))
+            meta = jnp.where(ok, s_len | (1 << 8), 0)  # count=1 in bits 8+
+            planes = jnp.stack(bwords + mwords + [meta.astype(jnp.uint32)], axis=0)
+
+            buf = jnp.zeros((n_shards, Wn, cap), jnp.uint32)
+            for w in range(Wn):
+                buf = buf.at[s_row, w, s_col].set(planes[w], mode="drop")
+            buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
+
+            # receiver: unpack supermers into windows, re-extract k-mers, insert
+            rS = n_shards * cap
+            rplanes = buf.transpose(1, 0, 2).reshape(Wn, rS)
+            rmeta = rplanes[Wn - 1]
+            rlen = (rmeta & 0xFF).astype(jnp.int32)
+            rcount = (rmeta >> 8).astype(jnp.int32)
+            rb = [rplanes[w] for w in range(BW)]
+            rm = [rplanes[BW + w] for w in range(MW)]
+            base_cols, inv_cols = [], []
+            for j in range(SB):
+                w, sh = j // 16, (j % 16) * 2
+                base_cols.append(((rb[w] >> jnp.uint32(sh)) & jnp.uint32(3)).astype(jnp.int32))
+                mw_, msh = j // 32, j % 32
+                inv_cols.append(((rm[mw_] >> jnp.uint32(msh)) & jnp.uint32(1)).astype(bool))
+            rcodes = jnp.stack(base_cols, axis=1)  # [rS, SB]
+            rinv = jnp.stack(inv_cols, axis=1)
+            rlengths = jnp.where(rlen > 0, rlen + k + 1, 0)
+            sub = kmer_records(rcodes, rinv, rlengths, k=k, n_shards=1)
+            fl = {kk: v.reshape(-1) for kk, v in sub.items()}
+            cnt = jnp.repeat(rcount, SB)
+            return shard_table.insert_batch(
+                local, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
+                cnt, fl["valid"] & (cnt > 0),
+            )
+
+        local = jax.lax.fori_loop(0, rounds, body, _local_table(state))
+        spill = jnp.maximum(rounds - 1, 0).astype(jnp.int32)
         return ShardedState(
             keys_hi=local.keys_hi[None],
             keys_lo=local.keys_lo[None],
@@ -490,7 +551,8 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
             extc=local.extc[None],
             claim=local.claim[None],
             num_dropped=local.num_dropped[None],
-            overflow=(state.overflow[0] + overflow + lost_runs)[None],
+            overflow=(state.overflow[0] + overflow)[None],
+            spill_rounds=(state.spill_rounds[0] + spill)[None],
         )
 
     mapped = jax.shard_map(
@@ -547,7 +609,8 @@ def create_sharded_qf(n_shards: int, max_elems_per_shard: int,
     return state
 
 
-def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None):
+def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
+                       max_rounds: int = 0):
     """Sharded count step with singleton-filter offload (--use-qf)."""
     n_shards = mesh.shape["sh"]
 
@@ -561,24 +624,24 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
             fp=state.f_fp[0], meta=state.f_meta[0], claim=state.f_claim[0],
             num_stored=state.f_stored[0],
         )
-        if n_shards > 1:
-            buf_hi, buf_lo, buf_meta, overflow = _bucketize(
-                flat["canon_hi"], flat["canon_lo"], meta, flat["target"],
-                flat["valid"], n_shards, exchange_cap,
+
+        def ins(carry, rhi, rlo, rmeta):
+            tbl, flt = carry
+            rmeta = rmeta.astype(jnp.int32)
+            return sf.insert_batch_qf(
+                tbl, flt, rhi, rlo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
+                rmeta != 0,
             )
-            buf_hi = jax.lax.all_to_all(buf_hi, "sh", 0, 0, tiled=True)
-            buf_lo = jax.lax.all_to_all(buf_lo, "sh", 0, 0, tiled=True)
-            buf_meta = jax.lax.all_to_all(buf_meta, "sh", 0, 0, tiled=True)
-            rhi, rlo, rmeta = (
-                buf_hi.reshape(-1), buf_lo.reshape(-1), buf_meta.reshape(-1)
+
+        if n_shards > 1:
+            (local, filt), spill, overflow = _round_exchange(
+                [flat["canon_hi"], flat["canon_lo"], meta], flat["target"],
+                flat["valid"], n_shards, exchange_cap, ins, (local, filt),
+                max_rounds,
             )
         else:
-            overflow = jnp.zeros((), jnp.int32)
-            rhi, rlo, rmeta = flat["canon_hi"], flat["canon_lo"], meta
-        local, filt = sf.insert_batch_qf(
-            local, filt, rhi, rlo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
-            rmeta != 0,
-        )
+            spill = overflow = jnp.zeros((), jnp.int32)
+            local, filt = ins((local, filt), flat["canon_hi"], flat["canon_lo"], meta)
         base = ShardedState(
             keys_hi=local.keys_hi[None],
             keys_lo=local.keys_lo[None],
@@ -587,6 +650,7 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
             claim=local.claim[None],
             num_dropped=local.num_dropped[None],
             overflow=(state.table.overflow[0] + overflow)[None],
+            spill_rounds=(state.table.spill_rounds[0] + spill)[None],
         )
         return QFShardedState(
             table=base,
@@ -620,6 +684,7 @@ class MWShardedState(NamedTuple):
     claim: jax.Array
     num_dropped: jax.Array
     overflow: jax.Array
+    spill_rounds: jax.Array
 
 
 _MW_STATE_SPEC = MWShardedState(
@@ -629,6 +694,7 @@ _MW_STATE_SPEC = MWShardedState(
     claim=P("sh", None),
     num_dropped=P("sh"),
     overflow=P("sh"),
+    spill_rounds=P("sh"),
 )
 
 
@@ -645,6 +711,7 @@ def create_sharded_mw(n_shards: int, max_elems_per_shard: int, k: int, mesh: Mes
         claim=rep(one.claim),
         num_dropped=jnp.zeros((n_shards,), jnp.int32),
         overflow=jnp.zeros((n_shards,), jnp.int32),
+        spill_rounds=jnp.zeros((n_shards,), jnp.int32),
     )
     if mesh is not None:
         sharding = jax.sharding.NamedSharding(mesh, P("sh"))
@@ -662,7 +729,8 @@ def _local_table_mw(state: MWShardedState) -> stmw.MWShardTable:
     )
 
 
-def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None):
+def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
+                       max_rounds: int = 0):
     """Multi-word sharded count step (same design as make_count_step)."""
     n_shards = mesh.shape["sh"]
     Wn = n_words(k)
@@ -679,31 +747,21 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
         meta = _pack_meta(left, right, cnt, valid)
         local = _local_table_mw(state)
         if n_shards > 1:
-            R = B * L
-            sort_key = jnp.where(valid, target, n_shards)
-            order = jnp.argsort(sort_key)
-            tgt = sort_key[order]
-            starts = jnp.searchsorted(tgt, jnp.arange(n_shards, dtype=tgt.dtype))
-            col = jnp.arange(R, dtype=jnp.int32) - starts[jnp.clip(tgt, 0, n_shards - 1)]
-            overflow = jnp.sum((col >= exchange_cap) & (tgt < n_shards)).astype(jnp.int32)
-            in_range = (col < exchange_cap) & (tgt < n_shards)
-            row = jnp.where(in_range, tgt, n_shards)
-            col = jnp.clip(col, 0, exchange_cap - 1)
-            # scatter each word plane, then exchange once
-            buf = jnp.zeros((n_shards, Wn + 1, exchange_cap), jnp.int32)
-            for j in range(Wn):
-                buf = buf.at[row, j, col].set(
-                    words[j][order].astype(jnp.int32), mode="drop"
+            def ins(tbl, *received):
+                rwords = jnp.stack(received[:Wn], axis=0)
+                rmeta = received[Wn].astype(jnp.int32)
+                return stmw.insert_batch_mw(
+                    tbl, rwords, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
+                    rmeta != 0,
                 )
-            buf = buf.at[row, Wn, col].set(meta[order], mode="drop")
-            buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
-            rwords = buf[:, :Wn, :].transpose(1, 0, 2).reshape(Wn, -1).astype(U32)
-            rmeta = buf[:, Wn, :].reshape(-1)
-            local = stmw.insert_batch_mw(
-                local, rwords, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6, rmeta != 0
+
+            planes = [words[j] for j in range(Wn)] + [meta]
+            local, spill, overflow = _round_exchange(
+                planes, target, valid, n_shards, exchange_cap, ins, local,
+                max_rounds,
             )
         else:
-            overflow = jnp.zeros((), jnp.int32)
+            spill = overflow = jnp.zeros((), jnp.int32)
             local = stmw.insert_batch_mw(
                 local, words, meta & 7, (meta >> 3) & 7, meta >> 6, meta != 0
             )
@@ -714,6 +772,7 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
             claim=local.claim[None],
             num_dropped=local.num_dropped[None],
             overflow=(state.overflow[0] + overflow)[None],
+            spill_rounds=(state.spill_rounds[0] + spill)[None],
         )
 
     mapped = jax.shard_map(

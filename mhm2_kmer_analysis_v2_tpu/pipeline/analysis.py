@@ -104,10 +104,15 @@ def analyze_kmers(
         exchange_cap = max(min(exchange_cap, cap_from_store), 1024)
 
     packed_input = False
+    # --max-rpcs-in-flight bounds exchange spill rounds per batch (the
+    # in-flight-RPC cap analogue, src/options.cpp:294); 0 = unbounded
+    max_rounds = max(options.max_rpcs_in_flight, 0)
     if multiword:
-        step = cs.make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m)
+        step = cs.make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m,
+                                     max_rounds=max_rounds)
     elif use_qf:
-        step = cs.make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m)
+        step = cs.make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m,
+                                     max_rounds=max_rounds)
     else:
         # bit-packed h2d (0.5 B/base on the wire) + supermer-compressed
         # all_to_all when sharded; cap is in supermers per destination then
@@ -115,7 +120,7 @@ def analyze_kmers(
             exchange_cap = max(exchange_cap // 4, 1024)
         step = cs.make_packed_count_step(
             mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
-            supermers=True,
+            supermers=True, max_rounds=max_rounds,
         )
         packed_input = True
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))
@@ -181,6 +186,7 @@ def analyze_kmers(
         )
         ctg_step = cs.make_ctg_step(
             mesh, k=k, exchange_cap=ctg_cap, dmin_thres=options.dmin_thres, m=m,
+            max_rounds=max_rounds,
         )
         seqs, depths = [], []
         for s, d in prev_ctgs:
@@ -217,6 +223,7 @@ def analyze_kmers(
     fin = finalize(state)
     num_dropped = int(np.sum(np.asarray(state.num_dropped)))
     num_overflow = int(np.sum(np.asarray(state.overflow)))
+    num_spill = int(np.max(np.asarray(state.spill_rounds)))
     if profiling:
         jax.profiler.stop_trace()
     stage_timers.analyze_kmers.stop()
@@ -256,8 +263,12 @@ def analyze_kmers(
         )
     if num_dropped:
         slog("WARNING: ", num_dropped, " kmers dropped (probe cap/table full)")
+    if num_spill:
+        slog_verbose("Exchange ran ", num_spill, " spill round(s) beyond the first ",
+                     "(skewed minimizer distribution vs capacity)")
     if num_overflow:
-        slog("WARNING: ", num_overflow, " records lost to exchange overflow")
+        slog("WARNING: ", num_overflow,
+             " records lost: --max-rpcs-in-flight capped the spill rounds")
     slog_verbose("Total kmers: ", unique)
     slog_verbose("Total kmer count sum: ", total_sum)
     res = AnalysisResult(

@@ -84,13 +84,11 @@ def test_multi_batch_sharded():
     assert _merged(fin1, k, 4) == _merged(fin4, k, 4)
 
 
-def test_overflow_detection():
-    """Records beyond exchange capacity are counted, not silently lost."""
-    k = 21
-    reads = genome_reads(32, 60, genome_len=300, seed=55)
-    mesh = Mesh(np.array(jax.devices()[:2]), ("sh",))
-    state = cs.create_sharded(2, 1 << 12, mesh=mesh)
-    step = cs.make_count_step(mesh, k=k, exchange_cap=8)  # absurdly small
+def _step_once(reads, k, n_shards, exchange_cap, max_rounds=0, step_factory=None):
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    state = cs.create_sharded(n_shards, 1 << 13, mesh=mesh)
+    factory = step_factory or cs.make_count_step
+    step = factory(mesh, k=k, exchange_cap=exchange_cap, max_rounds=max_rounds)
     b = encode_batch([s for s, _ in reads], [q for _, q in reads])
     sharding = NamedSharding(mesh, P("sh"))
     state = step(
@@ -99,7 +97,61 @@ def test_overflow_detection():
         jax.device_put(b.badq, sharding),
         jax.device_put(b.lengths, sharding),
     )
+    fin = cs.make_finalize(mesh)(state)
+    return state, fin
+
+
+def test_spill_rounds_lossless_under_tiny_cap():
+    """Exchange capacity far below the record count: spill rounds drain every
+    destination queue with zero loss (ThreeTierAggrStore's no-drop contract,
+    kmer_dht.cpp:247-258)."""
+    k = 21
+    reads = genome_reads(32, 60, genome_len=300, seed=55)
+    state, fin = _step_once(reads, k, 2, exchange_cap=8)  # absurdly small
+    assert int(np.sum(np.asarray(state.overflow))) == 0
+    assert int(np.max(np.asarray(state.spill_rounds))) > 10
+    exp = oracle_count(reads, k).finalize()
+    assert _merged(fin, k, 2) == exp
+
+
+def test_spill_rounds_adversarial_skew():
+    """Every k-mer routed to ONE owner (single repeated homopolymer k-mer)
+    with a tiny cap: counts stay exact."""
+    k = 21
+    seq = "A" * 80
+    quals = "K" * 80
+    reads = [(seq, quals)] * 16
+    state, fin = _step_once(reads, k, 4, exchange_cap=16)
+    assert int(np.sum(np.asarray(state.overflow))) == 0
+    assert int(np.max(np.asarray(state.spill_rounds))) > 0
+    exp = oracle_count(reads, k).finalize()
+    assert _merged(fin, k, 4) == exp
+    # really is one kmer, all on one shard
+    kept = np.asarray(fin.num_kept)
+    assert kept.sum() == 1
+
+
+def test_max_rounds_caps_spill_and_counts_loss():
+    """--max-rpcs-in-flight analogue: capping the rounds drops the excess and
+    reports it in overflow (the only lossy path, and it is explicit)."""
+    k = 21
+    reads = genome_reads(32, 60, genome_len=300, seed=55)
+    state, _ = _step_once(reads, k, 2, exchange_cap=8, max_rounds=2)
     assert int(np.sum(np.asarray(state.overflow))) > 0
+    assert int(np.max(np.asarray(state.spill_rounds))) == 1
+
+
+def test_supermer_spill_rounds_lossless():
+    """The supermer wire spills losslessly too (per-round window compaction)."""
+    k = 21
+    reads = genome_reads(48, 70, genome_len=400, seed=66, err=0.01)
+    state, fin = _step_once(
+        reads, k, 2, exchange_cap=8, step_factory=cs.make_count_step_supermer,
+    )
+    assert int(np.sum(np.asarray(state.overflow))) == 0
+    assert int(np.max(np.asarray(state.spill_rounds))) > 0
+    exp = oracle_count(reads, k).finalize()
+    assert _merged(fin, k, 2) == exp
 
 
 def test_packed_step_equals_unpacked():
