@@ -118,11 +118,13 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
     node_valid = np.zeros(n2p, bool)
     node_valid[: 2 * N] = True
 
+    from ..parallel.distributed import fetch, put_global
+
     sharding = NamedSharding(mesh, P("sh"))
     rep = NamedSharding(mesh, P())
 
     def shard2d(x):
-        return jax.device_put(np.asarray(x).reshape(n_shards, n_local), sharding)
+        return put_global(np.asarray(x).reshape(n_shards, n_local), sharding)
 
     NULL = n2p
 
@@ -273,16 +275,16 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
     o_lefts = shard2d(o_left)
     o_rights = shard2d(o_right)
     valids = shard2d(node_valid)
-    kb = jax.device_put(jnp.asarray(kmer_bounds), rep)
+    kb = put_global(np.asarray(kmer_bounds), rep)
     r_ov, r_last, r_head, r_pos, r_emit = run(ovs, o_lefts, o_rights, valids, kb)
 
     counts2 = np.zeros(Np, np.int64)
     counts2[:N] = counts
     return _assemble(
-        np.asarray(r_ov).reshape(-1),
-        np.asarray(r_last).reshape(-1),
-        np.asarray(r_head).reshape(-1).astype(np.int64),
-        np.asarray(r_pos).reshape(-1),
-        np.asarray(r_emit).reshape(-1),
+        fetch(r_ov).reshape(-1),
+        fetch(r_last).reshape(-1),
+        fetch(r_head).reshape(-1).astype(np.int64),
+        fetch(r_pos).reshape(-1),
+        fetch(r_emit).reshape(-1),
         counts2, k,
     )

@@ -229,6 +229,72 @@ def read_fastq_block(fname: str, rank: int, n_ranks: int, pair_aware: bool = Fal
     return out
 
 
+def read_paired_blocks(fname1: str, fname2: str, rank: int, n_ranks: int) -> tuple:
+    """Byte-range blocks of a TWO-FILE pair with index synchronization — the
+    set_matching_pair analogue (src/fastq.cpp:619-742).
+
+    Each rank takes its proportional block of FILE 1.  File 2's reader then
+    starts at the proportional offset minus a slack margin and scans forward
+    until it finds the mate of block 1's first record, so record i of block 2
+    is always the mate of record i of block 1 even when the two files'
+    per-record byte offsets are staggered (different read/quality lengths).
+    If the slack was insufficient (pathological length skew) it doubles and
+    retries, degenerating to a scan from 0 in the worst case.
+
+    Returns (block1, block2) of equal length; concatenating all ranks' blocks
+    yields exactly the files' pairs in order.
+    """
+    if is_gz(fname1) or is_gz(fname2):
+        # gzip is not byte-splittable: read whole files, slice by record count
+        b1, b2 = read_fastq(fname1), read_fastq(fname2)
+        n = min(len(b1), len(b2))
+        lo, hi = n * rank // n_ranks, n * (rank + 1) // n_ranks
+        return b1[lo:hi], b2[lo:hi]
+
+    size1 = os.path.getsize(fname1)
+    start = size1 * rank // n_ranks
+    end = size1 * (rank + 1) // n_ranks
+    rdr1 = FastqReader(fname1, start=start, end=end)
+    block1 = list(rdr1)
+    rdr1.close()
+    if not block1:
+        return [], []
+    want = block1[0].name
+    want_base = want[:-1] if want.endswith(("1", "2")) and "/" in want else want
+
+    size2 = os.path.getsize(fname2)
+    approx = size2 * rank // n_ranks
+    slack = max(65536, size2 // max(n_ranks * 8, 1))
+    while True:
+        s2 = max(0, approx - slack)
+        rdr2 = FastqReader(fname2, start=s2, end=None)
+        # scan at most the slack's worth of records past the approx offset
+        block2 = []
+        found = False
+        for rec in rdr2:
+            base = rec.name[:-1] if rec.name.endswith(("1", "2")) and "/" in rec.name else rec.name
+            if base == want_base:
+                found = True
+                block2.append(rec)
+                break
+            if rdr2.f.tell() > approx + slack and s2 > 0:
+                break  # overshot the window: mate must be before s2
+        if found:
+            for rec in rdr2:
+                if len(block2) >= len(block1):
+                    break
+                block2.append(rec)
+            rdr2.close()
+            if len(block2) == len(block1):
+                return block1, block2
+        rdr2.close()
+        if s2 == 0:
+            raise ValueError(
+                f"read_paired_blocks: mate of {want!r} not found in {fname2}"
+            )
+        slack *= 4
+
+
 def iter_paired(fnames: list[str]):
     """Yield read pairs from either one interleaved file or two paired files
     (the reference's 'f1:f2' vs interleaved '-r' conventions,

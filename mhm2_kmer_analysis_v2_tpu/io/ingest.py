@@ -40,15 +40,16 @@ def ingest_group(
 
     if not paired:
         # unpaired files: no trim, no merge — dummy mate 2
-        # (merge_reads.cpp:364-384)
-        rdr = FastqReader(fnames[0])
-        for i, rec in enumerate(rdr):
+        # (merge_reads.cpp:364-384); multi-process: this process's byte-range
+        # block only (src/fastq.cpp:810-892)
+        from ..parallel.distributed import my_read_block
+
+        for i, rec in enumerate(my_read_block(fnames[0], paired=False)):
             if subsample_pct < 100 and (i % 100) >= subsample_pct:
                 continue
             pr.add_read(f"r{read_id}/1", rec.seq, rec.quals)
             pr.add_read(f"r{read_id}/2", "N", fake_qual)
             read_id += 2
-        rdr.close()
         return read_id
 
     for pair_idx, (rec1, rec2) in enumerate(_iter_pairs_robust(fnames)):
@@ -79,18 +80,39 @@ def ingest_group(
 
 
 def _iter_pairs_robust(fnames: list):
-    """Pair iterator robust to a missing mate (single interleaved file only;
-    two-file groups are assumed index-aligned like set_matching_pair,
-    src/fastq.cpp:619-742)."""
+    """Pair stream for one read group.  Two-file groups: index-aligned zip
+    (multi-process: synchronized byte-range blocks, the set_matching_pair
+    analogue at src/fastq.cpp:619-742).  Interleaved: robust to a missing
+    mate via the /1 /2 resync of merge_reads.cpp:407-462."""
+    import jax
+
+    n_proc = jax.process_count()
     if len(fnames) == 2:
-        yield from iter_paired(fnames)
+        if n_proc == 1:
+            yield from iter_paired(fnames)
+        else:
+            from .fastq import read_paired_blocks
+
+            b1, b2 = read_paired_blocks(
+                fnames[0], fnames[1], jax.process_index(), n_proc
+            )
+            yield from zip(b1, b2)
         return
-    rdr = FastqReader(fnames[0])
+    if n_proc == 1:
+        it = iter(FastqReader(fnames[0]))
+    else:
+        from ..parallel.distributed import my_read_block
+
+        it = iter(my_read_block(fnames[0], paired=True))
+    yield from _pairs_from_stream(it)
+
+
+def _pairs_from_stream(it):
     from .fastq import FastqRecord
 
     pending = None
     while True:
-        rec1 = pending if pending is not None else _next(rdr)
+        rec1 = pending if pending is not None else _next(it)
         pending = None
         if rec1 is None:
             break
@@ -99,7 +121,7 @@ def _iter_pairs_robust(fnames: list):
             fake = FastqRecord(name=rec1.name[:-1] + "1", seq="N", quals="!")
             yield fake, rec1
             continue
-        rec2 = _next(rdr)
+        rec2 = _next(it)
         if rec2 is None:
             # missing mate at EOF: fake read 2
             yield rec1, FastqRecord(name=rec1.name[:-1] + "2", seq="N", quals="!")
@@ -111,12 +133,11 @@ def _iter_pairs_robust(fnames: list):
             # (merge_reads.cpp:442-462)
             yield rec1, FastqRecord(name=rec1.name[:-1] + "2", seq="N", quals="!")
             pending = rec2
-    rdr.close()
 
 
-def _next(rdr):
+def _next(it):
     try:
-        return next(rdr)
+        return next(it)
     except StopIteration:
         return None
 
@@ -158,9 +179,14 @@ def load_and_merge_reads(options) -> tuple:
     stats = MergeStats()
     read_id = 0
     min_k = min(options.kmer_lens)
+    import jax
+
+    rank, n_proc = jax.process_index(), jax.process_count()
     for group in options.all_read_groups():
         is_unpaired = any(group[0] == f.rstrip(":") for f in options.unpaired_fnames)
         ckpt = get_merged_reads_fname(group[0], options.output_dir)
+        if n_proc > 1:
+            ckpt += f".{rank}"  # each process checkpoints its own block
         if getattr(options, "restart", False) and os.path.exists(ckpt):
             slog_verbose("Restart: loading merged reads from ", ckpt)
             rdr = FastqReader(ckpt)

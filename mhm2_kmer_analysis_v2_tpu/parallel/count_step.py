@@ -71,8 +71,10 @@ def create_sharded(n_shards: int, max_elems_per_shard: int, mesh: Mesh | None = 
         spill_rounds=jnp.zeros((n_shards,), jnp.int32),
     )
     if mesh is not None:
+        from .distributed import put_global
+
         sharding = jax.sharding.NamedSharding(mesh, P("sh"))
-        state = jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+        state = jax.tree.map(lambda x: put_global(x, sharding), state)
     return state
 
 
@@ -604,8 +606,10 @@ def create_sharded_qf(n_shards: int, max_elems_per_shard: int,
         f_stored=jnp.zeros((n_shards,), jnp.int32),
     )
     if mesh is not None:
+        from .distributed import put_global
+
         sharding = jax.sharding.NamedSharding(mesh, P("sh"))
-        state = jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+        state = jax.tree.map(lambda x: put_global(x, sharding), state)
     return state
 
 
@@ -714,8 +718,10 @@ def create_sharded_mw(n_shards: int, max_elems_per_shard: int, k: int, mesh: Mes
         spill_rounds=jnp.zeros((n_shards,), jnp.int32),
     )
     if mesh is not None:
+        from .distributed import put_global
+
         sharding = jax.sharding.NamedSharding(mesh, P("sh"))
-        state = jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+        state = jax.tree.map(lambda x: put_global(x, sharding), state)
     return state
 
 

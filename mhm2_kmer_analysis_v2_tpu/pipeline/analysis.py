@@ -60,13 +60,16 @@ def analyze_kmers(
 ) -> tuple[AnalysisResult, shard_table.FinalizedShard, int]:
     """One k-round: count all reads' k-mers on the mesh (optionally followed
     by the previous round's contig k-mers), finalize, report."""
+    from ..parallel import distributed as dist
+
     if mesh is None:
         mesh = cs.make_mesh(options.n_devices or None)
     n_shards = mesh.shape["sh"]
+    n_proc = jax.process_count()
     m = minimizer_len_for_k(k)
     slog_verbose("Using a minimizer length of ", m)
 
-    est_kmers = pr.estimate_num_kmers(k)
+    est_kmers = dist.allsum(pr.estimate_num_kmers(k))
     multiword = k > 32
     use_qf = options.use_qf and not multiword  # like the reference: CUDA-only
     adjusted = est_kmers // max(options.sequencing_depth, 1)
@@ -91,7 +94,7 @@ def analyze_kmers(
     batch = options.batch_reads
     # round batch to a multiple of shard count so every device gets equal rows
     batch = max(n_shards, batch - batch % n_shards)
-    max_len = max(pr.max_read_len, k + 2)
+    max_len = dist.allmax(max(pr.max_read_len, k + 2))
     positions_per_device = (batch // n_shards) * max_len
     # exchange capacity: worst-case skew headroom over the mean (the
     # fixed-capacity analogue of --max-kmer-store sizing, kmer_dht.cpp:141-144);
@@ -135,7 +138,19 @@ def analyze_kmers(
     num_reads = 0
     total_reads = len(pr)
     a2a_bytes = 3 * n_shards * n_shards * exchange_cap * 4 if n_shards > 1 else 0
-    for rb in pr.batches(batch, max_len=max_len):
+    # every process feeds its own block's rows; the batch LOOP runs in
+    # lockstep across processes (compiled steps are launched SPMD), so the
+    # trip count is the max over processes and stragglers feed empty batches
+    local_rows = batch // n_proc
+    n_batches = dist.allmax(max(1, -(-total_reads // local_rows)))
+    batch_iter = pr.batches(local_rows, max_len=max_len)
+    empty_rb = None
+    for bi in range(n_batches):
+        rb = next(batch_iter, None)
+        if rb is None:
+            if empty_rb is None:
+                empty_rb = pr.slice_batch(0, 0, max_len, pad_to=local_rows)
+            rb = empty_rb
         if options.show_progress and total_reads:
             pct = 100 * num_reads // total_reads
             print(f"\rProcessing reads to count kmers: {pct}% ", end="", flush=True)
@@ -146,21 +161,22 @@ def analyze_kmers(
             comm_stats.add_h2d(pb.nbytes)
             state = step(
                 state,
-                jax.device_put(pb.code2, sharding),
-                jax.device_put(pb.nmask, sharding),
-                jax.device_put(pb.badq, sharding),
-                jax.device_put(pb.lengths, sharding),
+                dist.make_global(sharding, pb.code2),
+                dist.make_global(sharding, pb.nmask),
+                dist.make_global(sharding, pb.badq),
+                dist.make_global(sharding, pb.lengths),
             )
         else:
             comm_stats.add_h2d(rb.codes.nbytes + rb.badq.nbytes + rb.lengths.nbytes)
             state = step(
                 state,
-                jax.device_put(rb.codes, sharding),
-                jax.device_put(rb.badq, sharding),
-                jax.device_put(rb.lengths, sharding),
+                dist.make_global(sharding, rb.codes),
+                dist.make_global(sharding, rb.badq),
+                dist.make_global(sharding, rb.lengths),
             )
     if options.show_progress:
         print("\rProcessing reads to count kmers: 100%")
+    num_reads = dist.allsum(num_reads)
 
     # contig-kmer pass (add_ctg_kmers; only with --ctg-kmers and k <= 32)
     if prev_ctgs and (multiword or use_qf):
@@ -197,23 +213,30 @@ def analyze_kmers(
             for lo in range(0, max(len(s) - (k + 1), 1), step_w):
                 seqs.append(s[lo : lo + WC])
                 depths.append(dd)
-        cb = batch  # reuse the read batch row count
-        for lo in range(0, len(seqs), cb):
+        # every process holds the full contig set (traversal gathers); each
+        # inserts a disjoint round-robin slice, lockstep like the read loop
+        rank = jax.process_index()
+        seqs = seqs[rank::n_proc]
+        depths = depths[rank::n_proc]
+        cb = batch // n_proc  # this process's rows of the global batch
+        n_cbatches = dist.allmax(max(1, -(-len(seqs) // cb)) if seqs else 1)
+        for bi in range(n_cbatches):
+            lo = bi * cb
             chunk = seqs[lo : lo + cb]
             eb = encode_batch(chunk, ["K" * len(s) for s in chunk], max_len=WC, pad_to=cb)
             dep = np.zeros((cb,), np.int32)
             dep[: len(chunk)] = depths[lo : lo + cb]
             state = ctg_step(
                 state,
-                jax.device_put(eb.codes, sharding),
-                jax.device_put(eb.badq, sharding),
-                jax.device_put(eb.lengths, sharding),
-                jax.device_put(dep, sharding),
+                dist.make_global(sharding, eb.codes),
+                dist.make_global(sharding, eb.badq),
+                dist.make_global(sharding, eb.lengths),
+                dist.make_global(sharding, dep),
             )
 
     # flush_updates + finish_updates
     if use_qf:
-        n_singleton = int(np.sum(np.asarray(state.f_stored)))
+        n_singleton = int(dist.fetch(state.f_stored).sum())
         slog_verbose("Singleton filter stored ", n_singleton, " first occurrences")
         state = state.table  # finalize the main table only
     if multiword:
@@ -221,16 +244,16 @@ def analyze_kmers(
     else:
         finalize = cs.make_finalize(mesh, dmin_thres=options.dmin_thres)
     fin = finalize(state)
-    num_dropped = int(np.sum(np.asarray(state.num_dropped)))
-    num_overflow = int(np.sum(np.asarray(state.overflow)))
-    num_spill = int(np.max(np.asarray(state.spill_rounds)))
+    num_dropped = int(dist.fetch(state.num_dropped).sum())
+    num_overflow = int(dist.fetch(state.overflow).sum())
+    num_spill = int(dist.fetch(state.spill_rounds).max())
     if profiling:
         jax.profiler.stop_trace()
     stage_timers.analyze_kmers.stop()
     comm_stats.end_stage()
 
     # probe-length / load-factor report (flush_inserts, kcount_cpu.cpp:496-521)
-    if not multiword:
+    if not multiword and n_proc == 1:
         import jax.numpy as jnp
 
         from ..table.shard_table import ShardTable as _ST, probe_stats
@@ -249,12 +272,12 @@ def analyze_kmers(
             stats0["max_probe"], " max (shard 0)",
         )
 
-    unique = int(np.sum(np.asarray(fin.num_kept)))
-    total_sum = int(np.sum(np.asarray(fin.sum_counts)))
+    unique = int(dist.fetch(fin.num_kept).sum())
+    total_sum = int(dist.fetch(fin.sum_counts).sum())
     avg_count = total_sum / unique if unique else 0.0
     # shard load balance (the supermer-insert balance report,
     # src/kcount/kcount.cpp:97-100)
-    per_shard_kept = np.asarray(fin.num_kept)
+    per_shard_kept = dist.fetch(fin.num_kept)
     if n_shards > 1 and per_shard_kept.max() > 0:
         slog_verbose(
             "Avg kmers per shard ", int(per_shard_kept.mean()), " max ",
@@ -283,17 +306,40 @@ def analyze_kmers(
     return res, fin, n_shards
 
 
+def local_fin_shards(fin, n_shards: int):
+    """Yield (global_shard_index, FinalizedShard-of-numpy) for the shards this
+    process owns (all of them when single-process)."""
+    from ..utils.comm_stats import comm_stats
+
+    if jax.process_count() == 1:
+        for shard in range(n_shards):
+            one = type(fin)(*[np.asarray(x)[shard] for x in fin])
+            comm_stats.add_d2h(sum(a.nbytes for a in one))
+            yield shard, one
+        return
+    from ..parallel import distributed as dist
+
+    fields = [dict(dist.local_shard_items(x)) for x in fin]
+    for shard in sorted(fields[0]):
+        one = type(fin)(*[f[shard] for f in fields])
+        comm_stats.add_d2h(sum(a.nbytes for a in one))
+        yield shard, one
+
+
 def count_histogram(fin, n_shards: int) -> dict:
-    """count -> number of distinct kept k-mers (the BASELINE parity metric)."""
-    hist: dict = {}
-    for shard in range(n_shards):
-        one = type(fin)(*[x[shard] for x in fin])
+    """count -> number of distinct kept k-mers (the BASELINE parity metric);
+    reduced across processes (counts saturate at uint16 so a dense 64Ki
+    array carries the cross-process sum)."""
+    from ..parallel import distributed as dist
+
+    arr = np.zeros((65536,), np.int64)
+    for _, one in local_fin_shards(fin, n_shards):
         keep = np.asarray(one.keep)
         counts = np.asarray(one.counts)[keep]
         vals, freqs = np.unique(counts, return_counts=True)
-        for v, f in zip(vals, freqs):
-            hist[int(v)] = hist.get(int(v), 0) + int(f)
-    return hist
+        arr[vals] += freqs
+    arr = dist.allsum_array(arr)
+    return {int(c): int(n) for c, n in enumerate(arr) if n}
 
 
 def write_histogram(hist: dict, k: int, output_dir: str):
@@ -304,11 +350,10 @@ def write_histogram(hist: dict, k: int, output_dir: str):
 
 def dump_kmers(fin, k: int, output_dir: str, n_shards: int):
     """Write per-shard kmers-<k>.txt.gz dumps, 'KMER count L R' lines
-    (src/kcount/kmer_dht.cpp:269-297)."""
+    (src/kcount/kmer_dht.cpp:269-297); each process writes its own shards."""
     from ..table import shard_table_mw as stmw
 
-    for shard in range(n_shards):
-        one = type(fin)(*[x[shard] for x in fin])
+    for shard, one in local_fin_shards(fin, n_shards):
         if k <= 32:
             vals, counts, left, right = shard_table.compact_to_host(one)
             strings = shard_table.vals_to_strings(vals, k)
@@ -327,16 +372,28 @@ def contigging(fin, k: int, n_shards: int, options: Options):
     from ..contig import utg
     from ..table import shard_table_mw as stmw
 
+    from ..parallel import distributed as dist
+
     stage_timers.dbjg_traversal.start()
     if k > 32:
         all_s, all_c, all_l, all_r = [], [], [], []
-        for shard in range(n_shards):
-            one = type(fin)(*[x[shard] for x in fin])
+        for _, one in local_fin_shards(fin, n_shards):
             s, c, l, r = stmw.compact_to_host_mw(one, k)
             all_s += s
             all_c += list(c)
             all_l += list(l)
             all_r += list(r)
+        if jax.process_count() > 1:
+            # gather the compacted host tables from every process (fixed-width
+            # byte matrix for the kmer strings)
+            smat = np.frombuffer(
+                "".join(all_s).encode(), np.uint8
+            ).reshape(-1, k) if all_s else np.zeros((0, k), np.uint8)
+            smat = dist.gather_concat(smat)
+            all_s = ["".join(map(chr, row)) for row in smat]
+            all_c = list(dist.gather_concat(np.asarray(all_c, np.int64)))
+            all_l = list(dist.gather_concat(np.asarray(all_l, np.int64)))
+            all_r = list(dist.gather_concat(np.asarray(all_r, np.int64)))
         order = np.argsort(all_s)
         utgs = utg.build_utgs_mw(
             [all_s[i] for i in order],
@@ -347,8 +404,7 @@ def contigging(fin, k: int, n_shards: int, options: Options):
         )
     else:
         all_vals, all_counts, all_left, all_right = [], [], [], []
-        for shard in range(n_shards):
-            one = shard_table.FinalizedShard(*[x[shard] for x in fin])
+        for _, one in local_fin_shards(fin, n_shards):
             keep = np.asarray(one.keep)
             hi = np.asarray(one.keys_hi)[keep].astype(np.uint64)
             lo = np.asarray(one.keys_lo)[keep].astype(np.uint64)
@@ -356,13 +412,18 @@ def contigging(fin, k: int, n_shards: int, options: Options):
             all_counts.append(np.asarray(one.counts)[keep])
             all_left.append(np.asarray(one.left_ext)[keep])
             all_right.append(np.asarray(one.right_ext)[keep])
-        vals = np.concatenate(all_vals)
+        def cat(parts, dtype):
+            arr = (np.concatenate(parts) if parts
+                   else np.zeros((0,), dtype)).astype(dtype)
+            return dist.gather_concat(arr)
+
+        vals = cat(all_vals, np.uint64)
         order = np.argsort(vals)
         args_t = (
             vals[order],
-            np.concatenate(all_counts)[order],
-            np.concatenate(all_left)[order],
-            np.concatenate(all_right)[order],
+            cat(all_counts, np.int64)[order],
+            cat(all_left, np.int64)[order],
+            cat(all_right, np.int64)[order],
             k,
         )
         if options.distributed_traversal:
@@ -375,7 +436,9 @@ def contigging(fin, k: int, n_shards: int, options: Options):
     stage_timers.dbjg_traversal.stop()
     path = os.path.join(options.output_dir, f"uutigs-{k}.fasta")
     stage_timers.dump_ctgs.start()
-    utg.dump_uutigs(utgs, k, path)
+    if jax.process_index() == 0:
+        utg.dump_uutigs(utgs, k, path)
+    dist.barrier("dump_ctgs")
     stage_timers.dump_ctgs.stop()
     slog_verbose("Generated ", len(utgs.seqs), " uutigs, total length ",
                  sum(len(s) for s in utgs.seqs))
@@ -386,12 +449,22 @@ def run_pipeline(options: Options) -> list:
     """Full run: load reads, one analysis round per k, write the CSV contract
     (proxy_results_summary.csv, src/main.cpp:340-392)."""
     t0 = time.time()
+    from ..parallel import distributed as dist
+
+    # multi-host wiring FIRST (before any backend/device access): one JAX
+    # process per host, like one UPC++ rank team per node (src/main.cpp:129)
+    rank, n_proc = dist.maybe_initialize()
     options.setup_output_dir()
     from ..utils.logging import init_logger
     from ..utils.memory import MemoryTracker, log_mem
 
     init_logger(options.output_dir, options.verbose)
-    options.write_config_file()
+    if rank == 0:
+        options.write_config_file()
+    dist.barrier("startup")
+    if n_proc > 1:
+        slog("Multi-process run: ", n_proc, " processes, ",
+             len(jax.devices()), " devices total")
     mem_tracker = MemoryTracker()
     mem_tracker.start()
     pr = load_reads(options)
@@ -404,7 +477,9 @@ def run_pipeline(options: Options) -> list:
         res, fin, n_shards = analyze_kmers(pr, k, options, prev_ctgs=prev_ctgs)
         if options.dump_kmers:
             dump_kmers(fin, k, options.output_dir, n_shards)
-        write_histogram(count_histogram(fin, n_shards), k, options.output_dir)
+        hist = count_histogram(fin, n_shards)
+        if rank == 0:
+            write_histogram(hist, k, options.output_dir)
         utgs = contigging(fin, k, n_shards, options)
         if options.ctg_kmers:
             # next round seeds from this round's contigs (add_ctg_kmers)
@@ -413,24 +488,49 @@ def run_pipeline(options: Options) -> list:
         # written back to the config like adjust_config_option
         # (src/main.cpp:227-229)
         options.sequencing_depth = max(int(res.avg_kmer_count), 1)
-        options.write_config_file()
+        if rank == 0:
+            options.write_config_file()
         results.append(res)
         slog("Completed contig round k = ", k)
         log_mem(f"after contig round k={k}")
     elapsed = time.time() - t0
     peak_gb = mem_tracker.stop()
-    write_summary_csv(options, results, elapsed, peak_gb)
+    if rank == 0:
+        write_summary_csv(options, results, elapsed, peak_gb)
     slog(stage_timers.report(elapsed))
+    if n_proc > 1:
+        # the reference's min/my/avg/max balance reduction for stage timers
+        # (src/main.cpp:439, upcxx_utils timer reductions)
+        lines = ["    stage balance across processes (min/my/avg/max s):"]
+        for s in stage_timers.STAGES:
+            t = getattr(stage_timers, s)
+            mn, my, avg, mx = dist.allstats(t.elapsed)
+            if mx > 0:
+                bal = avg / mx if mx else 1.0
+                lines.append(
+                    f"      {s:24s} {mn:8.2f} /{my:8.2f} /{avg:8.2f} /{mx:8.2f}"
+                    f"  balance {bal:.3f}"
+                )
+        slog("\n".join(lines))
     from ..utils.comm_stats import comm_stats
 
     slog_verbose(comm_stats.report())
+    if n_proc > 1:
+        for metric, val in comm_stats.totals().items():
+            mn, my, avg, mx = dist.allstats(val)
+            slog_verbose(
+                f"    comm balance {metric}: {mn:.0f} /{my:.0f} /{avg:.0f} /{mx:.0f}"
+                f"  balance {avg / mx if mx else 1.0:.3f}"
+            )
     # the reference's machine-readable log contract lines (src/main.cpp:351-356)
     tot_reads = sum(r.num_reads for r in results[:1])
     slog("tot_num_reads: ", tot_reads)
     if results:
         slog("Total kmers: ", results[-1].unique_kmers)
         slog("Total kmer count sum: ", results[-1].total_kmer_count_sum)
-    slog("Peak memory: ", f"{peak_gb:.2f} GB")
+    _, _, _, peak_mx = dist.allstats(peak_gb)
+    slog("Peak memory: ", f"{peak_mx:.2f} GB")
+    dist.barrier("shutdown")
     return results
 
 

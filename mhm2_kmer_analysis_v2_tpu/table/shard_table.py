@@ -47,7 +47,7 @@ import numpy as np
 from ..ops.kmer_ops import slot_hash
 
 U32 = jnp.uint32
-EMPTY = jnp.uint32(0xFFFFFFFF)
+EMPTY = np.uint32(0xFFFFFFFF)  # np scalar: no device materialization at import
 MAX_PROBE = 100  # KCOUNT_HT_MAX_PROBE, CMakeDefinitions.txt:67
 UINT16_MAX = 65535
 TARGET_LOAD_FACTOR = 0.66  # src/kcount/kcount_cpu.cpp:442
@@ -283,7 +283,7 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid) -> ShardTab
     )
 
 
-CTG_BIT = jnp.int32(1 << 30)  # from_ctg flag in the counts word
+CTG_BIT = np.int32(1 << 30)  # from_ctg flag in the counts word
 
 
 @jax.jit

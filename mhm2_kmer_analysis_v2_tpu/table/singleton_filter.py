@@ -40,11 +40,11 @@ from .shard_table import EMPTY, MAX_PROBE, ShardTable
 U32 = jnp.uint32
 FILTER_MAX_PROBE = 20
 FILTER_ATTEMPTS = 4
-FP_EMPTY = jnp.uint32(0xFFFFFFFF)
+FP_EMPTY = np.uint32(0xFFFFFFFF)
 # promoted entries leave a tombstone so probe chains over them stay intact
 # (classic open-addressing deletion; the reference TCF's backing store handles
 # deletes inside poggers, point_tcf/README.md:44)
-FP_TOMB = jnp.uint32(0xFFFFFFFE)
+FP_TOMB = np.uint32(0xFFFFFFFE)
 
 
 class SingletonFilter(NamedTuple):

@@ -47,6 +47,21 @@ class CommStats:
         s.collective_bytes += nbytes
         s.collective_calls += calls
 
+    def totals(self) -> dict:
+        """Whole-run totals per metric (for cross-process balance lines)."""
+        t = StageComm()
+        for s in self.stages.values():
+            t.h2d_bytes += s.h2d_bytes
+            t.d2h_bytes += s.d2h_bytes
+            t.collective_bytes += s.collective_bytes
+            t.collective_calls += s.collective_calls
+        return {
+            "h2d_bytes": t.h2d_bytes,
+            "d2h_bytes": t.d2h_bytes,
+            "collective_bytes": t.collective_bytes,
+            "collective_calls": t.collective_calls,
+        }
+
     def report(self) -> str:
         lines = ["    communication per stage (this process):"]
         for name, s in self.stages.items():

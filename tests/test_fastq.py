@@ -123,3 +123,38 @@ def test_pair_aware_blocks_cover_pairs_exactly_once(tmp_path):
                 assert recs[0].name.endswith("/1")
             names += [r.name for r in recs]
         assert names == [f"p{i}/{j}" for i in range(120) for j in (1, 2)], n_ranks
+
+
+def test_read_paired_blocks_staggered(tmp_path):
+    """Two-file pair blocks (the set_matching_pair analogue): concatenating
+    all ranks' blocks yields exactly the files' pairs even when the two
+    files' record byte offsets are badly staggered (very different read and
+    quality-line lengths)."""
+    import numpy as np
+    from mhm2_kmer_analysis_v2_tpu.io.fastq import read_paired_blocks
+
+    rng = np.random.default_rng(11)
+    n = 400
+    f1, f2 = str(tmp_path / "r1.fastq"), str(tmp_path / "r2.fastq")
+    names = []
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i in range(n):
+            # file 1 short reads, file 2 long reads -> offsets drift apart
+            l1 = int(rng.integers(30, 50))
+            l2 = int(rng.integers(120, 250))
+            s1 = "".join(rng.choice(list("ACGT"), l1))
+            s2 = "".join(rng.choice(list("ACGT"), l2))
+            a.write(f"@read{i}/1\n{s1}\n+\n{'I' * l1}\n")
+            b.write(f"@read{i}/2\n{s2}\n+\n{'I' * l2}\n")
+            names.append(f"read{i}")
+    for n_ranks in (1, 3, 4, 7):
+        got1, got2 = [], []
+        for rank in range(n_ranks):
+            b1, b2 = read_paired_blocks(f1, f2, rank, n_ranks)
+            assert len(b1) == len(b2)
+            for r1, r2 in zip(b1, b2):
+                assert r1.name[:-1] == r2.name[:-1], (rank, r1.name, r2.name)
+            got1 += [r.name for r in b1]
+            got2 += [r.name for r in b2]
+        assert got1 == [f"{x}/1" for x in names], n_ranks
+        assert got2 == [f"{x}/2" for x in names], n_ranks

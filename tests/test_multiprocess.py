@@ -1,0 +1,120 @@
+"""True multi-process execution: 2 jax.distributed processes x 4 CPU devices.
+
+The round-trip the reference makes across UPC++ ranks (per-rank FASTQ blocks
+-> owner exchange -> reduced reports, src/fastq.cpp:810-892, main.cpp:273-287)
+must be invisible in the output: a 2-process run over the same 8-way mesh
+produces byte-identical per-shard dumps to the 1-process run.
+"""
+
+import glob
+import gzip
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _gen_fastq(path, n_pairs=150, read_len=80, genome_len=1500, seed=7):
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), genome_len))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    with open(path, "w") as f:
+        for i in range(n_pairs):
+            pos = int(rng.integers(0, genome_len - 2 * read_len))
+            s1 = genome[pos : pos + read_len]
+            frag_end = pos + int(rng.integers(int(1.5 * read_len), 2 * read_len))
+            s2fwd = genome[frag_end - read_len : frag_end]
+            s2 = "".join(comp[c] for c in reversed(s2fwd))
+            q1 = "".join(chr(int(q)) for q in rng.integers(35, 73, read_len))
+            q2 = "".join(chr(int(q)) for q in rng.integers(35, 73, read_len))
+            f.write(f"@pair{i}/1\n{s1}\n+\n{q1}\n@pair{i}/2\n{s2}\n+\n{q2}\n")
+    return genome
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_pipeline(outdir, fastq, n_devices, extra_env, extra_args=()):
+    env = dict(os.environ)
+    env.pop("PYTHONSTARTUP", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    env["PYTHONPATH"] = REPO
+    env.update(extra_env)
+    cmd = [
+        sys.executable, "-m", "mhm2_kmer_analysis_v2_tpu.pipeline.main",
+        "-r", fastq, "-k", "21", "-o", outdir, "--dump-kmers",
+    ] + list(extra_args)
+    return subprocess.Popen(
+        cmd, env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+def _read_dumps(outdir, k=21):
+    out = {}
+    for fn in sorted(glob.glob(os.path.join(outdir, "per_rank", f"kmers-{k}.txt.gz.*"))):
+        shard = int(fn.rsplit(".", 1)[1])
+        out[shard] = gzip.open(fn, "rb").read()
+    return out
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single_process(tmp_path):
+    fastq = str(tmp_path / "mp.fastq")
+    _gen_fastq(fastq)
+
+    # 1-process / 8-device baseline
+    out_sp = str(tmp_path / "out_sp")
+    p = _run_pipeline(out_sp, fastq, 8, {})
+    log = p.communicate(timeout=900)[0]
+    assert p.returncode == 0, log[-4000:]
+
+    # 2 processes x 4 devices over jax.distributed
+    out_mp = str(tmp_path / "out_mp")
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(_run_pipeline(
+            out_mp, fastq, 4,
+            {
+                "COORDINATOR_ADDRESS": f"localhost:{port}",
+                "NUM_PROCESSES": "2",
+                "PROCESS_ID": str(pid),
+            },
+        ))
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    # per-shard dumps byte-identical (shard placement is mesh-order stable)
+    dumps_sp = _read_dumps(out_sp)
+    dumps_mp = _read_dumps(out_mp)
+    assert set(dumps_sp) == set(dumps_mp) == set(range(8))
+    assert dumps_sp == dumps_mp
+
+    # summary CSV scalars identical (reads reduced across processes)
+    csv_sp = open(os.path.join(out_sp, "proxy_results_summary.csv")).readlines()[1]
+    csv_mp = open(os.path.join(out_mp, "proxy_results_summary.csv")).readlines()[1]
+    assert csv_sp.split(",")[:4] == csv_mp.split(",")[:4]
+
+    # contigs identical
+    utg_sp = open(os.path.join(out_sp, "uutigs-21.fasta")).read()
+    utg_mp = open(os.path.join(out_mp, "uutigs-21.fasta")).read()
+    assert utg_sp == utg_mp
+
+    # rank-0 log carries the multi-process markers + balance reduction
+    log0 = logs[0] + logs[1]
+    assert "Multi-process run: 2 processes" in log0
+    assert "balance across processes" in log0
