@@ -8,6 +8,12 @@ all_to_all, gather locally, and ride a second all_to_all home — the
 collective analogue of the reference's aggregated RPC gets, turning the
 O(log N) doubling rounds into O(log N) all_to_all pairs over ICI/DCN.
 
+Exchange buffers are CAPPED per destination: requests ship in cap-sized
+windows over spill rounds (uniform trip count via pmax, like the count
+exchange), so per-round memory is O(n_local + cap * n_shards) instead of
+O(n_shards * n_local) — pointer doubling concentrates queries onto terminal
+owners, which would otherwise force the full quadratic buffer.
+
 Demonstrated on the virtual CPU mesh (tests); the formulation is
 device-count-agnostic.
 """
@@ -22,44 +28,108 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .utg import Utgs, _assemble
 
 
-def _dist_gather(values, idx, n_shards: int, n_local: int):
-    """values[idx] where `values` is the local slice of a range-sharded global
-    array and `idx` holds GLOBAL indices.  Runs inside shard_map.
+def _sorted_dest(owner, valid, n_shards: int, cap: int):
+    """Shared prologue: sort by destination, per-destination column, and the
+    pmax-agreed number of cap-sized rounds."""
+    Q = owner.shape[0]
+    key = jnp.where(valid, owner.astype(jnp.int32), n_shards)
+    order = jnp.argsort(key)
+    tgt = key[order]
+    bounds = jnp.searchsorted(tgt, jnp.arange(n_shards + 1, dtype=tgt.dtype))
+    col = jnp.arange(Q, dtype=jnp.int32) - bounds[jnp.clip(tgt, 0, n_shards - 1)].astype(jnp.int32)
+    max_dest = jnp.max(bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    rounds = jax.lax.pmax((max_dest + cap - 1) // cap, "sh")
+    return order, tgt, col, rounds
 
-    Request/response over two all_to_alls; request capacity per destination is
-    the full local query count (safe under arbitrary skew - pointer doubling
-    converges many pointers onto few terminals).
+
+def _rr_exchange(planes, owner, n_shards: int, cap: int, serve_fn, out_dtypes,
+                 valid=None):
+    """Capped request/response exchange (aggregated-RPC *get* analogue).
+
+    planes: list of [Q] request planes.  serve_fn(mark, *received) -> list of
+    reply planes ([n_shards*cap] each, dtypes = out_dtypes); `mark` flags real
+    request slots.  Returns [Q]-aligned reply arrays (invalid lanes zero).
     """
-    Q = idx.shape[0]
-    owner = (idx // n_local).astype(jnp.int32)
-    owner = jnp.clip(owner, 0, n_shards - 1)
-    order = jnp.argsort(owner)
-    sowner = owner[order]
-    sidx = idx[order]
-    starts = jnp.searchsorted(sowner, jnp.arange(n_shards, dtype=sowner.dtype))
-    col = jnp.arange(Q, dtype=jnp.int32) - starts[sowner]
-    # requests: global index + return slot (position in the sorted order)
-    req_idx = jnp.full((n_shards, Q), -1, jnp.int32).at[sowner, col].set(
-        sidx.astype(jnp.int32), mode="drop"
+    Q = owner.shape[0]
+    if valid is None:
+        valid = jnp.ones((Q,), bool)
+    order, tgt, col, rounds = _sorted_dest(owner, valid, n_shards, cap)
+    sp = [p[order] for p in planes]
+    # fresh zeros are device-invariant; mark them varying over the mesh axis
+    # so the loop carry type matches the per-device body outputs
+    outs = tuple(jax.lax.pvary(jnp.zeros((Q,), dt), ("sh",)) for dt in out_dtypes)
+
+    def body(r, outs):
+        in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
+        row = jnp.where(in_r, tgt, n_shards)
+        ccol = jnp.clip(col - r * cap, 0, cap - 1)
+        mark = jnp.zeros((n_shards, cap), bool).at[row, ccol].set(in_r, mode="drop")
+        mark = jax.lax.all_to_all(mark, "sh", 0, 0, tiled=True)
+        recv = []
+        for p in sp:
+            buf = jnp.zeros((n_shards, cap), p.dtype).at[row, ccol].set(p, mode="drop")
+            recv.append(jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True).reshape(-1))
+        replies = serve_fn(mark.reshape(-1), *recv)
+        new_outs = []
+        for out, rep in zip(outs, replies):
+            back = jax.lax.all_to_all(rep.reshape(n_shards, cap), "sh", 0, 0, tiled=True)
+            flat = back[jnp.clip(tgt, 0, n_shards - 1), ccol]
+            # reply for sorted-slot q lands back at original position order[q]
+            new_outs.append(out.at[jnp.where(in_r, order, Q)].set(
+                jnp.where(in_r, flat, 0), mode="drop"
+            ))
+        return tuple(new_outs)
+
+    return list(jax.lax.fori_loop(0, rounds, body, outs))
+
+
+def _push_exchange(planes, owner, valid, n_shards: int, cap: int, apply_fn, carry):
+    """Capped one-way exchange (aggregated-RPC *put* analogue):
+    carry = apply_fn(carry, mark, *received) per round."""
+    order, tgt, col, rounds = _sorted_dest(owner, valid, n_shards, cap)
+    sp = [p[order] for p in planes]
+    carry = jax.tree.map(lambda x: jax.lax.pvary(x, ("sh",)), carry)
+
+    def body(r, carry):
+        in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
+        row = jnp.where(in_r, tgt, n_shards)
+        ccol = jnp.clip(col - r * cap, 0, cap - 1)
+        mark = jnp.zeros((n_shards, cap), bool).at[row, ccol].set(in_r, mode="drop")
+        mark = jax.lax.all_to_all(mark, "sh", 0, 0, tiled=True)
+        recv = []
+        for p in sp:
+            buf = jnp.zeros((n_shards, cap), p.dtype).at[row, ccol].set(p, mode="drop")
+            recv.append(jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True).reshape(-1))
+        return apply_fn(carry, mark.reshape(-1), *recv)
+
+    return jax.lax.fori_loop(0, rounds, body, carry)
+
+
+def _dist_gather(values, idx, n_shards: int, n_local: int, cap: int):
+    """values[idx] where `values` is the local slice of a range-sharded global
+    array and `idx` holds GLOBAL indices.  Runs inside shard_map."""
+    owner = jnp.clip(idx // n_local, 0, n_shards - 1)
+
+    def serve(mark, ridx):
+        my_base = jax.lax.axis_index("sh") * n_local
+        local_pos = jnp.clip(ridx - my_base, 0, n_local - 1)
+        return [jnp.where(mark, values[local_pos], values[0])]
+
+    (out,) = _rr_exchange(
+        [idx.astype(jnp.int32)], owner, n_shards, cap, serve, [values.dtype]
     )
-    req_idx = jax.lax.all_to_all(req_idx, "sh", 0, 0, tiled=True)
-    # answer: local gather (rows = requesting shard)
-    my_base = jax.lax.axis_index("sh") * n_local
-    local_pos = jnp.clip(req_idx - my_base, 0, n_local - 1)
-    ans = jnp.where(req_idx >= 0, values[local_pos], values[0])
-    ans = jax.lax.all_to_all(ans, "sh", 0, 0, tiled=True)
-    # unsort: answer for sorted-query q sits at ans[sowner[q], col[q]]
-    flat = ans[sowner, col]
-    out = jnp.zeros((Q,), values.dtype).at[order].set(flat)
     return out
 
 
 def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,
-                       right_code: np.ndarray, k: int, mesh: Mesh) -> Utgs:
+                       right_code: np.ndarray, k: int, mesh: Mesh,
+                       cap: int | None = None) -> Utgs:
     """Unitig construction with every doubling round as collective exchanges.
 
     vals must be globally sorted (the compact table is); node space =
-    2*N oriented nodes range-sharded over the mesh.
+    2*N oriented nodes range-sharded over the mesh.  `cap` bounds every
+    exchange's per-destination buffer (default: generous for small meshes,
+    4x the uniform share + 256 otherwise).
     """
     N = len(vals)
     if N == 0:
@@ -70,6 +140,9 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
     n2p = n2 + pad
     n_local = n2p // n_shards
     steps = max(1, int(np.ceil(np.log2(max(n2p, 2)))) + 1)
+    if cap is None:
+        cap = max(256, 4 * n_local // n_shards)
+    cap = min(cap, n_local)
 
     # shard boundaries for the distributed searchsorted (replicated, small)
     Np = n2p // 2
@@ -148,41 +221,33 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
             nxt_rc = out
             nxt_canon = jnp.minimum(nxt_val, nxt_rc)
             nxt_s = (nxt_rc < nxt_val).astype(jnp.int32)
-            # distributed searchsorted: owner by boundary, then remote lookup
+            # distributed searchsorted: owner by boundary, then remote lookup.
+            # Send the query VALUE; owner answers with global kmer index or -1.
             owner_guess = jnp.clip(
                 jnp.searchsorted(kmer_bounds, nxt_canon, side="right") - 1, 0, n_shards - 1
             )
-            # request: find index of nxt_canon within the owner's val range.
-            # Send the query VALUE; owner answers with global kmer index or -1.
-            Q = n_local
-            order = jnp.argsort(owner_guess)
-            so = owner_guess[order]
-            sq = nxt_canon[order]
-            starts = jnp.searchsorted(so, jnp.arange(n_shards, dtype=so.dtype))
-            col = jnp.arange(Q, dtype=jnp.int32) - starts[so]
-            req = jnp.zeros((n_shards, Q), jnp.uint64).at[so, col].set(sq, mode="drop")
-            req_mk = jnp.zeros((n_shards, Q), bool).at[so, col].set(
-                jnp.ones_like(sq, dtype=bool), mode="drop"
-            )
-            req = jax.lax.all_to_all(req, "sh", 0, 0, tiled=True)
-            req_mk = jax.lax.all_to_all(req_mk, "sh", 0, 0, tiled=True)
-            # local kmer values of this shard: even oriented slots
             my_kmers = ov.reshape(-1, 2)[:, 0]  # [n_local//2]
             my_kvalid = valid.reshape(-1, 2)[:, 0]
-            pos = jnp.searchsorted(my_kmers, req.reshape(-1)).reshape(req.shape)
-            pos = jnp.clip(pos, 0, n_local // 2 - 1)
-            hit = req_mk & (my_kmers[pos] == req) & my_kvalid[pos]
-            my_kbase = me * (n_local // 2)
-            ans = jnp.where(hit, (my_kbase + pos).astype(jnp.int32), -1)
-            ans = jax.lax.all_to_all(ans, "sh", 0, 0, tiled=True)
-            flat = ans[so, col]
-            j = jnp.zeros((Q,), jnp.int32).at[order].set(flat)
+
+            def serve_lookup(mark, req):
+                pos = jnp.clip(
+                    jnp.searchsorted(my_kmers, req), 0, n_local // 2 - 1
+                )
+                hit = mark & (my_kmers[pos] == req) & my_kvalid[pos]
+                my_kbase = me * (n_local // 2)
+                return [jnp.where(hit, (my_kbase + pos).astype(jnp.int32), -1)]
+
+            (j,) = _rr_exchange(
+                [nxt_canon], owner_guess, n_shards, cap, serve_lookup,
+                [jnp.int32], valid=valid,
+            )
+            j = jnp.where(valid, j, -1)
 
             exists = j >= 0
             nxt_node = jnp.where(exists, 2 * j + nxt_s, 0)
             first_base = (ov >> jnp.uint64(top_shift)).astype(jnp.int32)
             # reciprocity: gather next's oriented left ext remotely
-            nl = _dist_gather(o_left.astype(jnp.int32), nxt_node, n_shards, n_local)
+            nl = _dist_gather(o_left.astype(jnp.int32), nxt_node, n_shards, n_local, cap)
             recip = exists & (nl == first_base)
             not_self = nxt_node != gid
             not_mirror = nxt_node != (gid ^ 1)
@@ -194,67 +259,53 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
             p = jnp.where(succ == NULL, gid, succ)
             ml = jnp.minimum(gid, p)
             for _ in range(steps):
-                ml = jnp.minimum(ml, _dist_gather(ml, p, n_shards, n_local))
-                p = _dist_gather(p, p, n_shards, n_local)
-            succ_at_p = _dist_gather(succ, p, n_shards, n_local)
+                ml = jnp.minimum(ml, _dist_gather(ml, p, n_shards, n_local, cap))
+                p = _dist_gather(p, p, n_shards, n_local, cap)
+            succ_at_p = _dist_gather(succ, p, n_shards, n_local, cap)
             in_cycle = succ_at_p != NULL
             cut = in_cycle & (succ == ml)
-            # mark cycle heads: scatter via exchange — heads are succ[cut];
-            # reuse the gather machinery by gathering "am I a cut target"
-            # from the perspective of each node's pred... simpler: exchange a
-            # flag array via one all_to_all scatter round
+            # mark cycle heads: push a flag to each cut edge's target owner
             tgt = jnp.where(cut, succ, NULL)
-            towner = jnp.clip(tgt // n_local, 0, n_shards - 1).astype(jnp.int32)
-            order2 = jnp.argsort(jnp.where(cut, towner, n_shards))
-            so2 = jnp.where(cut, towner, n_shards)[order2]
-            st2 = jnp.searchsorted(so2, jnp.arange(n_shards, dtype=so2.dtype))
-            col2 = jnp.arange(n_local, dtype=jnp.int32) - st2[jnp.clip(so2, 0, n_shards - 1)]
-            buf = jnp.full((n_shards, n_local), -1, jnp.int32).at[
-                jnp.where(so2 < n_shards, so2, n_shards),
-                jnp.clip(col2, 0, n_local - 1),
-            ].set(tgt[order2].astype(jnp.int32), mode="drop")
-            buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
+            towner = jnp.clip(tgt // n_local, 0, n_shards - 1)
             my_base = me * n_local
-            flat2 = buf.reshape(-1)
-            loc = jnp.clip(flat2 - my_base, 0, n_local - 1)
-            cycle_head = jnp.zeros((n_local,), bool).at[
-                jnp.where(flat2 >= 0, loc, n_local)
-            ].set(True, mode="drop")
+
+            def apply_cut(cycle_head, mark, flat):
+                loc = jnp.clip(flat - my_base, 0, n_local - 1)
+                return cycle_head.at[jnp.where(mark, loc, n_local)].set(
+                    True, mode="drop"
+                )
+
+            cycle_head = _push_exchange(
+                [tgt.astype(jnp.int32)], towner, cut, n_shards, cap,
+                apply_cut, jnp.zeros((n_local,), bool),
+            )
             succ = jnp.where(cut, NULL, succ)
 
             # forward doubling: terminal
             p = jnp.where(succ == NULL, gid, succ)
             for _ in range(steps):
-                p = _dist_gather(p, p, n_shards, n_local)
+                p = _dist_gather(p, p, n_shards, n_local, cap)
             term = p
-            # pred via the same scatter-exchange
-            sowner3 = jnp.clip(succ // n_local, 0, n_shards - 1).astype(jnp.int32)
+            # pred via the same push exchange
             has = succ != NULL
-            order3 = jnp.argsort(jnp.where(has, sowner3, n_shards))
-            so3 = jnp.where(has, sowner3, n_shards)[order3]
-            st3 = jnp.searchsorted(so3, jnp.arange(n_shards, dtype=so3.dtype))
-            col3 = jnp.arange(n_local, dtype=jnp.int32) - st3[jnp.clip(so3, 0, n_shards - 1)]
-            bufS = jnp.full((n_shards, n_local, 2), -1, jnp.int32).at[
-                jnp.where(so3 < n_shards, so3, n_shards),
-                jnp.clip(col3, 0, n_local - 1),
-            ].set(
-                jnp.stack([succ[order3].astype(jnp.int32),
-                           gid[order3].astype(jnp.int32)], axis=-1),
-                mode="drop",
+            sowner = jnp.clip(succ // n_local, 0, n_shards - 1)
+
+            def apply_pred(pred, mark, flat_t, flat_f):
+                locT = jnp.clip(flat_t - my_base, 0, n_local - 1)
+                return pred.at[jnp.where(mark, locT, n_local)].set(
+                    flat_f, mode="drop"
+                )
+
+            pred = _push_exchange(
+                [succ.astype(jnp.int32), gid.astype(jnp.int32)], sowner, has,
+                n_shards, cap, apply_pred, jnp.full((n_local,), NULL, jnp.int32),
             )
-            bufS = jax.lax.all_to_all(bufS, "sh", 0, 0, tiled=True)
-            flatT = bufS[..., 0].reshape(-1)
-            flatF = bufS[..., 1].reshape(-1)
-            locT = jnp.clip(flatT - my_base, 0, n_local - 1)
-            pred = jnp.full((n_local,), NULL, jnp.int32).at[
-                jnp.where(flatT >= 0, locT, n_local)
-            ].set(flatF, mode="drop")
 
             ph = jnp.where(pred == NULL, gid, pred.astype(succ.dtype))
             pos_d = (pred != NULL).astype(jnp.int64)
             for _ in range(steps):
-                pos_d = pos_d + _dist_gather(pos_d, ph, n_shards, n_local)
-                ph = _dist_gather(ph, ph, n_shards, n_local)
+                pos_d = pos_d + _dist_gather(pos_d, ph, n_shards, n_local, cap)
+                ph = _dist_gather(ph, ph, n_shards, n_local, cap)
             head_of = ph
             heads = pred == NULL
             mt = term ^ 1

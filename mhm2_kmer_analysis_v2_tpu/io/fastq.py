@@ -177,6 +177,95 @@ def _is_seq_line(ln: bytes) -> bool:
     return ok >= len(sample) * 0.9
 
 
+_LEGAL_BASES = set("ACGTacgtNnUuRrYyKkMmSsWwBbDdHhVv")
+
+
+def check_is_fastq(fname: str, num_records: int = 10):
+    """Up-front input validation — the check_is_fastq analogue
+    (src/fastq.cpp:173-282): the first records must be structurally valid
+    FASTQ (@header / sequence / + / equal-length quality, legal base
+    characters).  Raises ValueError with a precise message so malformed
+    input fails BEFORE ingest instead of mid-run."""
+    f = _open(fname)
+    try:
+        for i in range(num_records):
+            header = f.readline()
+            if not header:
+                if i == 0:
+                    raise ValueError(f"{fname}: empty file, not FASTQ")
+                return
+            seq = f.readline()
+            plus = f.readline()
+            quals = f.readline()
+            if not header.startswith(b"@"):
+                raise ValueError(
+                    f"{fname}: record {i}: header does not start with '@': "
+                    f"{header[:40]!r}"
+                )
+            if not plus.startswith(b"+"):
+                raise ValueError(
+                    f"{fname}: record {i}: separator line is not '+': "
+                    f"{plus[:40]!r} (is this a FASTA file?)"
+                )
+            s = seq.strip()
+            q = quals.rstrip(b"\n")
+            if not quals:
+                raise ValueError(f"{fname}: record {i}: truncated record")
+            if len(s) != len(q):
+                raise ValueError(
+                    f"{fname}: record {i}: sequence length {len(s)} != "
+                    f"quality length {len(q)}"
+                )
+            bad = [chr(c) for c in s if chr(c) not in _LEGAL_BASES]
+            if bad:
+                raise ValueError(
+                    f"{fname}: record {i}: illegal base character {bad[0]!r}"
+                )
+    finally:
+        f.close()
+
+
+def estimate_num_reads(fname: str, n_samples: int = 7, sample_records: int = 64) -> int:
+    """Estimated record count from sampled byte ranges — the
+    estimate_num_reads analogue (src/merge_reads.cpp:84-192, ~7 sampling
+    ranks).  gzip inputs assume a 3x compression ratio like the reference's
+    file-size heuristics (src/main.cpp:139-151)."""
+    size = os.path.getsize(fname)
+    if size == 0:
+        return 0
+    gz = is_gz(fname)
+    if gz:
+        # sample the head of the stream only (no random access into gzip)
+        f = gzip.open(fname, "rb")
+        tot_bytes = tot_recs = 0
+        for _ in range(n_samples * sample_records):
+            rec = [f.readline() for _ in range(4)]
+            if not rec[3]:
+                break
+            tot_bytes += sum(len(ln) for ln in rec)
+            tot_recs += 1
+        f.close()
+        if not tot_recs:
+            return 0
+        return int(size * 3.0 / (tot_bytes / tot_recs))
+    tot_bytes = tot_recs = 0
+    for s in range(n_samples):
+        start = size * s // n_samples
+        rdr = FastqReader(fname, start=start, end=size)
+        for _ in range(sample_records):
+            pos0 = rdr.f.tell()
+            try:
+                next(rdr)
+            except (StopIteration, ValueError):
+                break
+            tot_bytes += rdr.f.tell() - pos0
+            tot_recs += 1
+        rdr.close()
+    if not tot_recs:
+        return 0
+    return int(size / (tot_bytes / tot_recs))
+
+
 def read_fastq(fname: str, subsample_pct: int = 100) -> list[FastqRecord]:
     """Read a whole FASTQ file; deterministic modulo subsampling like
     get_next_fq_record's modulo logic (src/fastq.cpp:1034-1059)."""

@@ -26,6 +26,48 @@ from ..utils.timers import stage_timers
 BASE_ERROR_RATE = 0.005  # CMakeDefinitions.txt (BASE_ERROR_RATE)
 
 
+def table_mem_bytes(per_shard_elems: int, k: int, filter_elems: int = 0) -> int:
+    """Device bytes one shard's hash table will occupy at the target load
+    factor — the hashtable memory estimator of kcount_cpu.cpp:428-444.
+
+    k<=32 slots: keys_hi/lo (8) + counts (4) + extc (32) + claim (4) = 48 B;
+    k>32: 4*W-byte keys instead of 8; filter slots: fp+meta+claim = 12 B."""
+    from ..ops.kmer_multiword import n_words
+    from ..table.shard_table import TARGET_LOAD_FACTOR
+
+    cap = int(per_shard_elems / TARGET_LOAD_FACTOR) + 1
+    key_bytes = 8 if k <= 32 else 4 * n_words(k)
+    slot = key_bytes + 4 + 32 + 4
+    total = cap * slot
+    if filter_elems:
+        total += (int(filter_elems / TARGET_LOAD_FACTOR) + 1) * 12
+    return total
+
+
+def clamp_elems_to_budget(budget_bytes: int, k: int, with_filter: bool) -> int:
+    """Largest per-shard element count whose table fits budget_bytes."""
+    lo, hi = 1024, 1 << 34
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if table_mem_bytes(mid, k, mid if with_filter else 0) <= budget_bytes:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def _device_mem_budget(frac: float = 0.6) -> int:
+    """Usable per-device memory for the table state (0 = unknown).  TPU
+    runtimes expose bytes_limit; CPU/emulated backends typically do not."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"] * frac)
+    except Exception:
+        pass
+    return 0
+
+
 @dataclass
 class AnalysisResult:
     k: int
@@ -83,6 +125,26 @@ def analyze_kmers(
     else:
         per_shard = max(adjusted + num_errors, 1024) // n_shards + 1024
         filter_per_shard = 0
+    # hashtable memory estimate + HBM-budget clamp (the free-memory-budgeted
+    # sizing of src/kcount/kcount_cpu.cpp:428-470 / gpu_hash_table.cpp:552)
+    est_mb = table_mem_bytes(per_shard, k, filter_per_shard) / 1e6
+    budget = _device_mem_budget()
+    slog_verbose(
+        "Hash table sizing: ", per_shard, " elems/shard, est ",
+        f"{est_mb:.1f}", " MB/shard device memory",
+        f" (budget {budget / 1e6:.0f} MB)" if budget else "",
+    )
+    if budget and table_mem_bytes(per_shard, k, filter_per_shard) > budget:
+        clamped = clamp_elems_to_budget(budget, k, bool(filter_per_shard))
+        scale = clamped / per_shard
+        slog(
+            "WARNING: clamping per-shard table capacity ", per_shard, " -> ",
+            clamped, " to fit the ", f"{budget / 1e9:.2f}",
+            " GB device memory budget; overflow k-mers will be dropped and "
+            "counted if the estimate was right",
+        )
+        per_shard = clamped
+        filter_per_shard = int(filter_per_shard * scale)
     if multiword:
         state = cs.create_sharded_mw(n_shards, per_shard, k, mesh=mesh)
     elif use_qf:
@@ -467,6 +529,14 @@ def run_pipeline(options: Options) -> list:
              len(jax.devices()), " devices total")
     mem_tracker = MemoryTracker()
     mem_tracker.start()
+    if options.checkpoint:
+        # --checkpoint makes every round restartable: the merged-read cache
+        # plus each round's on-disk artifacts (uutigs, dumps, the
+        # "Completed contig round" log marker) let --restart resume mid-run
+        # (the stage-skip protocol of src/mhm2.py:871-937)
+        options.dump_merged = True
+    completed_ks = _completed_rounds(options) if options.restart else set()
+    _validate_inputs(options)
     pr = load_reads(options)
     log_mem("after loading reads")
     results = []
@@ -474,6 +544,15 @@ def run_pipeline(options: Options) -> list:
     for k in options.kmer_lens:
         slog("_________________________")
         slog("Contig generation k = ", k)
+        if k in completed_ks:
+            uutigs_path = os.path.join(options.output_dir, f"uutigs-{k}.fasta")
+            if os.path.exists(uutigs_path):
+                slog("Restart: skipping completed contig round k = ", k)
+                if options.ctg_kmers:
+                    prev_ctgs = _load_uutigs_fasta(uutigs_path)
+                continue
+            slog("Restart: round k = ", k, " marked complete but ",
+                 uutigs_path, " is missing; re-running it")
         res, fin, n_shards = analyze_kmers(pr, k, options, prev_ctgs=prev_ctgs)
         if options.dump_kmers:
             dump_kmers(fin, k, options.output_dir, n_shards)
@@ -532,6 +611,62 @@ def run_pipeline(options: Options) -> list:
     slog("Peak memory: ", f"{peak_mx:.2f} GB")
     dist.barrier("shutdown")
     return results
+
+
+def _validate_inputs(options: Options):
+    """Fail-fast input validation + sizing estimate before ingest: per-file
+    check_is_fastq (src/fastq.cpp:173-282), sampled read-count estimate
+    (src/merge_reads.cpp:84-192), and the 3x-input free-memory sanity check
+    (src/main.cpp:153-156)."""
+    from ..io.fastq import check_is_fastq, estimate_num_reads, is_gz
+    from ..utils.memory import check_input_size
+
+    total_bytes = 0
+    est_reads = 0
+    for group in options.all_read_groups():
+        for f in group:
+            check_is_fastq(f)
+            sz = os.path.getsize(f)
+            total_bytes += sz * 3 if is_gz(f) else sz
+            est_reads += estimate_num_reads(f)
+    slog_verbose("Estimated total reads across inputs: ", est_reads)
+    warning = check_input_size(total_bytes)
+    if warning:
+        slog("WARNING: ", warning)
+
+
+def _completed_rounds(options: Options) -> set:
+    """k values whose rounds completed in a previous run of this output dir,
+    read from the log's 'Completed contig round k = ' markers (the marker
+    mhm2.py's auto-restart watches for, src/mhm2.py:871-937)."""
+    ks: set = set()
+    path = os.path.join(options.output_dir, "mhm2.log")
+    if not os.path.exists(path):
+        return ks
+    marker = "Completed contig round k = "
+    with open(path) as f:
+        for line in f:
+            if marker in line:
+                try:
+                    ks.add(int(line.split(marker, 1)[1].split()[0]))
+                except (ValueError, IndexError):
+                    pass
+    return ks
+
+
+def _load_uutigs_fasta(path: str) -> list:
+    """(seq, depth) pairs from a uutigs-<k>.fasta written by dump_uutigs —
+    restores the --ctg-kmers carryover input on restart."""
+    out = []
+    depth = 1.0
+    for line in open(path):
+        line = line.rstrip("\n")
+        if line.startswith(">"):
+            parts = line.split()
+            depth = float(parts[1]) if len(parts) > 1 else 1.0
+        elif line:
+            out.append((line, depth))
+    return out
 
 
 def write_summary_csv(options: Options, results: list, elapsed: float, peak_gb: float = 0.0):

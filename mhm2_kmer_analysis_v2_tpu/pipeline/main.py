@@ -22,7 +22,13 @@ def main(argv=None):
             if not os.path.exists(f):
                 print(f"read file not found: {f}", file=sys.stderr)
                 return 1
-    results = run_pipeline(options)
+    try:
+        results = run_pipeline(options)
+    except ValueError as e:
+        # input validation failures (check_is_fastq etc.) exit cleanly like
+        # the reference's SDIE path (src/fastq.cpp:173-282)
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
     for r in results:
         slog(
             f"k={r.k}: reads={r.num_reads} unique_kmers={r.unique_kmers} "

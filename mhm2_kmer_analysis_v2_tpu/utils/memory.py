@@ -57,3 +57,30 @@ class MemoryTracker:
 def log_mem(tag: str):
     """LOG_MEM waypoint (src/main.cpp:199-258)."""
     log(f"Memory at {tag}: {_rss_gb():.2f} GB RSS", verbose_only=True)
+
+
+def free_mem_gb() -> float:
+    """Available host memory (the get_free_mem analogue, upcxx_utils)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable"):
+                    return int(line.split()[1]) / 1024**2
+    except OSError:
+        pass
+    return 0.0
+
+
+def check_input_size(total_input_bytes: int, factor: float = 3.0) -> str | None:
+    """The 3x-input free-memory sanity check (src/main.cpp:153-156): the
+    pipeline holds reads + packed cache + table, roughly 3x the input size.
+    Returns a warning string when the envelope does not fit, else None."""
+    free_gb = free_mem_gb()
+    need_gb = factor * total_input_bytes / 1024**3
+    if free_gb and need_gb > free_gb:
+        return (
+            f"Insufficient memory: estimated need {need_gb:.2f} GB "
+            f"({factor:.0f}x input) vs {free_gb:.2f} GB available — "
+            "the run may OOM; consider --subsample-pct or more hosts"
+        )
+    return None

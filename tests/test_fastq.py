@@ -158,3 +158,48 @@ def test_read_paired_blocks_staggered(tmp_path):
             got2 += [r.name for r in b2]
         assert got1 == [f"{x}/1" for x in names], n_ranks
         assert got2 == [f"{x}/2" for x in names], n_ranks
+
+
+def test_check_is_fastq_accepts_and_rejects(tmp_path):
+    from mhm2_kmer_analysis_v2_tpu.io.fastq import check_is_fastq
+
+    good = tmp_path / "good.fastq"
+    good.write_text("@r0/1\nACGT\n+\nIIII\n@r1/1\nGGTA\n+\nJJJJ\n")
+    check_is_fastq(str(good))  # no raise
+
+    import pytest
+    fasta = tmp_path / "bad.fasta"
+    fasta.write_text(">r0\nACGT\n>r1\nGGTA\n")
+    with pytest.raises(ValueError, match="header"):
+        check_is_fastq(str(fasta))
+
+    trunc = tmp_path / "trunc.fastq"
+    trunc.write_text("@r0/1\nACGT\n+\nIII\n")
+    with pytest.raises(ValueError, match="quality length"):
+        check_is_fastq(str(trunc))
+
+    badchar = tmp_path / "badchar.fastq"
+    badchar.write_text("@r0/1\nAC*T\n+\nIIII\n")
+    with pytest.raises(ValueError, match="illegal base"):
+        check_is_fastq(str(badchar))
+
+    empty = tmp_path / "empty.fastq"
+    empty.write_text("")
+    with pytest.raises(ValueError, match="empty"):
+        check_is_fastq(str(empty))
+
+
+def test_estimate_num_reads(tmp_path):
+    import numpy as np
+    from mhm2_kmer_analysis_v2_tpu.io.fastq import estimate_num_reads
+
+    rng = np.random.default_rng(3)
+    path = tmp_path / "est.fastq"
+    n = 1000
+    with open(path, "w") as f:
+        for i in range(n):
+            L = int(rng.integers(50, 150))
+            s = "".join(rng.choice(list("ACGT"), L))
+            f.write(f"@read{i}/1\n{s}\n+\n{'I' * L}\n")
+    est = estimate_num_reads(str(path))
+    assert 0.8 * n <= est <= 1.2 * n, est

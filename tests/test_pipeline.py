@@ -86,3 +86,55 @@ def test_count_histogram(tmp_path):
     for c, _, _ in oracle_count(reads, k).finalize().values():
         exp[c] = exp.get(c, 0) + 1
     assert got == exp
+
+
+def test_checkpoint_restart_skips_completed_rounds(tmp_path):
+    """--checkpoint + --restart: a second run skips k rounds whose 'Completed
+    contig round' marker is in the log, and the --ctg-kmers carryover
+    reloaded from uutigs-<k>.fasta reproduces the uninterrupted run."""
+    from mhm2_kmer_analysis_v2_tpu.config import Options
+    from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import run_pipeline
+
+    reads = genome_reads(120, 80, genome_len=600, seed=91, err=0.0)
+    fq = tmp_path / "ck.fastq"
+    with open(fq, "w") as f:
+        for i, (s, q) in enumerate(reads):
+            f.write(f"@r{i}\n{s}\n+\n{q}\n")
+    base = dict(unpaired_fnames=[str(fq) + ":"], batch_reads=64,
+                adapter_trim=False, ctg_kmers=True)
+
+    # uninterrupted two-round reference run
+    r_full = run_pipeline(Options(
+        output_dir=str(tmp_path / "full"), kmer_lens=[21, 33], **base))
+
+    # round 1 only with --checkpoint, then restart with both rounds
+    out = str(tmp_path / "ck")
+    r1 = run_pipeline(Options(
+        output_dir=out, kmer_lens=[21], checkpoint=True, **base))
+    r2 = run_pipeline(Options(
+        output_dir=out, kmer_lens=[21, 33], checkpoint=True, restart=True,
+        **base))
+    # restart ran ONLY k=33
+    assert [r.k for r in r2] == [33]
+    assert r2[0].unique_kmers == r_full[1].unique_kmers
+    assert r2[0].total_kmer_count_sum == r_full[1].total_kmer_count_sum
+    log = open(os.path.join(out, "mhm2.log")).read()
+    assert "skipping completed contig round k = 21" in log
+    # restart also skipped the merge via the merged-read checkpoint
+    assert "Restart: loading merged reads" in log
+
+
+def test_table_sizing_and_budget_clamp():
+    from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import (
+        clamp_elems_to_budget, table_mem_bytes)
+
+    # 48 B/slot at load factor 0.66 -> ~73 B/elem for k<=32
+    b = table_mem_bytes(1_000_000, 21)
+    assert 6.0e7 < b < 8.0e7, b
+    # multiword keys grow with k
+    assert table_mem_bytes(1_000_000, 64) > b
+    # clamp inverts the estimate
+    budget = 10 * 1024 * 1024
+    elems = clamp_elems_to_budget(budget, 21, False)
+    assert table_mem_bytes(elems, 21) <= budget
+    assert table_mem_bytes(elems + 1024, 21) > budget

@@ -202,3 +202,26 @@ def test_sharded_traversal_tiny_n_padded_shards():
         mesh = Mesh(np.array(jax.devices()[:8]), ("sh",))
         got = distributed.build_utgs_sharded(vals, counts, left, right, k, mesh)
         assert sorted(got.seqs) == sorted(exp.seqs), (seed, len(vals))
+
+
+def test_sharded_traversal_tiny_cap_spills():
+    """A deliberately tiny exchange cap (forces many request spill rounds)
+    must not change the result — memory stays O(n_local + cap*n_shards)."""
+    import jax
+    from jax.sharding import Mesh
+    from mhm2_kmer_analysis_v2_tpu.contig import distributed
+
+    k = 21
+    reads = genome_reads(150, 70, genome_len=400, seed=35, err=0.01)
+    oc = oracle_count(reads, k)
+    fin = oc.finalize()
+    items = sorted((kmer_to_val(s), c, l, r) for s, (c, l, r) in fin.items())
+    vals = np.array([v for v, _, _, _ in items], np.uint64)
+    counts = np.array([c for _, c, _, _ in items], np.int64)
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    left = np.array([code[l] for _, _, l, _ in items], np.int64)
+    right = np.array([code[r] for _, _, _, r in items], np.int64)
+    exp = utg.build_utgs(vals, counts, left, right, k)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sh",))
+    got = distributed.build_utgs_sharded(vals, counts, left, right, k, mesh, cap=8)
+    assert sorted(got.seqs) == sorted(exp.seqs)
