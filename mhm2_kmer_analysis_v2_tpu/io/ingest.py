@@ -52,6 +52,67 @@ def ingest_group(
             read_id += 2
         return read_id
 
+    # pairs are processed in CHUNKS so the whole merge scan for a chunk is
+    # ONE native call (amortizing the call boundary, the batched analogue of
+    # the reference's per-rank tight C++ loop, merge_reads.cpp:250-771);
+    # emission order is preserved exactly
+    CHUNK = 4096
+    chunk: list = []  # (seq1, quals1, seq2, quals2, attempt_merge)
+
+    def emit(seq1, quals1, seq2, quals2, merged, mseq, mquals):
+        nonlocal read_id
+        if merged:
+            pr.add_read(f"r{read_id}/1", mseq, mquals)
+            pr.add_read(f"r{read_id}/2", "N", fake_qual)
+        else:
+            pr.add_read(f"r{read_id}/1", seq1, quals1)
+            pr.add_read(f"r{read_id}/2", seq2, quals2)
+        read_id += 2
+
+    def flush():
+        from .native import merge_chunk_native
+
+        todo = [c for c in chunk if c[4]]
+        res = merge_chunk_native(
+            [c[0] for c in todo], [c[1] for c in todo],
+            [c[2] for c in todo], [c[3] for c in todo], qual_offset,
+        ) if todo else (None, [])
+        if res is None:
+            # library unavailable: per-pair path
+            for s1, q1, s2, q2, attempt in chunk:
+                merged = False
+                mseq = mquals = None
+                if attempt:
+                    merged, mseq, mquals = merge_pair(s1, q1, s2, q2, qual_offset, stats)
+                emit(s1, q1, s2, q2, merged, mseq, mquals)
+            chunk.clear()
+            return
+        statuses, merged_out = res
+        ti = 0
+        for s1, q1, s2, q2, attempt in chunk:
+            if not attempt:
+                emit(s1, q1, s2, q2, False, None, None)
+                continue
+            st, m = int(statuses[ti]), merged_out[ti]
+            ti += 1
+            if st == -4:
+                # exact scalar path (N/IUPAC/oversized); it does its own stats
+                merged, mseq, mquals = merge_pair(s1, q1, s2, q2, qual_offset, stats)
+                emit(s1, q1, s2, q2, merged, mseq, mquals)
+                continue
+            stats.num_pairs += 1
+            if st > 0:
+                mseq, mquals = m
+                stats.num_merged += 1
+                stats.merged_len += st
+                stats.overlap_len += len(s1) + len(s2) - st
+                emit(s1, q1, s2, q2, True, mseq, mquals)
+            else:
+                if st == -2:
+                    stats.num_ambiguous += 1
+                emit(s1, q1, s2, q2, False, None, None)
+        chunk.clear()
+
     for pair_idx, (rec1, rec2) in enumerate(_iter_pairs_robust(fnames)):
         # deterministic pair-level subsampling (src/fastq.cpp:1034-1059)
         if subsample_pct < 100 and (pair_idx % 100) >= subsample_pct:
@@ -64,18 +125,11 @@ def ingest_group(
         # drop pairs where both mates got too short (merge_reads.cpp:475)
         if len(seq1) < min_kmer_len and len(seq2) < min_kmer_len:
             continue
-        merged = False
-        if do_merge and len(seq1) > 0 and len(seq2) > 0:
-            merged, mseq, mquals = merge_pair(
-                seq1, quals1, seq2, quals2, qual_offset, stats
-            )
-        if merged:
-            pr.add_read(f"r{read_id}/1", mseq, mquals)
-            pr.add_read(f"r{read_id}/2", "N", fake_qual)
-        else:
-            pr.add_read(f"r{read_id}/1", seq1, quals1)
-            pr.add_read(f"r{read_id}/2", seq2, quals2)
-        read_id += 2
+        attempt = do_merge and len(seq1) > 0 and len(seq2) > 0
+        chunk.append((seq1, quals1, seq2, quals2, attempt))
+        if len(chunk) >= CHUNK:
+            flush()
+    flush()
     return read_id
 
 

@@ -78,12 +78,66 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_char_p,
     ]
+    if hasattr(lib, "knat_merge_chunk"):
+        lib.knat_merge_chunk.restype = None
+        lib.knat_merge_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return _lib
 
 
 _MERGE_BUF_S = ctypes.create_string_buffer(1 << 17)
 _MERGE_BUF_Q = ctypes.create_string_buffer(1 << 17)
+
+
+def merge_chunk_native(seqs1: list, quals1: list, seqs2: list, quals2: list,
+                       qual_offset: int):
+    """Merge a whole chunk of pairs in ONE native call.
+
+    Returns (statuses int32[n], merged list where statuses[i] > 0 holds
+    (seq, quals) and others hold None), or None when the library is
+    unavailable.  Status -4 lanes need the caller's exact scalar fallback;
+    -3 raises like merge_pair_native."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "knat_merge_chunk"):
+        return None
+    n = len(seqs1)
+    if n == 0:
+        return np.zeros(0, np.int32), []
+    b1 = "".join(seqs1).encode()
+    q1 = "".join(quals1).encode()
+    b2 = "".join(seqs2).encode()
+    q2 = "".join(quals2).encode()
+    off1 = np.zeros(n + 1, np.int64)
+    off1[1:] = np.cumsum([len(s) for s in seqs1])
+    off2 = np.zeros(n + 1, np.int64)
+    off2[1:] = np.cumsum([len(s) for s in seqs2])
+    oout = np.zeros(n + 1, np.int64)
+    oout[1:] = np.cumsum(off1[1:] - off1[:-1] + off2[1:] - off2[:-1])
+    out_s = ctypes.create_string_buffer(int(oout[-1]) + 1)
+    out_q = ctypes.create_string_buffer(int(oout[-1]) + 1)
+    statuses = np.zeros(n, np.int32)
+    lib.knat_merge_chunk(
+        b1, q1, off1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b2, q2, off2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, qual_offset, out_s, out_q,
+        oout.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if (statuses == -3).any():
+        raise ValueError("Invalid quality score (phred offset mismatch?)")
+    raw_s, raw_q = out_s.raw, out_q.raw
+    merged = [
+        (raw_s[oout[i] : oout[i] + st].decode(), raw_q[oout[i] : oout[i] + st].decode())
+        if st > 0 else None
+        for i, st in enumerate(statuses)
+    ]
+    return statuses, merged
 
 
 def merge_pair_native(seq1: str, quals1: str, seq2: str, quals2: str, qual_offset: int):

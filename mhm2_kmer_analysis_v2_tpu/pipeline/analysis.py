@@ -79,6 +79,39 @@ class AnalysisResult:
     num_overflow: int
 
 
+def _prefetched(items, fn, depth: int):
+    """Map fn over items on a feed thread, keeping up to `depth` results in
+    flight (double-buffered host->device staging).  depth=0 maps inline."""
+    if depth <= 0:
+        for it in items:
+            yield fn(it)
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for it in items:
+                q.put(fn(it))
+            q.put(DONE)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()
+
+
 def load_reads(options: Options) -> PackedReads:
     """Ingest all read groups: adapter trim + pair merge -> PackedReads
     (the merge_reads stage, src/main.cpp:209-215, src/merge_reads.cpp:250)."""
@@ -205,37 +238,50 @@ def analyze_kmers(
     # trip count is the max over processes and stragglers feed empty batches
     local_rows = batch // n_proc
     n_batches = dist.allmax(max(1, -(-total_reads // local_rows)))
-    batch_iter = pr.batches(local_rows, max_len=max_len)
-    empty_rb = None
-    for bi in range(n_batches):
-        rb = next(batch_iter, None)
-        if rb is None:
-            if empty_rb is None:
-                empty_rb = pr.slice_batch(0, 0, max_len, pad_to=local_rows)
-            rb = empty_rb
-        if options.show_progress and total_reads:
-            pct = 100 * num_reads // total_reads
-            print(f"\rProcessing reads to count kmers: {pct}% ", end="", flush=True)
-        num_reads += int((rb.lengths > 0).sum())
-        comm_stats.add_collective(a2a_bytes, 3 if n_shards > 1 else 0)
+
+    def host_batches():
+        batch_iter = pr.batches(local_rows, max_len=max_len)
+        empty_rb = None
+        for _ in range(n_batches):
+            rb = next(batch_iter, None)
+            if rb is None:
+                if empty_rb is None:
+                    empty_rb = pr.slice_batch(0, 0, max_len, pad_to=local_rows)
+                rb = empty_rb
+            yield rb
+
+    def stage(rb):
+        """Host-side encode/pack + h2d for one batch (runs on the feed
+        thread so it overlaps the previous batch's device step — the
+        thread-pool overlap of src/kcount/kcount_gpu.cpp:118-133)."""
+        n_real = int((rb.lengths > 0).sum())
         if packed_input:
             pb = rb.pack()
-            comm_stats.add_h2d(pb.nbytes)
-            state = step(
-                state,
+            return n_real, pb.nbytes, (
                 dist.make_global(sharding, pb.code2),
                 dist.make_global(sharding, pb.nmask),
                 dist.make_global(sharding, pb.badq),
                 dist.make_global(sharding, pb.lengths),
             )
-        else:
-            comm_stats.add_h2d(rb.codes.nbytes + rb.badq.nbytes + rb.lengths.nbytes)
-            state = step(
-                state,
-                dist.make_global(sharding, rb.codes),
-                dist.make_global(sharding, rb.badq),
-                dist.make_global(sharding, rb.lengths),
-            )
+        nbytes = rb.codes.nbytes + rb.badq.nbytes + rb.lengths.nbytes
+        return n_real, nbytes, (
+            dist.make_global(sharding, rb.codes),
+            dist.make_global(sharding, rb.badq),
+            dist.make_global(sharding, rb.lengths),
+        )
+
+    # multi-process feeds stay on the main thread: make_global is itself a
+    # collective-ordering point and must interleave identically on every
+    # process with the step launches
+    prefetch = 2 if n_proc == 1 else 0
+    for n_real, nbytes, dev_args in _prefetched(host_batches(), stage, prefetch):
+        if options.show_progress and total_reads:
+            pct = 100 * num_reads // total_reads
+            print(f"\rProcessing reads to count kmers: {pct}% ", end="", flush=True)
+        num_reads += n_real
+        comm_stats.add_h2d(nbytes)
+        comm_stats.add_collective(a2a_bytes, 3 if n_shards > 1 else 0)
+        state = step(state, *dev_args)
     if options.show_progress:
         print("\rProcessing reads to count kmers: 100%")
     num_reads = dist.allsum(num_reads)

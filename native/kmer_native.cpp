@@ -248,4 +248,26 @@ int32_t knat_merge_pair(const char* seq1, const char* q1, int32_t len1,
                            start_i, qual_offset, out_seq, out_quals);
 }
 
+// Whole-CHUNK merge: one library call for n_pairs pairs (amortizes the
+// ctypes boundary; the ingest hot loop, src/merge_reads.cpp:250-771 runs
+// per-rank over its block).  Inputs are concatenated strings with int64
+// offset arrays (off[i]..off[i+1]).  Per pair: statuses[i] = merged length
+// (>0), 0 no merge, -2 ambiguous, -3 invalid quality, -4 needs the exact
+// scalar path.  Merged output for pair i is written at out_seq+oout[i]
+// (caller sizes oout so len1+len2 fits).
+void knat_merge_chunk(const char* seqs1, const char* quals1, const int64_t* off1,
+                      const char* seqs2, const char* quals2, const int64_t* off2,
+                      int32_t n_pairs, int32_t qual_offset,
+                      char* out_seq, char* out_quals, const int64_t* oout,
+                      int32_t* statuses) {
+  for (int32_t i = 0; i < n_pairs; i++) {
+    int32_t len1 = (int32_t)(off1[i + 1] - off1[i]);
+    int32_t len2 = (int32_t)(off2[i + 1] - off2[i]);
+    statuses[i] = knat_merge_pair(seqs1 + off1[i], quals1 + off1[i], len1,
+                                  seqs2 + off2[i], quals2 + off2[i], len2,
+                                  qual_offset, out_seq + oout[i],
+                                  out_quals + oout[i]);
+  }
+}
+
 }  // extern "C"
