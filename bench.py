@@ -59,6 +59,7 @@ def main():
             flat["right"],
             jnp.ones_like(flat["left"]),
             flat["valid"],
+            full_hi_range=k >= 32,
         )
         return table, 0
 

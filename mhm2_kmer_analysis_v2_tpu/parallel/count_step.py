@@ -158,12 +158,14 @@ def _round_exchange(planes, target, valid, n_shards: int, cap: int,
     return carry, jnp.maximum(rounds - 1, 0).astype(jnp.int32), overflow
 
 
-def _insert_from_buffers(table: ShardTable, hi, lo, meta) -> ShardTable:
+def _insert_from_buffers(table: ShardTable, hi, lo, meta, k: int) -> ShardTable:
     valid = meta != 0
     left = meta & 7
     right = (meta >> 3) & 7
     cnt = meta >> 6
-    return shard_table.insert_batch(table, hi, lo, left, right, cnt, valid)
+    return shard_table.insert_batch(
+        table, hi, lo, left, right, cnt, valid, full_hi_range=k >= 32
+    )
 
 
 def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
@@ -184,7 +186,7 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
         local = _local_table(state)
         if n_shards > 1:
             def ins(tbl, rhi, rlo, rmeta):
-                return _insert_from_buffers(tbl, rhi, rlo, rmeta.astype(jnp.int32))
+                return _insert_from_buffers(tbl, rhi, rlo, rmeta.astype(jnp.int32), k)
 
             local, spill, overflow = _round_exchange(
                 [flat["canon_hi"], flat["canon_lo"], meta], flat["target"],
@@ -193,7 +195,7 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
         else:
             spill = overflow = jnp.zeros((), jnp.int32)
             local = _insert_from_buffers(
-                local, flat["canon_hi"], flat["canon_lo"], meta
+                local, flat["canon_hi"], flat["canon_lo"], meta, k
             )
         return ShardedState(
             keys_hi=local.keys_hi[None],
@@ -541,7 +543,7 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
             cnt = jnp.repeat(rcount, SB)
             return shard_table.insert_batch(
                 local, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
-                cnt, fl["valid"] & (cnt > 0),
+                cnt, fl["valid"] & (cnt > 0), full_hi_range=k >= 32,
             )
 
         local = jax.lax.fori_loop(0, rounds, body, _local_table(state))

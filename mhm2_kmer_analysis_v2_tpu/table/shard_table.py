@@ -142,20 +142,37 @@ def probe_stats(table: ShardTable) -> dict:
     }
 
 
-def _probe_round(tbl, recs):
+def _probe_round(tbl, recs, full_hi_range: bool = False):
     """One synchronized probe sweep over all active lanes.
 
     tbl = (keys_hi, keys_lo, counts, extc, claim);
     recs = (hi, lo, left, right, cnt, lane, active, slot).
     Returns (tbl', active', slot').
+
+    Measured-cost design (the emulated-TPU unit costs are ~15-25 ms per
+    1.2M-element random gather/scatter while fused elementwise is ~1 ms, so
+    the round is organized to MINIMIZE table gathers/scatters):
+      * emptiness is decided from the keys_hi gather alone — a stored hi can
+        never equal the EMPTY sentinel for k <= 31 (hi has at most 2k-32 < 32
+        significant bits).  `full_hi_range` (k == 32) adds the keys_lo check.
+      * pre-existing matches are NOT detected up front; they fall out of the
+        single post-write verification gather (which also confirms claim
+        winners and lets same-key duplicates ride along) — saving one
+        full-width gather pair per round.
+      * the claim array is never reset: every lane that reads claim[slot]
+        scattered to that slot in the same sweep, so stale values from
+        earlier sweeps/batches are never observed.
     """
     keys_hi, keys_lo, counts, extc, claim = tbl
     hi, lo, left, right, cnt, lane, active, slot = recs
     cap = keys_hi.shape[0]
     gslot = jnp.where(active, slot, 0)
     thi = keys_hi[gslot]
-    tlo = keys_lo[gslot]
-    is_empty = active & (thi == EMPTY) & (tlo == EMPTY)
+    if full_hi_range:
+        tlo0 = keys_lo[gslot]
+        is_empty = active & (thi == EMPTY) & (tlo0 == EMPTY)
+    else:
+        is_empty = active & (thi == EMPTY)
     # claim empty slots with the lane id; duplicate-index scatter keeps one
     # winner (unspecified which — harmless, contents are order-independent)
     claim_slot = jnp.where(is_empty, slot, cap)
@@ -166,8 +183,6 @@ def _probe_round(tbl, recs):
     w_slot = jnp.where(won, slot, cap)
     keys_hi = keys_hi.at[w_slot].set(hi, mode="drop")
     keys_lo = keys_lo.at[w_slot].set(lo, mode="drop")
-    # reset touched claim entries (O(R) not O(cap))
-    claim = claim.at[claim_slot].set(-1, mode="drop")
     # every lane whose key is now present commits (pre-existing matches,
     # winners, AND duplicate lanes of a winner's k-mer)
     thi = keys_hi[gslot]
@@ -185,26 +200,47 @@ def _probe_round(tbl, recs):
     return (keys_hi, keys_lo, counts, extc, claim), active, slot
 
 
-# full-width sweeps before compacting the (rare) leftover lanes; at sane load
-# factors >90% of lanes commit in the first sweep (duplicates ride along with
-# their winner in the same sweep).  Lanes that overflow the compaction buffer
-# fall back to full-width sweeps, so one sweep + compaction is lossless.
+# used by the multi-word table's (simpler) insert structure
 _FULL_ROUNDS = 1
 _COMPACT_FRACTION = 8
 
 
-@jax.jit
-def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid) -> ShardTable:
+def _compact_sort(arrs, active, S):
+    """Pack the active lanes' records into S slots (order-preserving).
+
+    Sort-based (a single lax.sort of lane keys) instead of jnp.nonzero: the
+    sort compiles inside lax.scan on this backend where nonzero's big
+    cumsum reduce-window blows the scoped-VMEM limit, and costs about the
+    same (~10 ms / 1.2M lanes).
+    """
+    n = active.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    idx = jax.lax.sort(jnp.where(active, lane, n))[:S]
+    n_left = jnp.sum(active).astype(jnp.int32)
+    rank = jnp.arange(S, dtype=jnp.int32)
+    act = rank < jnp.minimum(n_left, S)
+    gidx = jnp.clip(idx, 0, n - 1)
+    return [a[gidx] for a in arrs], act, rank, idx, n_left
+
+
+@functools.partial(jax.jit, static_argnames=("full_hi_range",))
+def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
+                 full_hi_range: bool = True) -> ShardTable:
     """Insert one batch of canonical k-mer records into the table.
 
     hi/lo: [R] uint32 canonical k-mer pairs; left/right: [R] int32 ext codes
     (>=4 contributes nothing); cnt: [R] int32; valid: [R] bool.
+    full_hi_range=False (safe only for k <= 31) enables the single-gather
+    emptiness probe (see _probe_round).
 
-    Cost model: a few full-width sweeps resolve almost every lane; the
-    leftovers (hash collisions at loaded slots) are compacted ~8x and probed
-    in a narrow while_loop, so long probe chains don't multiply full-batch
-    work (the reference GPU kernel gets this for free from per-thread loops,
+    Cost model: one full-width sweep resolves almost every lane; leftovers
+    (hash collisions at loaded slots) are compacted 8x for one more sweep,
+    then 64x for the long-probe-chain while_loop — a compaction CASCADE, so
+    tail sweeps cost O(R/64) instead of O(R/8) each (the reference GPU
+    kernel gets this for free from per-thread loops,
     gpu_hash_table.cpp:357-424; a lockstep vector machine has to compact).
+    Buffer overflow at either tier falls back to lossless full-width sweeps
+    behind a lax.cond, which costs nothing when not taken.
     """
     cap = table.capacity
     R = hi.shape[0]
@@ -215,63 +251,76 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid) -> ShardTab
     left = left.astype(jnp.int32)
     right = right.astype(jnp.int32)
 
-    slot = (slot_hash(hi, lo) % U32(cap)).astype(jnp.int32)
+    slot0 = (slot_hash(hi, lo) % U32(cap)).astype(jnp.int32)
     active = valid
 
     tbl = (table.keys_hi, table.keys_lo, table.counts, table.extc, table.claim)
-    for _ in range(_FULL_ROUNDS):
-        tbl, active, slot = _probe_round(
-            tbl, (hi, lo, left, right, cnt, lane, active, slot)
-        )
+    tbl, active, slot = _probe_round(
+        tbl, (hi, lo, left, right, cnt, lane, active, slot0), full_hi_range
+    )
 
-    # compact leftovers
-    S = max(R // _COMPACT_FRACTION, 256)
-    idx = jnp.nonzero(active, size=S, fill_value=0)[0]
-    n_left = jnp.sum(active).astype(jnp.int32)
-    s_rank = jnp.arange(S, dtype=jnp.int32)
-    s_active = s_rank < jnp.minimum(n_left, S)
-    s = {
-        "hi": hi[idx], "lo": lo[idx], "left": left[idx], "right": right[idx],
-        "cnt": cnt[idx], "slot": slot[idx],
-    }
+    # tier-1 compaction + one sweep
+    S1 = min(max(R // 8, 4096), R)
+    (s_hi, s_lo, s_l, s_r, s_c, s_sl), act1, rank1, idx1, n_left1 = _compact_sort(
+        [hi, lo, left, right, cnt, slot], active, S1
+    )
+    tbl, act1b, s_sl = _probe_round(
+        tbl, (s_hi, s_lo, s_l, s_r, s_c, rank1, act1, s_sl), full_hi_range
+    )
 
-    zero_v = (slot[0] & 0).astype(jnp.int32)
+    # tier-2 compaction + while_loop for the long probe chains
+    S2 = min(max(R // 64, 1024), S1)
+    (t_hi, t_lo, t_l, t_r, t_c, t_sl), act2, rank2, idx2, n_left2 = _compact_sort(
+        [s_hi, s_lo, s_l, s_r, s_c, s_sl], act1b, S2
+    )
+    zero_v = (slot0[0] & 0).astype(jnp.int32)
 
     def cond(state):
-        _, active, _, it = state
-        return jnp.any(active) & (it < MAX_PROBE - _FULL_ROUNDS)
+        return jnp.any(state[1]) & (state[3] < MAX_PROBE - 2)
 
     def body(state):
-        tbl, active, slot_s, it = state
-        tbl, active, slot_s = _probe_round(
-            tbl,
-            (s["hi"], s["lo"], s["left"], s["right"], s["cnt"], s_rank, active, slot_s),
+        tbl, act, sl, it = state
+        tbl, act, sl = _probe_round(
+            tbl, (t_hi, t_lo, t_l, t_r, t_c, rank2, act, sl), full_hi_range
         )
-        return tbl, active, slot_s, it + 1
+        return tbl, act, sl, it + 1
 
-    tbl, s_left, _, _ = jax.lax.while_loop(cond, body, (tbl, s_active, s["slot"], zero_v))
+    tbl, t_left, _, _ = jax.lax.while_loop(cond, body, (tbl, act2, t_sl, zero_v))
 
-    # lanes that overflowed the compaction buffer continue at full width — a
-    # no-op while_loop (one predicate check) in the common case of no overflow
-    sel_mask = jnp.zeros((R,), bool).at[jnp.where(s_active, idx, R)].set(
-        True, mode="drop"
-    )
-    fb_active = active & ~sel_mask
+    # lanes that overflowed either compaction tier redo from their home slot
+    # at full width — lossless, and free (lax.cond) when no overflow occurred.
+    # Restart is safe: re-probing an already-committed key cannot re-commit
+    # because those lanes are not in the fallback set.
+    overflow = (n_left1 > S1) | (n_left2 > S2)
 
-    def fb_cond(state):
-        _, active, _, it = state
-        return jnp.any(active) & (it < MAX_PROBE - _FULL_ROUNDS)
+    def fb(tbl_in):
+        sel1 = jnp.zeros((R,), bool).at[jnp.where(act1, idx1, R)].set(True, mode="drop")
+        fba = active & ~sel1
+        sel2 = jnp.zeros((S1,), bool).at[jnp.where(act2, idx2, S1)].set(True, mode="drop")
+        fb2 = act1b & ~sel2
+        fba = fba | jnp.zeros((R,), bool).at[jnp.where(fb2, idx1, R)].set(True, mode="drop")
 
-    def fb_body(state):
-        tbl, active, slot_f, it = state
-        tbl, active, slot_f = _probe_round(
-            tbl, (hi, lo, left, right, cnt, lane, active, slot_f)
-        )
-        return tbl, active, slot_f, it + 1
+        def fb_body(state):
+            tbl, act, sl, it = state
+            tbl, act, sl = _probe_round(
+                tbl, (hi, lo, left, right, cnt, lane, act, sl), full_hi_range
+            )
+            return tbl, act, sl, it + 1
 
-    tbl, fb_left, _, _ = jax.lax.while_loop(fb_cond, fb_body, (tbl, fb_active, slot, zero_v))
+        # fallback lanes never committed, so their slot chain position is in
+        # `slot`/compacted copies; restart from the sweep-1 continuation slot
+        tbl_out, rem, _, _ = jax.lax.while_loop(cond, fb_body, (tbl_in, fba, slot, zero_v))
+        return tbl_out, jnp.sum(rem).astype(jnp.int32)
+
+    def nofb(tbl_in):
+        # zero derived from traced data so both cond branches have identical
+        # types (incl. shard_map varying-axis annotations)
+        return tbl_in, n_left1 * 0
+
+    tbl, fb_left = jax.lax.cond(overflow, fb, nofb, tbl)
+
     # only probe-cap exhaustion remains (the reference's dropped-kmer case)
-    dropped = jnp.sum(s_left).astype(jnp.int32) + jnp.sum(fb_left).astype(jnp.int32)
+    dropped = jnp.sum(t_left).astype(jnp.int32) + fb_left
     keys_hi, keys_lo, counts, extc, claim = tbl
     return ShardTable(
         keys_hi=keys_hi,

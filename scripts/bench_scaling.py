@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("-k", type=int, default=21)
+    ap.add_argument("--supermers", action="store_true",
+                    help="bench the supermer-compressed wire (the pipeline default)")
+    ap.add_argument("--out", default="", help="append JSON results to this file")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +45,10 @@ def main():
         L = args.read_len
         state = cs.create_sharded(n, 4_000_000 // n + 4096, mesh=mesh)
         cap = (args.reads_per_device * L // n) * 4 + 4096
-        step = cs.make_count_step(mesh, k=args.k, exchange_cap=cap)
+        if args.supermers and n > 1:
+            step = cs.make_count_step_supermer(mesh, k=args.k, exchange_cap=max(cap // 4, 1024))
+        else:
+            step = cs.make_count_step(mesh, k=args.k, exchange_cap=cap)
         sharding = NamedSharding(mesh, P("sh"))
         batches = []
         for _ in range(args.batches):
@@ -63,12 +69,16 @@ def main():
         kmers = args.batches * B * (L - args.k - 1)
         thr = kmers / dt
         results.append({"devices": n, "kmers_per_sec": round(thr, 1),
-                        "per_device": round(thr / n, 1)})
+                        "per_device": round(thr / n, 1),
+                        "wire": "supermer" if (args.supermers and n > 1) else "record"})
         print(json.dumps(results[-1]))
     if len(results) > 1:
         eff = results[-1]["per_device"] / results[0]["per_device"]
-        print(json.dumps({"weak_scaling_efficiency": round(eff, 3),
-                          "target": 0.85}))
+        results.append({"weak_scaling_efficiency": round(eff, 3), "target": 0.85})
+        print(json.dumps(results[-1]))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps({"config": vars(args), "results": results}) + "\n")
 
 
 if __name__ == "__main__":

@@ -57,8 +57,9 @@ def test_insert_counts_match_oracle():
         assert c == e.count
         assert extc[:4] == e.left
         assert extc[4:] == e.right
-    # claim scratch must be fully reset for the next batch
-    assert (np.asarray(table.claim) == -1).all()
+    # the claim scratch is deliberately NOT reset between batches: every
+    # lane that reads claim[slot] scattered there in the same sweep, so
+    # stale values are never observed (saves one scatter per sweep)
 
 
 def test_insert_multi_batch_accumulates():
@@ -164,3 +165,34 @@ def test_probe_stats():
     assert 0 < st["load_factor"] < 1
     assert st["avg_probe"] >= 1.0
     assert st["max_probe"] >= 1
+
+
+def test_full_hi_range_sentinel_kmer_k32():
+    """k=32 kmers whose canonical hi word equals the EMPTY sentinel
+    (e.g. T^16 A^16, a palindrome) must insert correctly — this is the case
+    that forces full_hi_range=True (the single-gather emptiness probe would
+    mistake the stored key for an empty slot)."""
+    import jax.numpy as jnp
+    from mhm2_kmer_analysis_v2_tpu.io.packed_reads import encode_batch
+    from mhm2_kmer_analysis_v2_tpu.ops import kmer_ops
+
+    k = 32
+    seq = "C" + "T" * 16 + "A" * 16 + "G"  # one counted position
+    reads = [(seq, "K" * len(seq))] * 3
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    recs = kmer_ops.kmer_records(
+        jnp.asarray(b.codes), jnp.asarray(b.badq), jnp.asarray(b.lengths),
+        k=k, n_shards=1,
+    )
+    flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+    assert int(jnp.max(jnp.where(flat["valid"], flat["canon_hi"], 0))) == 0xFFFFFFFF
+    table = shard_table.create(256)
+    table = shard_table.insert_batch(
+        table, flat["canon_hi"], flat["canon_lo"], flat["left"],
+        flat["right"], jnp.ones_like(flat["left"]), flat["valid"],
+        full_hi_range=True,
+    )
+    fin = shard_table.finalize(table)
+    vals, counts, left, right = shard_table.compact_to_host(fin)
+    assert len(vals) == 1 and counts[0] == 3
+    assert shard_table.vals_to_strings(vals, k)[0] == "T" * 16 + "A" * 16
