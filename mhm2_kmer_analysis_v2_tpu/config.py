@@ -48,6 +48,7 @@ class Options:
     # run the UU-tig traversal with the sharded collective builder instead of
     # the host pointer-doubling (useful on real multi-chip meshes)
     distributed_traversal: bool = False
+    wire: str = "auto"
     # jax.profiler trace dir for the count stage (SURVEY §5.1 tracing; empty
     # = off) — the xprof/GASNet-trace analogue
     xprof_dir: str = ""
@@ -110,6 +111,11 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--batch-reads", type=int, default=8192)
     p.add_argument("--n-devices", type=int, default=0)
     p.add_argument("--distributed-traversal", action="store_true")
+    p.add_argument("--wire", choices=["auto", "supermer", "record"], default="auto",
+                   help="owner-exchange wire format: supermer compresses bytes "
+                        "2-3x (best across hosts/DCN); record skips the "
+                        "receiver-side window re-extraction (best when compute"
+                        "-bound); auto = supermer for multi-process runs")
     p.add_argument("--xprof", default="",
                    help="write a jax.profiler trace of the count stage to this dir")
     p.add_argument("--config", default="", help="load options from a config file")
@@ -154,6 +160,7 @@ def parse_args(argv=None) -> Options:
         use_qf=a.use_qf,
         ctg_kmers=a.ctg_kmers,
         distributed_traversal=a.distributed_traversal,
+        wire=a.wire,
         xprof_dir=a.xprof,
         sequencing_depth=a.sequencing_depth,
         batch_reads=a.batch_reads,

@@ -212,13 +212,24 @@ def analyze_kmers(
         step = cs.make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m,
                                      max_rounds=max_rounds)
     else:
-        # bit-packed h2d (0.5 B/base on the wire) + supermer-compressed
-        # all_to_all when sharded; cap is in supermers per destination then
-        if n_shards > 1:
-            exchange_cap = max(exchange_cap // 4, 1024)
+        # bit-packed h2d (0.5 B/base on the wire); when sharded, --wire picks
+        # the exchange format: supermer compresses bytes 2-3x (wins when the
+        # interconnect is the bottleneck, i.e. multi-host DCN) at the cost of
+        # receiver-side window re-extraction; record skips the recompute
+        # (wins when compute-bound).  auto: supermer iff multi-process.
+        use_supermers = (
+            options.wire == "supermer"
+            or (options.wire == "auto" and n_proc > 1)
+        )
+        if n_shards > 1 and use_supermers:
+            # cap is in supermers per destination; per-round cost is
+            # proportional to the CAP (padding is processed), so size near
+            # the MEAN supermer count (~4-6 kmers/supermer) — the lossless
+            # spill rounds absorb skew, no 4x headroom needed
+            exchange_cap = max(positions_per_device // (n_shards * 3) + 1024, 1024)
         step = cs.make_packed_count_step(
             mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
-            supermers=True, max_rounds=max_rounds,
+            supermers=use_supermers, max_rounds=max_rounds,
         )
         packed_input = True
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))

@@ -46,7 +46,8 @@ def main():
         state = cs.create_sharded(n, 4_000_000 // n + 4096, mesh=mesh)
         cap = (args.reads_per_device * L // n) * 4 + 4096
         if args.supermers and n > 1:
-            step = cs.make_count_step_supermer(mesh, k=args.k, exchange_cap=max(cap // 4, 1024))
+            sm_cap = max((args.reads_per_device * L) // (n * 3) + 1024, 1024)
+            step = cs.make_count_step_supermer(mesh, k=args.k, exchange_cap=sm_cap)
         else:
             step = cs.make_count_step(mesh, k=args.k, exchange_cap=cap)
         sharding = NamedSharding(mesh, P("sh"))

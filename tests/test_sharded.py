@@ -242,3 +242,22 @@ def test_supermer_forced_splits():
     fin1 = cs.make_finalize(mesh)(s1)
     fin2 = cs.make_finalize(mesh)(s2)
     assert _merged(fin1, k, n_shards) == _merged(fin2, k, n_shards)
+
+
+def test_pipeline_wire_flag_equivalence(tmp_path):
+    """--wire supermer and --wire record produce identical results through
+    the full pipeline (the auto default picks by process count)."""
+    from mhm2_kmer_analysis_v2_tpu.config import Options
+    from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import run_pipeline
+
+    reads = genome_reads(96, 70, genome_len=400, seed=13, err=0.01)
+    fq = tmp_path / "w.fastq"
+    with open(fq, "w") as f:
+        for i, (s, q) in enumerate(reads):
+            f.write(f"@r{i}\n{s}\n+\n{q}\n")
+    base = dict(unpaired_fnames=[str(fq) + ":"], kmer_lens=[21],
+                batch_reads=64, adapter_trim=False)
+    r_sm = run_pipeline(Options(output_dir=str(tmp_path / "sm"), wire="supermer", **base))
+    r_rec = run_pipeline(Options(output_dir=str(tmp_path / "rec"), wire="record", **base))
+    assert r_sm[0].unique_kmers == r_rec[0].unique_kmers
+    assert r_sm[0].total_kmer_count_sum == r_rec[0].total_kmer_count_sum
