@@ -251,6 +251,55 @@ def make_finalize(mesh: Mesh, dmin_thres: int = 2):
     return finalize_fn
 
 
+def make_compact_fin(mesh: Mesh, K: int):
+    """Jitted sharded wrapper for shard_table.compact_fin: [n_shards, cap]
+    finalized arrays -> [n_shards, K] kept-only arrays (per-shard, no
+    collectives)."""
+    fin_spec = shard_table.FinalizedShard(
+        keys_hi=P("sh", None),
+        keys_lo=P("sh", None),
+        counts=P("sh", None),
+        left_ext=P("sh", None),
+        right_ext=P("sh", None),
+        keep=P("sh", None),
+        num_kept=P("sh"),
+        sum_counts=P("sh"),
+        num_purged=P("sh"),
+    )
+
+    def per_device(fin):
+        local = jax.tree.map(lambda x: x[0], fin)
+        out = shard_table.compact_fin(local, K)
+        return jax.tree.map(lambda x: x[None], out)
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh, in_specs=(fin_spec,), out_specs=fin_spec,
+    ))
+
+
+def make_compact_fin_mw(mesh: Mesh, K: int):
+    """Multi-word variant of make_compact_fin."""
+    fin_spec = stmw.FinalizedMW(
+        keys=P("sh", None, None),
+        counts=P("sh", None),
+        left_ext=P("sh", None),
+        right_ext=P("sh", None),
+        keep=P("sh", None),
+        num_kept=P("sh"),
+        sum_counts=P("sh"),
+        num_purged=P("sh"),
+    )
+
+    def per_device(fin):
+        local = jax.tree.map(lambda x: x[0], fin)
+        out = stmw.compact_fin_mw(local, K)
+        return jax.tree.map(lambda x: x[None], out)
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh, in_specs=(fin_spec,), out_specs=fin_spec,
+    ))
+
+
 def unpack_batch(code2, nmask, badq_bits, max_len: int):
     """Device-side unpack of PackedBatch planes to (codes [B,L], badq [B,L]).
 
@@ -760,7 +809,7 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
                 rmeta = received[Wn].astype(jnp.int32)
                 return stmw.insert_batch_mw(
                     tbl, rwords, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
-                    rmeta != 0,
+                    rmeta != 0, w0_full_range=(k % 16 == 0),
                 )
 
             planes = [words[j] for j in range(Wn)] + [meta]
@@ -771,7 +820,8 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
         else:
             spill = overflow = jnp.zeros((), jnp.int32)
             local = stmw.insert_batch_mw(
-                local, words, meta & 7, (meta >> 3) & 7, meta >> 6, meta != 0
+                local, words, meta & 7, (meta >> 3) & 7, meta >> 6, meta != 0,
+                w0_full_range=(k % 16 == 0),
             )
         return MWShardedState(
             keys=local.keys[None],

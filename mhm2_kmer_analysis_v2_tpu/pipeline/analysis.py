@@ -363,6 +363,15 @@ def analyze_kmers(
     else:
         finalize = cs.make_finalize(mesh, dmin_thres=options.dmin_thres)
     fin = finalize(state)
+    # compact the finalized table on device before ANY host fetch: d2h then
+    # moves ~12 B per kept k-mer, not ~21 B per slot of capacity (the bulk
+    # compact-table D2H of gpu_hash_table.cpp:736-784) — dominant e2e cost
+    # through a slow host link otherwise
+    kept_max = int(dist.allmax(int(dist.fetch(fin.num_kept).max())))
+    K = max(1 << 16, -(-kept_max // (1 << 16)) * (1 << 16))
+    if K < fin.keep.shape[-1]:
+        compact = (cs.make_compact_fin_mw if multiword else cs.make_compact_fin)(mesh, K)
+        fin = compact(fin)
     num_dropped = int(dist.fetch(state.num_dropped).sum())
     num_overflow = int(dist.fetch(state.overflow).sum())
     num_spill = int(dist.fetch(state.spill_rounds).max())

@@ -10,6 +10,7 @@ src/kcount/kcount-gpu/gpu_hash_table.cpp:368-424).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -59,22 +60,33 @@ def slot_hash_mw(words: jax.Array) -> jax.Array:
     return h
 
 
-def _probe_round_mw(tbl, recs):
+def _probe_round_mw(tbl, recs, w0_full_range: bool):
+    """One synchronized probe sweep (multi-word port of st._probe_round).
+
+    Same measured-cost design as the k<=32 path: emptiness from the word-0
+    gather alone when word 0 cannot be all-ones for a stored key (it holds
+    the r = k-16(W-1) leading bases right-aligned, so r < 16 leaves zero
+    slack bits — ``w0_full_range`` is k%16==0, the analogue of
+    full_hi_range at k=32); pre-existing matches fall out of the single
+    post-write verification gather; the claim array is never reset (every
+    lane that reads claim[slot] scattered there in the same sweep)."""
     keys, counts, extc, claim = tbl
     words, left, right, cnt, lane, active, slot = recs
     Wn, cap = keys.shape
     gslot = jnp.where(active, slot, 0)
-    tk = keys[:, gslot]  # [W, R]
-    match_all = jnp.all(tk == words, axis=0)
-    empty_all = jnp.all(tk == EMPTY, axis=0)
-    is_empty = active & empty_all
+    if w0_full_range:
+        tk0 = keys[:, gslot]  # [W, R]
+        is_empty = active & jnp.all(tk0 == EMPTY, axis=0)
+    else:
+        is_empty = active & (keys[0, gslot] == EMPTY)
     claim_slot = jnp.where(is_empty, slot, cap)
     claim = claim.at[claim_slot].set(lane, mode="drop")
     won = is_empty & (claim[gslot] == lane)
     w_slot = jnp.where(won, slot, cap)
     # unique winning slots: all W scatters stay consistent
     keys = keys.at[:, w_slot].set(words, mode="drop")
-    claim = claim.at[claim_slot].set(-1, mode="drop")
+    # post-write verification: winners, pre-existing matches, and duplicate
+    # lanes of a winner's k-mer all commit here
     tk = keys[:, gslot]
     commit = active & jnp.all(tk == words, axis=0)
     add_slot = jnp.where(commit, slot, cap)
@@ -88,62 +100,92 @@ def _probe_round_mw(tbl, recs):
     return (keys, counts, extc, claim), active, slot
 
 
-@jax.jit
-def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid) -> MWShardTable:
-    """words: [W, R] uint32; rest as shard_table.insert_batch."""
+@functools.partial(jax.jit, static_argnames=("w0_full_range",))
+def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
+                    w0_full_range: bool = True) -> MWShardTable:
+    """words: [W, R] uint32; rest as shard_table.insert_batch.
+
+    Same compaction-cascade structure as shard_table.insert_batch: one
+    full-width sweep, then an 8x-compacted sweep, then a 64x-compacted
+    while_loop for the long probe chains, with a lossless full-width
+    fallback behind a lax.cond if either compaction buffer overflows.
+    ``w0_full_range=False`` (safe only when k%16 != 0) enables the
+    single-word emptiness probe (see _probe_round_mw)."""
     cap = table.capacity
-    R = words.shape[1]
+    Wn, R = words.shape
     words = words.astype(U32)
     lane = jnp.arange(R, dtype=jnp.int32)
     cnt = cnt.astype(jnp.int32)
     left = left.astype(jnp.int32)
     right = right.astype(jnp.int32)
-    slot = (slot_hash_mw(words) % U32(cap)).astype(jnp.int32)
+    slot0 = (slot_hash_mw(words) % U32(cap)).astype(jnp.int32)
     active = valid
 
     tbl = (table.keys, table.counts, table.extc, table.claim)
-    for _ in range(st._FULL_ROUNDS):
-        tbl, active, slot = _probe_round_mw(
-            tbl, (words, left, right, cnt, lane, active, slot)
-        )
+    tbl, active, slot = _probe_round_mw(
+        tbl, (words, left, right, cnt, lane, active, slot0), w0_full_range
+    )
 
-    S = max(R // st._COMPACT_FRACTION, 256)
-    idx = jnp.nonzero(active, size=S, fill_value=0)[0]
-    n_left = jnp.sum(active).astype(jnp.int32)
-    s_rank = jnp.arange(S, dtype=jnp.int32)
-    s_active = s_rank < jnp.minimum(n_left, S)
-    sw = words[:, idx]
-    sl, sr, sc, ss = left[idx], right[idx], cnt[idx], slot[idx]
-    zero_v = (slot[0] & 0).astype(jnp.int32)
+    # tier-1 compaction + one sweep
+    S1 = min(max(R // 8, 4096), R)
+    arrs1, act1, rank1, idx1, n_left1 = st._compact_sort(
+        [*words, left, right, cnt, slot], active, S1
+    )
+    s_w = jnp.stack(arrs1[:Wn], axis=0)
+    s_l, s_r, s_c, s_sl = arrs1[Wn:]
+    tbl, act1b, s_sl = _probe_round_mw(
+        tbl, (s_w, s_l, s_r, s_c, rank1, act1, s_sl), w0_full_range
+    )
+
+    # tier-2 compaction + while_loop for the long probe chains
+    S2 = min(max(R // 64, 1024), S1)
+    arrs2, act2, rank2, idx2, n_left2 = st._compact_sort(
+        [*s_w, s_l, s_r, s_c, s_sl], act1b, S2
+    )
+    t_w = jnp.stack(arrs2[:Wn], axis=0)
+    t_l, t_r, t_c, t_sl = arrs2[Wn:]
+    zero_v = (slot0[0] & 0).astype(jnp.int32)
 
     def cond(state):
-        _, active, _, it = state
-        return jnp.any(active) & (it < MAX_PROBE - st._FULL_ROUNDS)
+        return jnp.any(state[1]) & (state[3] < MAX_PROBE - 2)
 
     def body(state):
-        tbl, active, slot_s, it = state
-        tbl, active, slot_s = _probe_round_mw(
-            tbl, (sw, sl, sr, sc, s_rank, active, slot_s)
+        tbl, act, sl, it = state
+        tbl, act, sl = _probe_round_mw(
+            tbl, (t_w, t_l, t_r, t_c, rank2, act, sl), w0_full_range
         )
-        return tbl, active, slot_s, it + 1
+        return tbl, act, sl, it + 1
 
-    tbl, s_left, _, _ = jax.lax.while_loop(cond, body, (tbl, s_active, ss, zero_v))
+    tbl, t_left, _, _ = jax.lax.while_loop(cond, body, (tbl, act2, t_sl, zero_v))
 
-    # full-width fallback for compaction-buffer overflow (no-op when empty)
-    sel_mask = jnp.zeros((R,), bool).at[jnp.where(s_active, idx, R)].set(
-        True, mode="drop"
-    )
-    fb_active = active & ~sel_mask
+    # lanes that overflowed either compaction tier redo from their sweep-1
+    # continuation slot at full width — lossless, free (lax.cond) when not
+    # taken; restart cannot re-commit already-committed lanes (not in set)
+    overflow = (n_left1 > S1) | (n_left2 > S2)
 
-    def fb_body(state):
-        tbl, active, slot_f, it = state
-        tbl, active, slot_f = _probe_round_mw(
-            tbl, (words, left, right, cnt, lane, active, slot_f)
-        )
-        return tbl, active, slot_f, it + 1
+    def fb(tbl_in):
+        sel1 = jnp.zeros((R,), bool).at[jnp.where(act1, idx1, R)].set(True, mode="drop")
+        fba = active & ~sel1
+        sel2 = jnp.zeros((S1,), bool).at[jnp.where(act2, idx2, S1)].set(True, mode="drop")
+        fb2 = act1b & ~sel2
+        fba = fba | jnp.zeros((R,), bool).at[jnp.where(fb2, idx1, R)].set(True, mode="drop")
 
-    tbl, fb_left, _, _ = jax.lax.while_loop(cond, fb_body, (tbl, fb_active, slot, zero_v))
-    dropped = jnp.sum(s_left).astype(jnp.int32) + jnp.sum(fb_left).astype(jnp.int32)
+        def fb_body(state):
+            tbl, act, sl, it = state
+            tbl, act, sl = _probe_round_mw(
+                tbl, (words, left, right, cnt, lane, act, sl), w0_full_range
+            )
+            return tbl, act, sl, it + 1
+
+        tbl_out, rem, _, _ = jax.lax.while_loop(cond, fb_body, (tbl_in, fba, slot, zero_v))
+        return tbl_out, jnp.sum(rem).astype(jnp.int32)
+
+    def nofb(tbl_in):
+        return tbl_in, n_left1 * 0
+
+    tbl, fb_left = jax.lax.cond(overflow, fb, nofb, tbl)
+
+    dropped = jnp.sum(t_left).astype(jnp.int32) + fb_left
     keys, counts, extc, claim = tbl
     return MWShardTable(
         keys=keys,
@@ -192,6 +234,25 @@ def _finalize_mw_jit(table: MWShardTable, dmin_lut: jax.Array) -> FinalizedMW:
 def finalize_mw(table: MWShardTable, dmin_thres: int = 2) -> FinalizedMW:
     lut = jnp.asarray(st._dmin_lut(dmin_thres))
     return _finalize_mw_jit(table, lut)
+
+
+def compact_fin_mw(fin: FinalizedMW, K: int) -> FinalizedMW:
+    """Multi-word port of shard_table.compact_fin (see there)."""
+    cap = fin.keep.shape[0]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    idx = jax.lax.sort(jnp.where(fin.keep, slot, cap))[:K]
+    act = jnp.arange(K, dtype=jnp.int32) < jnp.sum(fin.keep).astype(jnp.int32)
+    g = jnp.clip(idx, 0, cap - 1)
+    return FinalizedMW(
+        keys=jnp.where(act[None, :], fin.keys[:, g], EMPTY),
+        counts=jnp.where(act, fin.counts[g], 0),
+        left_ext=jnp.where(act, fin.left_ext[g], 0),
+        right_ext=jnp.where(act, fin.right_ext[g], 0),
+        keep=act,
+        num_kept=fin.num_kept,
+        sum_counts=fin.sum_counts,
+        num_purged=fin.num_purged,
+    )
 
 
 def compact_to_host_mw(fin: FinalizedMW, k: int):
