@@ -41,6 +41,26 @@ from ..table.shard_table import ShardTable
 U32 = jnp.uint32
 
 
+def _memo(fn):
+    """Memoize the make_* step factories on their (hashable) arguments.
+
+    Each factory wraps fresh Python closures in jax.jit, so a second call
+    with identical arguments would otherwise produce a NEW jitted function
+    and recompile the identical program — measured ~28 s per remote compile
+    on the tunneled chip.  Mesh objects hash by device layout + axis names,
+    so equal meshes share cache entries across pipeline invocations."""
+    cache = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        key = (args, tuple(sorted(kwargs.items())))
+        if key not in cache:
+            cache[key] = fn(*args, **kwargs)
+        return cache[key]
+
+    return wrapper
+
+
 class ShardedState(NamedTuple):
     """Table state with a leading shard axis [n_shards, ...]."""
 
@@ -168,6 +188,7 @@ def _insert_from_buffers(table: ShardTable, hi, lo, meta, k: int) -> ShardTable:
     )
 
 
+@_memo
 def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
                     max_rounds: int = 0):
     """Build the jitted sharded count step for a device mesh with axis 'sh'.
@@ -217,6 +238,7 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
     return jax.jit(mapped, donate_argnums=(0,))
 
 
+@_memo
 def make_finalize(mesh: Mesh, dmin_thres: int = 2):
     """Build the jitted sharded finalize: per-shard ext calling + purge."""
     lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
@@ -251,6 +273,7 @@ def make_finalize(mesh: Mesh, dmin_thres: int = 2):
     return finalize_fn
 
 
+@_memo
 def make_compact_fin(mesh: Mesh, K: int):
     """Jitted sharded wrapper for shard_table.compact_fin: [n_shards, cap]
     finalized arrays -> [n_shards, K] kept-only arrays (per-shard, no
@@ -277,6 +300,7 @@ def make_compact_fin(mesh: Mesh, K: int):
     ))
 
 
+@_memo
 def make_compact_fin_mw(mesh: Mesh, K: int):
     """Multi-word variant of make_compact_fin."""
     fin_spec = stmw.FinalizedMW(
@@ -325,6 +349,7 @@ def unpack_batch(code2, nmask, badq_bits, max_len: int):
     return codes, badq
 
 
+@_memo
 def make_packed_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
                            max_len: int, supermers: bool = False, max_rounds: int = 0):
     """Count step taking bit-packed input planes (see ReadBatch.pack); with
@@ -362,6 +387,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devs, ("sh",))
 
 
+@_memo
 def make_ctg_step(mesh: Mesh, *, k: int, exchange_cap: int, dmin_thres: int = 2,
                   m: int | None = None, max_rounds: int = 0):
     """Contig-kmer pass (the add_ctg_kmers stage, src/kcount/kcount.cpp:106-140,
@@ -432,6 +458,7 @@ def _supermer_words(k: int, max_run: int) -> tuple:
     return (-(-bases // 16), -(-bases // 32), bases)
 
 
+@_memo
 def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
                              m: int | None = None, max_run: int = 16,
                              max_rounds: int = 0):
@@ -664,6 +691,7 @@ def create_sharded_qf(n_shards: int, max_elems_per_shard: int,
     return state
 
 
+@_memo
 def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
                        max_rounds: int = 0):
     """Sharded count step with singleton-filter offload (--use-qf)."""
@@ -786,6 +814,7 @@ def _local_table_mw(state: MWShardedState) -> stmw.MWShardTable:
     )
 
 
+@_memo
 def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
                        max_rounds: int = 0):
     """Multi-word sharded count step (same design as make_count_step)."""
@@ -842,6 +871,7 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
     return jax.jit(mapped, donate_argnums=(0,))
 
 
+@_memo
 def make_finalize_mw(mesh: Mesh, dmin_thres: int = 2):
     lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
 

@@ -380,8 +380,10 @@ def analyze_kmers(
     stage_timers.analyze_kmers.stop()
     comm_stats.end_stage()
 
-    # probe-length / load-factor report (flush_inserts, kcount_cpu.cpp:496-521)
-    if not multiword and n_proc == 1:
+    # probe-length / load-factor report (flush_inserts, kcount_cpu.cpp:496-521);
+    # verbose-only: it pulls the full key arrays (~8 B/slot of CAPACITY) to
+    # host, which dwarfs the counting time through a slow host link
+    if options.verbose and not multiword and n_proc == 1:
         import jax.numpy as jnp
 
         from ..table.shard_table import ShardTable as _ST, probe_stats
