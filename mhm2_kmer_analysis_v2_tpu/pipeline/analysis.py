@@ -30,14 +30,16 @@ def table_mem_bytes(per_shard_elems: int, k: int, filter_elems: int = 0) -> int:
     """Device bytes one shard's hash table will occupy at the target load
     factor — the hashtable memory estimator of kcount_cpu.cpp:428-444.
 
-    k<=32 slots: keys_hi/lo (8) + counts (4) + extc (32) + claim (4) = 48 B;
-    k>32: 4*W-byte keys instead of 8; filter slots: fp+meta+claim = 12 B."""
+    k<=32 slots: keys_hi/lo (8) + counts (4) + extc (36, 9 buckets) + claim
+    (4) = 52 B; k>32: 4*W-byte keys, 8 ext buckets (32 B); filter slots:
+    fp+meta+claim = 12 B."""
     from ..ops.kmer_multiword import n_words
     from ..table.shard_table import TARGET_LOAD_FACTOR
 
     cap = int(per_shard_elems / TARGET_LOAD_FACTOR) + 1
     key_bytes = 8 if k <= 32 else 4 * n_words(k)
-    slot = key_bytes + 4 + 32 + 4
+    ext_bytes = 36 if k <= 32 else 32
+    slot = key_bytes + 4 + ext_bytes + 4
     total = cap * slot
     if filter_elems:
         total += (int(filter_elems / TARGET_LOAD_FACTOR) + 1) * 12

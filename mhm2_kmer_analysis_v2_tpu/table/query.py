@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.kmer_ops import slot_hash
-from .shard_table import EMPTY, MAX_PROBE, ShardTable
+from .shard_table import CTG_BIT, EMPTY, MAX_PROBE, ShardTable
 
 U32 = jnp.uint32
 
@@ -55,8 +55,14 @@ def lookup_batch(table: ShardTable, hi, lo):
     )
     found = found_slot < cap
     g = jnp.where(found, found_slot, 0)
-    counts = jnp.where(found, jnp.minimum(table.counts[g], 65535), 0)
-    extc = jnp.where(found[:, None], table.extc.reshape(-1, 8)[g], 0)
+    # read entries derive their count from the five left-ext buckets; ctg
+    # entries carry depth in the counts word (see shard_table layout)
+    ext_raw = table.extc.reshape(-1, 9)[g]
+    derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+    cur = table.counts[g]
+    cnt = jnp.where((cur & CTG_BIT) != 0, cur & (CTG_BIT - 1), derived)
+    counts = jnp.where(found, jnp.minimum(cnt, 65535), 0)
+    extc = jnp.where(found[:, None], ext_raw[:, :8], 0)
     return found, counts, extc
 
 

@@ -25,10 +25,16 @@ the GPU kernel's KEY_TRANSITION CAS protocol (gpu_hash_table.cpp:368-396):
 Layout (SoA, per shard, all 32-bit — no u64 on device):
   keys_hi/keys_lo: [cap] uint32, EMPTY = all-ones pair (the reference's 0xFF..
       sentinel, src/kcount/kcount_cpu.cpp:217)
-  counts: [cap] int32 (saturated to uint16 max at finalize; per-add
-      saturation with positive increments == final min, matching
-      inc_with_limit at src/kcount/kcount_cpu.cpp:152-155)
-  extc:  [cap*8] int32 flat — slot*8 + (left A,C,G,T = 0-3 | right = 4-7)
+  counts: [cap] int32 — written ONLY by the contig-kmer pass (CTG_BIT flag +
+      overwrite depth); read-path counts are DERIVED at finalize as the sum
+      of the five left-extension buckets (below), which removes one
+      full-width scatter-add per probe sweep from the hot path.  Saturation
+      to uint16 max happens at finalize; per-add saturation with positive
+      increments == final min, matching inc_with_limit at
+      src/kcount/kcount_cpu.cpp:152-155.
+  extc:  [cap*9] int32 flat — slot*9 + (left A,C,G,T = 0-3 | right = 4-7 |
+      8 = left-invalid).  Every committed record lands in exactly one of
+      buckets {0-3, 8}, so sum(buckets 0-3) + bucket 8 == the k-mer's count.
   claim: [cap] int32 scratch, -1 between batches
 
 Capacity uses a nearest prime like the reference's prime tables
@@ -92,8 +98,8 @@ class ShardTable(NamedTuple):
 
     keys_hi: jax.Array  # [cap] uint32
     keys_lo: jax.Array  # [cap] uint32
-    counts: jax.Array  # [cap] int32
-    extc: jax.Array  # [cap*8] int32
+    counts: jax.Array  # [cap] int32 (ctg-pass only; read counts derived)
+    extc: jax.Array  # [cap*9] int32
     claim: jax.Array  # [cap] int32 scratch (-1)
     num_dropped: jax.Array  # [] int32 (records past probe cap)
 
@@ -108,7 +114,7 @@ def create(max_elems: int, load_factor: float = TARGET_LOAD_FACTOR) -> ShardTabl
         keys_hi=jnp.full((cap,), EMPTY, dtype=U32),
         keys_lo=jnp.full((cap,), EMPTY, dtype=U32),
         counts=jnp.zeros((cap,), jnp.int32),
-        extc=jnp.zeros((cap * 8,), jnp.int32),
+        extc=jnp.zeros((cap * 9,), jnp.int32),
         claim=jnp.full((cap,), -1, jnp.int32),
         num_dropped=jnp.zeros((), jnp.int32),
     )
@@ -189,10 +195,12 @@ def _probe_round(tbl, recs, full_hi_range: bool = False):
     tlo = keys_lo[gslot]
     commit = active & (thi == hi) & (tlo == lo)
     add_slot = jnp.where(commit, slot, cap)
-    counts = counts.at[add_slot].add(cnt, mode="drop")
-    # extension tallies: two flat scatter-adds (invalid ext -> dropped)
-    lidx = jnp.where(commit & (left < 4), add_slot * 8 + left, cap * 8)
-    ridx = jnp.where(commit & (right < 4), add_slot * 8 + 4 + right, cap * 8)
+    # extension tallies: two flat scatter-adds.  A committed lane always
+    # lands in one of the five left buckets (bucket 8 = invalid left), so
+    # the count needs no scatter of its own — it is the sum of those five
+    # buckets at finalize.  Invalid right ext contributes nothing.
+    lidx = jnp.where(commit, add_slot * 9 + jnp.where(left < 4, left, 8), cap * 9)
+    ridx = jnp.where(commit & (right < 4), add_slot * 9 + 4 + right, cap * 9)
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
     active = active & ~commit
@@ -412,15 +420,19 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
         keys_hi = keys_hi.at[wslot].set(u_hi, mode="drop")
         keys_lo = keys_lo.at[wslot].set(u_lo, mode="drop")
 
-        # decision for matches
+        # decision for matches (read-entry counts are derived from the five
+        # left buckets; ctg entries carry their depth in the counts word)
         cur = counts[gslot]
         cur_ctg = (cur & CTG_BIT) != 0
-        cur_cnt = jnp.minimum(cur & (CTG_BIT - 1), UINT16_MAX)
-        ext_rows = extc.reshape(-1, 8)[gslot]
-        ext_rows = jnp.minimum(ext_rows, UINT16_MAX)
+        ext_raw = extc.reshape(-1, 9)[gslot]
+        derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+        cur_cnt = jnp.minimum(
+            jnp.where(cur_ctg, cur & (CTG_BIT - 1), derived), UINT16_MAX
+        )
+        ext_rows = jnp.minimum(ext_raw, UINT16_MAX)
         dmin = dmin_lut[jnp.clip(cur_cnt, 0, UINT16_MAX)]
         cl = _call_ext(ext_rows[:, :4], dmin)
-        cr = _call_ext(ext_rows[:, 4:], dmin)
+        cr = _call_ext(ext_rows[:, 4:8], dmin)
         non_uu = (cl >= 4) | (cr >= 4)
         # read entries: overwrite singletons and non-UU
         ow_read = is_match & ~cur_ctg & ((cur_cnt == 1) | non_uu)
@@ -432,14 +444,16 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
         new_cnt = jnp.where(live_ctg, ctg_depth, u_depth)
         wr_slot = jnp.where(write, slot, cap)
         counts = counts.at[wr_slot].set(new_cnt | CTG_BIT, mode="drop")
-        # reset the ext row then set the two contributions
-        base = wr_slot * 8
-        zero8 = jnp.zeros((R, 8), jnp.int32)
+        # reset the ext row then set the contributions; the left bucket
+        # (bucket 8 for an invalid left) always gets new_cnt so the derived
+        # count stays consistent for any later reader
+        base = wr_slot * 9
+        zero9 = jnp.zeros((R, 9), jnp.int32)
         extc = extc.at[
-            jnp.where(write, base, cap * 8)[:, None] + jnp.arange(8)[None, :]
-        ].set(zero8, mode="drop")
-        lidx = jnp.where(write & (u_left < 4), base + u_left, cap * 8)
-        ridx = jnp.where(write & (u_right < 4), base + 4 + u_right, cap * 8)
+            jnp.where(write, base, cap * 9)[:, None] + jnp.arange(9)[None, :]
+        ].set(zero9, mode="drop")
+        lidx = jnp.where(write, base + jnp.where(u_left < 4, u_left, 8), cap * 9)
+        ridx = jnp.where(write & (u_right < 4), base + 4 + u_right, cap * 9)
         extc = extc.at[lidx].set(new_cnt, mode="drop")
         extc = extc.at[ridx].set(new_cnt, mode="drop")
 
@@ -515,11 +529,18 @@ def _call_ext(extc4: jax.Array, dmin: jax.Array) -> jax.Array:
 @jax.jit
 def _finalize_jit(table: ShardTable, dmin_lut: jax.Array) -> FinalizedShard:
     occupied = (table.keys_hi != EMPTY) | (table.keys_lo != EMPTY)
-    counts = jnp.minimum(table.counts & (CTG_BIT - 1), UINT16_MAX)
-    extc = jnp.minimum(table.extc.reshape(-1, 8), UINT16_MAX)
+    ext_raw = table.extc.reshape(-1, 9)
+    # read-entry counts = sum of the five left buckets; ctg-pass overwrites
+    # carry their depth in the counts word (CTG_BIT flag)
+    derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+    is_ctg = (table.counts & CTG_BIT) != 0
+    counts = jnp.minimum(
+        jnp.where(is_ctg, table.counts & (CTG_BIT - 1), derived), UINT16_MAX
+    )
+    extc = jnp.minimum(ext_raw, UINT16_MAX)
     dmin = dmin_lut[jnp.clip(counts, 0, UINT16_MAX)]
     left = _call_ext(extc[:, :4], dmin)
-    right = _call_ext(extc[:, 4:], dmin)
+    right = _call_ext(extc[:, 4:8], dmin)
     # purge count<2 and X/F extensions (src/kcount/kcount_cpu.cpp:554-573)
     keep = occupied & (counts >= 2) & (left < 4) & (right < 4)
     num_kept = jnp.sum(keep).astype(jnp.int64)

@@ -128,9 +128,10 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     phase1_exhausted = active
     found = found_slot < cap
     add_slot = jnp.where(found, found_slot, cap)
-    counts = counts.at[add_slot].add(cnt, mode="drop")
-    lidx = jnp.where(found & (left < 4), add_slot * 8 + left, cap * 8)
-    ridx = jnp.where(found & (right < 4), add_slot * 8 + 4 + right, cap * 8)
+    # counts are derived from the five left buckets (shard_table layout);
+    # a hit lane lands in exactly one of buckets {0-3, 8}
+    lidx = jnp.where(found, add_slot * 9 + jnp.where(left < 4, left, 8), cap * 9)
+    ridx = jnp.where(found & (right < 4), add_slot * 9 + 4 + right, cap * 9)
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
 

@@ -35,8 +35,11 @@ def _table_dict(table):
     lo = np.asarray(table.keys_lo).astype(np.uint64)
     occ = (hi != 0xFFFFFFFF) | (lo != 0xFFFFFFFF)
     keys = (hi[occ] << np.uint64(32)) | lo[occ]
-    counts = np.asarray(table.counts)[occ]
-    extc = np.asarray(table.extc).reshape(-1, 8)[occ]
+    # read-path counts are derived from the five left buckets (bucket 8 =
+    # invalid left); the counts word is only written by the ctg pass
+    extc9 = np.asarray(table.extc).reshape(-1, 9)[occ]
+    counts = extc9[:, :4].sum(axis=1) + extc9[:, 8]
+    extc = extc9[:, :8]
     return {
         int(kv): (int(c), list(map(int, e)))
         for kv, c, e in zip(keys, counts, extc)
