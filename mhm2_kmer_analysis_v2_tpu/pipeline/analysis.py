@@ -31,15 +31,14 @@ def table_mem_bytes(per_shard_elems: int, k: int, filter_elems: int = 0) -> int:
     factor — the hashtable memory estimator of kcount_cpu.cpp:428-444.
 
     k<=32 slots: keys_hi/lo (8) + counts (4) + extc (36, 9 buckets) + claim
-    (4) = 52 B; k>32: 4*W-byte keys, 8 ext buckets (32 B); filter slots:
+    (4) = 52 B; k>32: 4*W-byte keys instead of 8; filter slots:
     fp+meta+claim = 12 B."""
     from ..ops.kmer_multiword import n_words
     from ..table.shard_table import TARGET_LOAD_FACTOR
 
     cap = int(per_shard_elems / TARGET_LOAD_FACTOR) + 1
     key_bytes = 8 if k <= 32 else 4 * n_words(k)
-    ext_bytes = 36 if k <= 32 else 32
-    slot = key_bytes + 4 + ext_bytes + 4
+    slot = key_bytes + 4 + 36 + 4
     total = cap * slot
     if filter_elems:
         total += (int(filter_elems / TARGET_LOAD_FACTOR) + 1) * 12

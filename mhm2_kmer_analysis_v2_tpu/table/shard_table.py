@@ -7,20 +7,23 @@ TPU-native answer to the reference's two hash-table designs:
     (src/kcount/kcount-gpu/gpu_hash_table.cpp:357-424)
 
 Neither maps to a vector machine.  Instead every record lane probes in
-lockstep *vectorized sweeps* with a persistent claim buffer standing in for
-the GPU kernel's KEY_TRANSITION CAS protocol (gpu_hash_table.cpp:368-396):
+lockstep *vectorized sweeps*, with a claim-free two-phase key write standing
+in for the GPU kernel's KEY_TRANSITION CAS protocol
+(gpu_hash_table.cpp:368-396):
 
   per sweep: gather each active lane's slot key ->
-    match        -> scatter-add the lane's count/extension contributions
+    match        -> scatter-add the lane's extension contributions
                     (duplicate-index scatter-add accumulates, so duplicate
                     k-mers in a batch need no pre-aggregation)
-    empty        -> scatter lane-id into claim[slot] (one winner per slot),
-                    winner writes both key halves (unique indices -> the two
-                    u32 scatters stay consistent), then ALL lanes re-gather
-                    and lanes whose key now matches commit in the same sweep
+    empty        -> all lanes scatter their lo key half; the re-gather names
+                    each slot's winner, winners scatter hi (see _probe_round
+                    for why slots can never hold a mixed pair); lanes whose
+                    key is then present commit in the same sweep
     else         -> advance to the next slot (linear probe, cap 100 like
                     KCOUNT_HT_MAX_PROBE, CMakeDefinitions.txt:67)
-  touched claim slots are reset afterwards (O(batch), not O(capacity)).
+
+  The `claim` scratch buffer is only used by the ctg-kmer pass and the
+  singleton filter, which need one-winner-per-entry lane election.
 
 Layout (SoA, per shard, all 32-bit — no u64 on device):
   keys_hi/keys_lo: [cap] uint32, EMPTY = all-ones pair (the reference's 0xFF..
@@ -179,20 +182,25 @@ def _probe_round(tbl, recs, full_hi_range: bool = False):
         is_empty = active & (thi == EMPTY) & (tlo0 == EMPTY)
     else:
         is_empty = active & (thi == EMPTY)
-    # claim empty slots with the lane id; duplicate-index scatter keeps one
-    # winner (unspecified which — harmless, contents are order-independent)
-    claim_slot = jnp.where(is_empty, slot, cap)
-    claim = claim.at[claim_slot].set(lane, mode="drop")
-    won = is_empty & (claim[gslot] == lane)
-    # winners write both key halves; indices now unique so the two scatters
-    # stay consistent
-    w_slot = jnp.where(won, slot, cap)
-    keys_hi = keys_hi.at[w_slot].set(hi, mode="drop")
-    keys_lo = keys_lo.at[w_slot].set(lo, mode="drop")
-    # every lane whose key is now present commits (pre-existing matches,
-    # winners, AND duplicate lanes of a winner's k-mer)
-    thi = keys_hi[gslot]
+    # claim-FREE two-phase key write (saves the claim scatter + gather of
+    # the earlier protocol — 2 full-width table ops per sweep): all
+    # empty-slot lanes scatter their lo half; the re-gather names the slot's
+    # winner (duplicate-index scatter keeps exactly one update); only lanes
+    # whose lo landed write hi.  A slot can never hold a mixed (hi, lo)
+    # pair: hi writers agree with the landed lo, and ties on (slot, lo)
+    # resolve to whichever hi lands — a consistent key either way.  Since
+    # lo is always written together with hi (some lo winner always exists),
+    # a slot is either fully EMPTY or a complete key between sweeps.
+    e_slot = jnp.where(is_empty, slot, cap)
+    keys_lo = keys_lo.at[e_slot].set(lo, mode="drop")
     tlo = keys_lo[gslot]
+    won_lo = is_empty & (tlo == lo)
+    w_slot = jnp.where(won_lo, slot, cap)
+    keys_hi = keys_hi.at[w_slot].set(hi, mode="drop")
+    # every lane whose key is now present commits (pre-existing matches,
+    # winners, AND duplicate lanes of a winner's k-mer); tlo is current —
+    # no lo write happened after its gather
+    thi = keys_hi[gslot]
     commit = active & (thi == hi) & (tlo == lo)
     add_slot = jnp.where(commit, slot, cap)
     # extension tallies: two flat scatter-adds.  A committed lane always

@@ -1,11 +1,14 @@
 """Multi-word shard table for k > 32 (keys are [W, cap] uint32 stacks).
 
-Same vectorized claim-buffer probe insert as shard_table.py (see there for
-the design rationale vs the reference's CPU linear probe and GPU CAS kernels)
-with W-word key compares; the claim scatter also serializes the W word writes
-per slot so multi-word keys can never interleave (the reference GPU kernel
+Same vectorized claim-free probe insert as shard_table.py (see there for the
+design rationale vs the reference's CPU linear probe and GPU CAS kernels)
+with W-word key compares; word 0 is the election word — empties scatter it,
+the re-gather names each slot's winner, and only winners write the remaining
+words, so multi-word keys can never interleave (the reference GPU kernel
 needs its KEY_TRANSITION two-phase CAS for exactly this,
-src/kcount/kcount-gpu/gpu_hash_table.cpp:368-424).
+src/kcount/kcount-gpu/gpu_hash_table.cpp:368-424).  Counts use the same
+9-bucket fold as shard_table (bucket 8 = invalid left ext; count = sum of
+the five left buckets at finalize).
 """
 
 from __future__ import annotations
@@ -27,9 +30,9 @@ MAX_PROBE = st.MAX_PROBE
 
 class MWShardTable(NamedTuple):
     keys: jax.Array  # [W, cap] uint32
-    counts: jax.Array  # [cap] int32
-    extc: jax.Array  # [cap*8] int32
-    claim: jax.Array  # [cap] int32
+    counts: jax.Array  # [cap] int32 (unused: no ctg pass for k>32 yet)
+    extc: jax.Array  # [cap*9] int32 (9-bucket count-fold layout)
+    claim: jax.Array  # [cap] int32 (scratch kept for layout parity)
     num_dropped: jax.Array  # [] int32
 
     @property
@@ -46,7 +49,7 @@ def create(max_elems: int, n_words: int, load_factor: float = st.TARGET_LOAD_FAC
     return MWShardTable(
         keys=jnp.full((n_words, cap), EMPTY, dtype=U32),
         counts=jnp.zeros((cap,), jnp.int32),
-        extc=jnp.zeros((cap * 8,), jnp.int32),
+        extc=jnp.zeros((cap * 9,), jnp.int32),
         claim=jnp.full((cap,), -1, jnp.int32),
         num_dropped=jnp.zeros((), jnp.int32),
     )
@@ -68,8 +71,8 @@ def _probe_round_mw(tbl, recs, w0_full_range: bool):
     the r = k-16(W-1) leading bases right-aligned, so r < 16 leaves zero
     slack bits — ``w0_full_range`` is k%16==0, the analogue of
     full_hi_range at k=32); pre-existing matches fall out of the single
-    post-write verification gather; the claim array is never reset (every
-    lane that reads claim[slot] scattered there in the same sweep)."""
+    post-write verification gather; claim-free two-phase key write with
+    word 0 as the election word (see st._probe_round)."""
     keys, counts, extc, claim = tbl
     words, left, right, cnt, lane, active, slot = recs
     Wn, cap = keys.shape
@@ -79,20 +82,27 @@ def _probe_round_mw(tbl, recs, w0_full_range: bool):
         is_empty = active & jnp.all(tk0 == EMPTY, axis=0)
     else:
         is_empty = active & (keys[0, gslot] == EMPTY)
-    claim_slot = jnp.where(is_empty, slot, cap)
-    claim = claim.at[claim_slot].set(lane, mode="drop")
-    won = is_empty & (claim[gslot] == lane)
-    w_slot = jnp.where(won, slot, cap)
-    # unique winning slots: all W scatters stay consistent
-    keys = keys.at[:, w_slot].set(words, mode="drop")
+    # claim-free election: empties scatter word 0; the re-gather names each
+    # slot's winner; only winners write the remaining words — a slot can
+    # never hold an interleaved key (ties on (slot, word0) resolve to
+    # whichever remaining-words write lands, a consistent key either way),
+    # and word 0 is always completed to a full key within the sweep.
+    e_slot = jnp.where(is_empty, slot, cap)
+    keys = keys.at[0, e_slot].set(words[0], mode="drop")
+    tw0 = keys[0, gslot]
+    won0 = is_empty & (tw0 == words[0])
+    w_slot = jnp.where(won0, slot, cap)
+    keys = keys.at[1:, w_slot].set(words[1:], mode="drop")
     # post-write verification: winners, pre-existing matches, and duplicate
-    # lanes of a winner's k-mer all commit here
-    tk = keys[:, gslot]
-    commit = active & jnp.all(tk == words, axis=0)
+    # lanes of a winner's k-mer all commit here (tw0 is current — no word-0
+    # write happened after its gather)
+    trest = keys[1:, gslot]
+    commit = active & (tw0 == words[0]) & jnp.all(trest == words[1:], axis=0)
     add_slot = jnp.where(commit, slot, cap)
-    counts = counts.at[add_slot].add(cnt, mode="drop")
-    lidx = jnp.where(commit & (left < 4), add_slot * 8 + left, cap * 8)
-    ridx = jnp.where(commit & (right < 4), add_slot * 8 + 4 + right, cap * 8)
+    # 9-bucket count-fold: every committed lane lands in one of the five
+    # left buckets, so counts need no scatter of their own
+    lidx = jnp.where(commit, add_slot * 9 + jnp.where(left < 4, left, 8), cap * 9)
+    ridx = jnp.where(commit & (right < 4), add_slot * 9 + 4 + right, cap * 9)
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
     active = active & ~commit
@@ -210,11 +220,14 @@ class FinalizedMW(NamedTuple):
 @jax.jit
 def _finalize_mw_jit(table: MWShardTable, dmin_lut: jax.Array) -> FinalizedMW:
     occupied = ~jnp.all(table.keys == EMPTY, axis=0)
-    counts = jnp.minimum(table.counts, st.UINT16_MAX)
-    extc = jnp.minimum(table.extc.reshape(-1, 8), st.UINT16_MAX)
+    ext_raw = table.extc.reshape(-1, 9)
+    # counts derived from the five left buckets (no ctg pass for k>32)
+    derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+    counts = jnp.minimum(derived, st.UINT16_MAX)
+    extc = jnp.minimum(ext_raw, st.UINT16_MAX)
     dmin = dmin_lut[jnp.clip(counts, 0, st.UINT16_MAX)]
     left = st._call_ext(extc[:, :4], dmin)
-    right = st._call_ext(extc[:, 4:], dmin)
+    right = st._call_ext(extc[:, 4:8], dmin)
     keep = occupied & (counts >= 2) & (left < 4) & (right < 4)
     num_kept = jnp.sum(keep).astype(jnp.int64)
     sum_counts = jnp.sum(jnp.where(keep, counts, 0)).astype(jnp.int64)
