@@ -147,3 +147,93 @@ def test_fuzz_utg_consistency(trial):
     exp = oc.utgs()
     canon = lambda seqs: {min(s, oracle.revcomp_str(s)) for s in seqs}
     assert canon(got_mw.seqs) == canon(got_pd.seqs) == exp, trial
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_fuzz_full_pipeline_paired(trial, tmp_path):
+    """Full composition fuzz (VERDICT r1 weak #6): two-file paired FASTQ with
+    adapter read-through + overlap merging through the WHOLE CLI pipeline,
+    checked against an expectation built from the scalar spec paths
+    (Adapters.trim_pair + _merge_scalar + OracleCounter) applied pair by pair
+    in emission order — the batched/native/device tiers must compose to the
+    same dump."""
+    import gzip
+    import os
+
+    from mhm2_kmer_analysis_v2_tpu.config import Options
+    from mhm2_kmer_analysis_v2_tpu.io.adapters import Adapters
+    from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import run_pipeline
+
+    rng = np.random.default_rng(5000 + trial)
+    k = int(rng.choice([21, 33]))
+    L = 100
+    a1 = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    a2 = "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"
+    adapter_fa = tmp_path / "adapters.fa"
+    adapter_fa.write_text(f">a1\n{a1}\n>a2\n{a2}\n")
+    genome = "".join(rng.choice(list("ACGT"), 2000))
+
+    def qualstr(n, lo=2, hi=41):
+        return "".join(chr(33 + int(q)) for q in rng.integers(lo, hi, n))
+
+    pairs = []
+    for i in range(60):
+        frag_len = int(rng.integers(60, 240))
+        p = int(rng.integers(0, len(genome) - frag_len + 1))
+        frag = list(genome[p : p + frag_len])
+        for j in range(frag_len):  # errors + Ns in the fragment
+            if rng.random() < 0.01:
+                frag[j] = "ACGT"[int(rng.integers(4))]
+            if rng.random() < 0.003:
+                frag[j] = "N"
+        frag = "".join(frag)
+        r1 = frag[:L] + a1[: max(0, L - frag_len)]
+        r2 = revcomp(frag[-L:]) + a2[: max(0, L - frag_len)]
+        pairs.append((r1[:L], qualstr(len(r1[:L])), r2[:L], qualstr(len(r2[:L]))))
+
+    fq1, fq2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i, (s1, q1, s2, q2) in enumerate(pairs):
+            f1.write(f"@p{i}/1\n{s1}\n+\n{q1}\n")
+            f2.write(f"@p{i}/2\n{s2}\n+\n{q2}\n")
+
+    # expected side: scalar spec, pair by pair in emission order
+    ad = Adapters(fname=str(adapter_fa))
+    stats = MergeStats()
+    emitted = []
+    for i, (s1, q1, s2, q2) in enumerate(pairs):
+        _, s1, q1, s2, q2 = ad.trim_pair(f"p{i}/1", s1, q1, f"p{i}/2", s2, q2)
+        if len(s1) < k and len(s2) < k:
+            continue
+        merged = False
+        mseq = mquals = None
+        if len(s1) > 0 and len(s2) > 0:
+            merged, mseq, mquals = _merge_scalar(s1, q1, revcomp(s2), q2[::-1], 33, stats)
+        if merged:
+            emitted.append((mseq, mquals))
+        else:
+            emitted.append((s1, q1))
+            emitted.append((s2, q2))
+    exp = oracle_count(emitted, k).finalize()
+
+    out = tmp_path / "out"
+    options = Options(
+        paired_fnames=[f"{fq1}:{fq2}"],
+        kmer_lens=[k],
+        output_dir=str(out),
+        dump_kmers=True,
+        batch_reads=64,
+        adapter_trim=True,
+        adapter_fname=str(adapter_fa),
+    )
+    results = run_pipeline(options)
+    assert results[0].unique_kmers == len(exp), (trial, k)
+
+    got = {}
+    for fn in os.listdir(out / "per_rank"):
+        if fn.startswith(f"kmers-{k}.txt.gz"):
+            with gzip.open(out / "per_rank" / fn, "rt") as f:
+                for ln in f:
+                    kmer, cnt, l, r = ln.split()
+                    got[kmer] = (int(cnt), l, r)
+    assert got == exp, (trial, k)
