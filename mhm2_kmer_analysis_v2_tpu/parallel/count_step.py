@@ -761,7 +761,7 @@ from ..table import shard_table_mw as stmw  # noqa: E402
 
 
 class MWShardedState(NamedTuple):
-    keys: jax.Array  # [n_shards, W, cap]
+    keys: jax.Array  # [n_shards, W*cap] (flat per-shard keys, see MWShardTable)
     counts: jax.Array
     extc: jax.Array
     claim: jax.Array
@@ -771,7 +771,7 @@ class MWShardedState(NamedTuple):
 
 
 _MW_STATE_SPEC = MWShardedState(
-    keys=P("sh", None, None),
+    keys=P("sh", None),
     counts=P("sh", None),
     extc=P("sh", None),
     claim=P("sh", None),

@@ -29,25 +29,28 @@ MAX_PROBE = st.MAX_PROBE
 
 
 class MWShardTable(NamedTuple):
-    keys: jax.Array  # [W, cap] uint32
+    keys: jax.Array  # FLAT [W*cap] uint32 (word j's slot s at j*cap + s)
     counts: jax.Array  # [cap] int32 (unused: no ctg pass for k>32 yet)
     extc: jax.Array  # [cap*9] int32 (9-bucket count-fold layout)
     claim: jax.Array  # [cap] int32 (scratch kept for layout parity)
     num_dropped: jax.Array  # [] int32
 
+    # keys are stored flat so the insert scan carry never crosses a reshape
+    # (a [W, cap]<->[W*cap] reshape at the jit/scan boundary defeats XLA's
+    # in-place carry aliasing and costs a full table copy per sweep)
     @property
     def capacity(self) -> int:
-        return self.keys.shape[1]
+        return self.claim.shape[0]
 
     @property
     def n_words(self) -> int:
-        return self.keys.shape[0]
+        return self.keys.shape[0] // self.claim.shape[0]
 
 
 def create(max_elems: int, n_words: int, load_factor: float = st.TARGET_LOAD_FACTOR) -> MWShardTable:
     cap = st.next_prime(max(int(max_elems / load_factor), 11))
     return MWShardTable(
-        keys=jnp.full((n_words, cap), EMPTY, dtype=U32),
+        keys=jnp.full((n_words * cap,), EMPTY, dtype=U32),
         counts=jnp.zeros((cap,), jnp.int32),
         extc=jnp.zeros((cap * 9,), jnp.int32),
         claim=jnp.full((cap,), -1, jnp.int32),
@@ -63,7 +66,7 @@ def slot_hash_mw(words: jax.Array) -> jax.Array:
     return h
 
 
-def _probe_round_mw(tbl, recs, w0_full_range: bool):
+def _probe_round_mw(tbl, recs, w0_full_range: bool, cap: int):
     """One synchronized probe sweep (multi-word port of st._probe_round).
 
     Same measured-cost design as the k<=32 path: emptiness from the word-0
@@ -72,32 +75,44 @@ def _probe_round_mw(tbl, recs, w0_full_range: bool):
     slack bits — ``w0_full_range`` is k%16==0, the analogue of
     full_hi_range at k=32); pre-existing matches fall out of the single
     post-write verification gather; claim-free two-phase key write with
-    word 0 as the election word (see st._probe_round)."""
+    word 0 as the election word (see st._probe_round).
+
+    ``keys`` here is the FLAT [W*cap] view (word j's slot s at j*cap + s):
+    every gather/scatter is 1-D with scalar-free indices, the same access
+    pattern as the fast k<=32 path.  The batched-axis form (keys[W, cap]
+    indexed on axis 1) lowers to a batched scatter/gather that this TPU
+    stack executes ~80x slower and faults under lax.scan."""
     keys, counts, extc, claim = tbl
     words, left, right, cnt, lane, active, slot = recs
-    Wn, cap = keys.shape
+    Wn = words.shape[0]
+    INVALID = Wn * cap  # out-of-range for every word offset (drop sentinel)
     gslot = jnp.where(active, slot, 0)
+    tw0 = keys[gslot]
     if w0_full_range:
-        tk0 = keys[:, gslot]  # [W, R]
-        is_empty = active & jnp.all(tk0 == EMPTY, axis=0)
+        is_empty = tw0 == EMPTY
+        for j in range(1, Wn):
+            is_empty &= keys[j * cap + gslot] == EMPTY
+        is_empty &= active
     else:
-        is_empty = active & (keys[0, gslot] == EMPTY)
+        is_empty = active & (tw0 == EMPTY)
     # claim-free election: empties scatter word 0; the re-gather names each
     # slot's winner; only winners write the remaining words — a slot can
     # never hold an interleaved key (ties on (slot, word0) resolve to
     # whichever remaining-words write lands, a consistent key either way),
     # and word 0 is always completed to a full key within the sweep.
-    e_slot = jnp.where(is_empty, slot, cap)
-    keys = keys.at[0, e_slot].set(words[0], mode="drop")
-    tw0 = keys[0, gslot]
+    e_slot = jnp.where(is_empty, slot, INVALID)
+    keys = keys.at[e_slot].set(words[0], mode="drop")
+    tw0 = keys[gslot]
     won0 = is_empty & (tw0 == words[0])
-    w_slot = jnp.where(won0, slot, cap)
-    keys = keys.at[1:, w_slot].set(words[1:], mode="drop")
+    w_slot = jnp.where(won0, slot, INVALID)
+    commit = active & (tw0 == words[0])
+    for j in range(1, Wn):
+        keys = keys.at[j * cap + w_slot].set(words[j], mode="drop")
     # post-write verification: winners, pre-existing matches, and duplicate
     # lanes of a winner's k-mer all commit here (tw0 is current — no word-0
     # write happened after its gather)
-    trest = keys[1:, gslot]
-    commit = active & (tw0 == words[0]) & jnp.all(trest == words[1:], axis=0)
+    for j in range(1, Wn):
+        commit &= keys[j * cap + gslot] == words[j]
     add_slot = jnp.where(commit, slot, cap)
     # 9-bucket count-fold: every committed lane lands in one of the five
     # left buckets, so counts need no scatter of their own
@@ -133,7 +148,7 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
 
     tbl = (table.keys, table.counts, table.extc, table.claim)
     tbl, active, slot = _probe_round_mw(
-        tbl, (words, left, right, cnt, lane, active, slot0), w0_full_range
+        tbl, (words, left, right, cnt, lane, active, slot0), w0_full_range, cap
     )
 
     # tier-1 compaction + one sweep
@@ -144,7 +159,7 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
     s_w = jnp.stack(arrs1[:Wn], axis=0)
     s_l, s_r, s_c, s_sl = arrs1[Wn:]
     tbl, act1b, s_sl = _probe_round_mw(
-        tbl, (s_w, s_l, s_r, s_c, rank1, act1, s_sl), w0_full_range
+        tbl, (s_w, s_l, s_r, s_c, rank1, act1, s_sl), w0_full_range, cap
     )
 
     # tier-2 compaction + while_loop for the long probe chains
@@ -162,7 +177,7 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
     def body(state):
         tbl, act, sl, it = state
         tbl, act, sl = _probe_round_mw(
-            tbl, (t_w, t_l, t_r, t_c, rank2, act, sl), w0_full_range
+            tbl, (t_w, t_l, t_r, t_c, rank2, act, sl), w0_full_range, cap
         )
         return tbl, act, sl, it + 1
 
@@ -183,7 +198,7 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
         def fb_body(state):
             tbl, act, sl, it = state
             tbl, act, sl = _probe_round_mw(
-                tbl, (words, left, right, cnt, lane, act, sl), w0_full_range
+                tbl, (words, left, right, cnt, lane, act, sl), w0_full_range, cap
             )
             return tbl, act, sl, it + 1
 
@@ -219,7 +234,8 @@ class FinalizedMW(NamedTuple):
 
 @jax.jit
 def _finalize_mw_jit(table: MWShardTable, dmin_lut: jax.Array) -> FinalizedMW:
-    occupied = ~jnp.all(table.keys == EMPTY, axis=0)
+    keys2d = table.keys.reshape(table.n_words, -1)  # once per k-round: fine
+    occupied = ~jnp.all(keys2d == EMPTY, axis=0)
     ext_raw = table.extc.reshape(-1, 9)
     # counts derived from the five left buckets (no ctg pass for k>32)
     derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
@@ -233,7 +249,7 @@ def _finalize_mw_jit(table: MWShardTable, dmin_lut: jax.Array) -> FinalizedMW:
     sum_counts = jnp.sum(jnp.where(keep, counts, 0)).astype(jnp.int64)
     num_purged = jnp.sum(occupied).astype(jnp.int64) - num_kept
     return FinalizedMW(
-        keys=jnp.where(keep[None, :], table.keys, EMPTY),
+        keys=jnp.where(keep[None, :], keys2d, EMPTY),
         counts=counts,
         left_ext=left,
         right_ext=right,
@@ -256,8 +272,11 @@ def compact_fin_mw(fin: FinalizedMW, K: int) -> FinalizedMW:
     idx = jax.lax.sort(jnp.where(fin.keep, slot, cap))[:K]
     act = jnp.arange(K, dtype=jnp.int32) < jnp.sum(fin.keep).astype(jnp.int32)
     g = jnp.clip(idx, 0, cap - 1)
+    # per-word 1-D gathers (a [W, K] axis-1 gather lowers to the slow
+    # batched path on this TPU stack — see _probe_round_mw)
+    gathered = jnp.stack([fin.keys[j][g] for j in range(fin.keys.shape[0])], axis=0)
     return FinalizedMW(
-        keys=jnp.where(act[None, :], fin.keys[:, g], EMPTY),
+        keys=jnp.where(act[None, :], gathered, EMPTY),
         counts=jnp.where(act, fin.counts[g], 0),
         left_ext=jnp.where(act, fin.left_ext[g], 0),
         right_ext=jnp.where(act, fin.right_ext[g], 0),
