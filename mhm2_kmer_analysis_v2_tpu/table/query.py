@@ -3,8 +3,8 @@ get_kmer_count, src/kcount/kmer_dht.cpp:216-245).
 
 The reference resolves each query with a blocking RPC to the owner rank; here
 queries are batched, canonicalized, routed (same minimizer function), and
-resolved with a vectorized probe-read — no writes, same linear probe schedule
-as the insert path so any present key is found.
+resolved with a vectorized probe-read — no writes, same probe schedule as the
+insert path (shard_table._advance) so any present key is found.
 """
 
 from __future__ import annotations
@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.kmer_ops import slot_hash
-from .shard_table import CTG_BIT, EMPTY, MAX_PROBE, ShardTable
+from .shard_table import CTG_BIT, EMPTY, MAX_PROBE, ShardTable, _advance
 
 U32 = jnp.uint32
 
@@ -46,7 +46,7 @@ def lookup_batch(table: ShardTable, hi, lo):
         empty = active & (thi == EMPTY) & (tlo == EMPTY)
         found_slot = jnp.where(hit, slot, found_slot)
         active = active & ~hit & ~empty
-        slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+        slot = _advance(slot, active, it + 1, cap)
         return active, slot, found_slot, it + 1
 
     zero_v = (slot[0] & 0).astype(jnp.int32)

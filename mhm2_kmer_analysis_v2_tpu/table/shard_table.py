@@ -19,7 +19,9 @@ in for the GPU kernel's KEY_TRANSITION CAS protocol
                     each slot's winner, winners scatter hi (see _probe_round
                     for why slots can never hold a mixed pair); lanes whose
                     key is then present commit in the same sweep
-    else         -> advance to the next slot (linear probe, cap 100 like
+    else         -> advance along the probe schedule (quadratic/triangular
+                    like the reference GPU kernel for large tables, linear
+                    for tiny ones — see _advance; cap 100 like
                     KCOUNT_HT_MAX_PROBE, CMakeDefinitions.txt:67)
 
   The `claim` scratch buffer is only used by the ctg-kmer pass and the
@@ -60,6 +62,26 @@ EMPTY = np.uint32(0xFFFFFFFF)  # np scalar: no device materialization at import
 MAX_PROBE = 100  # KCOUNT_HT_MAX_PROBE, CMakeDefinitions.txt:67
 UINT16_MAX = 65535
 TARGET_LOAD_FACTOR = 0.66  # src/kcount/kcount_cpu.cpp:442
+# Quadratic (triangular) probing, like the reference GPU insert kernel
+# (gpu_hash_table.cpp:357-424): slot_i = home + i(i+1)/2 mod cap.  It kills
+# the primary clustering that makes linear max-probe chains long at load —
+# and the vectorized insert pays per WHILE-ITERATION (one full table-op
+# sweep each), so the max chain over the batch is the cost.  The offsets
+# T_0..T_99 are pairwise distinct mod cap iff cap > T_99 = 4950 (their
+# differences are < 4951), so small tables keep the linear schedule.
+QUAD_MIN_CAP = 4951
+
+
+def _advance(slot, active, step, cap: int):
+    """Next probe slot for active lanes.  ``step`` is the triangular
+    increment for the probe just executed (probe index + 1); ignored on the
+    linear schedule (cap < QUAD_MIN_CAP).  Placement is unobservable in the
+    output contract (dump re-sorts by k-mer value), so the schedule is free
+    to differ from the reference CPU table's linear probing."""
+    inc = step if cap >= QUAD_MIN_CAP else 1
+    nxt = slot + inc
+    nxt = jnp.where(nxt >= cap, nxt - cap, nxt)  # inc <= MAX_PROBE < cap
+    return jnp.where(active, nxt, slot)
 
 
 def next_prime(n: int) -> int:
@@ -127,8 +149,8 @@ def probe_stats(table: ShardTable) -> dict:
     """Final-contents probe statistics — the load-factor / probe-length
     report of HashTableInserter::flush_inserts (kcount_cpu.cpp:496-521),
     derived from slot displacement (no per-insert state needed): each
-    occupied slot's probe length is its linear distance from the key's home
-    slot, mod capacity."""
+    occupied slot's probe length is recovered from its displacement from the
+    key's home slot (triangular offsets on the quadratic schedule)."""
     cap = table.capacity
     hi = np.asarray(table.keys_hi)
     lo = np.asarray(table.keys_lo)
@@ -142,7 +164,7 @@ def probe_stats(table: ShardTable) -> dict:
         slot_hash(_jnp.asarray(hi[occ]), _jnp.asarray(lo[occ])) % U32(cap)
     ).astype(np.int64)
     slot = np.nonzero(occ)[0].astype(np.int64)
-    dist = (slot - home) % cap + 1  # 1-based like the reference's probe count
+    dist = _displacement_to_probe(((slot - home) % cap), cap) + 1  # 1-based
     return {
         "occupied": n,
         "load_factor": n / cap,
@@ -151,7 +173,20 @@ def probe_stats(table: ShardTable) -> dict:
     }
 
 
-def _probe_round(tbl, recs, full_hi_range: bool = False):
+def _displacement_to_probe(disp: np.ndarray, cap: int) -> np.ndarray:
+    """Invert the probe schedule: displacement (slot - home) mod cap -> probe
+    index.  Linear schedule: identity.  Quadratic: match against the
+    triangular offsets (distinct mod cap by the QUAD_MIN_CAP bound)."""
+    if cap < QUAD_MIN_CAP:
+        return disp
+    i = np.arange(MAX_PROBE, dtype=np.int64)
+    tri = (i * (i + 1) // 2) % cap
+    order = np.argsort(tri)
+    pos = np.clip(np.searchsorted(tri[order], disp), 0, MAX_PROBE - 1)
+    return np.where(tri[order][pos] == disp, order[pos], MAX_PROBE)
+
+
+def _probe_round(tbl, recs, full_hi_range: bool = False, step=1):
     """One synchronized probe sweep over all active lanes.
 
     tbl = (keys_hi, keys_lo, counts, extc, claim);
@@ -212,7 +247,7 @@ def _probe_round(tbl, recs, full_hi_range: bool = False):
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
     active = active & ~commit
-    slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+    slot = _advance(slot, active, step, cap)
     return (keys_hi, keys_lo, counts, extc, claim), active, slot
 
 
@@ -272,7 +307,7 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
 
     tbl = (table.keys_hi, table.keys_lo, table.counts, table.extc, table.claim)
     tbl, active, slot = _probe_round(
-        tbl, (hi, lo, left, right, cnt, lane, active, slot0), full_hi_range
+        tbl, (hi, lo, left, right, cnt, lane, active, slot0), full_hi_range, step=1
     )
 
     # tier-1 compaction + one sweep
@@ -281,7 +316,7 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
         [hi, lo, left, right, cnt, slot], active, S1
     )
     tbl, act1b, s_sl = _probe_round(
-        tbl, (s_hi, s_lo, s_l, s_r, s_c, rank1, act1, s_sl), full_hi_range
+        tbl, (s_hi, s_lo, s_l, s_r, s_c, rank1, act1, s_sl), full_hi_range, step=2
     )
 
     # tier-2 compaction + while_loop for the long probe chains
@@ -296,8 +331,10 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
 
     def body(state):
         tbl, act, sl, it = state
+        # entrants sit at probe position 2 (advanced by steps 1 then 2)
         tbl, act, sl = _probe_round(
-            tbl, (t_hi, t_lo, t_l, t_r, t_c, rank2, act, sl), full_hi_range
+            tbl, (t_hi, t_lo, t_l, t_r, t_c, rank2, act, sl), full_hi_range,
+            step=it + 3,
         )
         return tbl, act, sl, it + 1
 
@@ -318,8 +355,10 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
 
         def fb_body(state):
             tbl, act, sl, it = state
+            # fallback lanes restart at probe position 1 (the sweep-1 slot)
             tbl, act, sl = _probe_round(
-                tbl, (hi, lo, left, right, cnt, lane, act, sl), full_hi_range
+                tbl, (hi, lo, left, right, cnt, lane, act, sl), full_hi_range,
+                step=it + 2,
             )
             return tbl, act, sl, it + 1
 
@@ -467,7 +506,7 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
 
         resolved = is_match | won
         active = active & ~resolved
-        slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+        slot = _advance(slot, active, it + 1, cap)
         return (keys_hi, keys_lo, counts, extc, claim), active, slot, it + 1
 
     tbl, left_over, _, _ = jax.lax.while_loop(cond, body, (tbl, active, slot, zero_v))

@@ -66,7 +66,7 @@ def slot_hash_mw(words: jax.Array) -> jax.Array:
     return h
 
 
-def _probe_round_mw(tbl, recs, w0_full_range: bool, cap: int):
+def _probe_round_mw(tbl, recs, w0_full_range: bool, cap: int, step=1):
     """One synchronized probe sweep (multi-word port of st._probe_round).
 
     Same measured-cost design as the k<=32 path: emptiness from the word-0
@@ -121,7 +121,7 @@ def _probe_round_mw(tbl, recs, w0_full_range: bool, cap: int):
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
     active = active & ~commit
-    slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+    slot = st._advance(slot, active, step, cap)
     return (keys, counts, extc, claim), active, slot
 
 
@@ -148,7 +148,8 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
 
     tbl = (table.keys, table.counts, table.extc, table.claim)
     tbl, active, slot = _probe_round_mw(
-        tbl, (words, left, right, cnt, lane, active, slot0), w0_full_range, cap
+        tbl, (words, left, right, cnt, lane, active, slot0), w0_full_range, cap,
+        step=1,
     )
 
     # tier-1 compaction + one sweep
@@ -159,7 +160,7 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
     s_w = jnp.stack(arrs1[:Wn], axis=0)
     s_l, s_r, s_c, s_sl = arrs1[Wn:]
     tbl, act1b, s_sl = _probe_round_mw(
-        tbl, (s_w, s_l, s_r, s_c, rank1, act1, s_sl), w0_full_range, cap
+        tbl, (s_w, s_l, s_r, s_c, rank1, act1, s_sl), w0_full_range, cap, step=2
     )
 
     # tier-2 compaction + while_loop for the long probe chains
@@ -176,8 +177,10 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
 
     def body(state):
         tbl, act, sl, it = state
+        # entrants sit at probe position 2 (advanced by steps 1 then 2)
         tbl, act, sl = _probe_round_mw(
-            tbl, (t_w, t_l, t_r, t_c, rank2, act, sl), w0_full_range, cap
+            tbl, (t_w, t_l, t_r, t_c, rank2, act, sl), w0_full_range, cap,
+            step=it + 3,
         )
         return tbl, act, sl, it + 1
 
@@ -197,8 +200,10 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
 
         def fb_body(state):
             tbl, act, sl, it = state
+            # fallback lanes restart at probe position 1 (the sweep-1 slot)
             tbl, act, sl = _probe_round_mw(
-                tbl, (words, left, right, cnt, lane, act, sl), w0_full_range, cap
+                tbl, (words, left, right, cnt, lane, act, sl), w0_full_range, cap,
+                step=it + 2,
             )
             return tbl, act, sl, it + 1
 

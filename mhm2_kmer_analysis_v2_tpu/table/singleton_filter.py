@@ -113,7 +113,8 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
         found_slot = jnp.where(hit, slot, found_slot)
         absent = absent | empty
         active = active & ~hit & ~empty
-        slot = jnp.where(active & (slot + 1 >= cap), 0, jnp.where(active, slot + 1, slot))
+        # main-table probe must follow the insert path's schedule
+        slot = st._advance(slot, active, it + 1, cap)
         return active, absent, slot, found_slot, it + 1
 
     def cond1b(state):
