@@ -872,6 +872,71 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
 
 
 @_memo
+def make_ctg_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, dmin_thres: int = 2,
+                     m: int | None = None, max_rounds: int = 0):
+    """Multi-word contig-kmer pass (the k > 32 variant of make_ctg_step):
+    routes the previous round's contig k-mers with depths and applies the
+    from-ctg rules via shard_table_mw.insert_ctg_batch_mw."""
+    n_shards = mesh.shape["sh"]
+    Wn = n_words(k)
+    lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
+
+    def per_device(state: MWShardedState, codes, badq, lengths, depths, lut_rep):
+        recs = kmer_records_mw(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
+        B, L = codes.shape
+        words = recs["canon"].reshape(Wn, B * L)
+        left = recs["left"].reshape(-1)
+        right = recs["right"].reshape(-1)
+        valid = recs["valid"].reshape(-1)
+        target = recs["target"].reshape(-1)
+        cnt = jnp.repeat(depths.astype(jnp.int32), L)
+        meta = _pack_meta(left, right, cnt, valid)
+        local = _local_table_mw(state)
+
+        def ins(tbl, *received):
+            rwords = jnp.stack(received[:Wn], axis=0)
+            rmeta = received[Wn].astype(jnp.int32)
+            return stmw.insert_ctg_batch_mw(
+                tbl, rwords, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
+                rmeta != 0, lut_rep,
+            )
+
+        if n_shards > 1:
+            planes = [words[j] for j in range(Wn)] + [meta]
+            local, spill, overflow = _round_exchange(
+                planes, target, valid, n_shards, exchange_cap, ins, local,
+                max_rounds,
+            )
+        else:
+            spill = overflow = jnp.zeros((), jnp.int32)
+            local = ins(local, *[words[j] for j in range(Wn)], meta)
+        return MWShardedState(
+            keys=local.keys[None],
+            counts=local.counts[None],
+            extc=local.extc[None],
+            claim=local.claim[None],
+            num_dropped=local.num_dropped[None],
+            overflow=(state.overflow[0] + overflow)[None],
+            spill_rounds=(state.spill_rounds[0] + spill)[None],
+        )
+
+    mapped = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(_MW_STATE_SPEC, P("sh", None), P("sh", None), P("sh"), P("sh"), P(None)),
+            out_specs=_MW_STATE_SPEC,
+        ),
+        donate_argnums=(0,),
+    )
+
+    def step(state, codes, badq, lengths, depths):
+        return mapped(state, codes, badq, lengths, depths, lut)
+
+    return step
+
+
+@_memo
 def make_finalize_mw(mesh: Mesh, dmin_thres: int = 2):
     lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
 

@@ -298,14 +298,13 @@ def analyze_kmers(
         print("\rProcessing reads to count kmers: 100%")
     num_reads = dist.allsum(num_reads)
 
-    # contig-kmer pass (add_ctg_kmers; only with --ctg-kmers and k <= 32)
-    if prev_ctgs and (multiword or use_qf):
-        slog(
-            "WARNING: --ctg-kmers carryover is not implemented for ",
-            "k > 32" if multiword else "--use-qf",
-            " rounds; skipping the contig-kmer pass for k = ", k,
-        )
-    if prev_ctgs and not multiword and not use_qf:
+    # contig-kmer pass (add_ctg_kmers) — all table modes: single-word,
+    # multi-word (insert_ctg_batch_mw), and --use-qf (the pass runs against
+    # the QF main table; a filter-resident read singleton is simply absent
+    # there, and a fresh ctg insert {depth, from_ctg, exts} is the SAME entry
+    # the count==1 overwrite rule would produce, so only the QF mode's
+    # documented count-variation caveats apply, no new divergence)
+    if prev_ctgs:
         from ..io.packed_reads import encode_batch
 
         # long contigs are split into fixed windows with k+1-base overlap:
@@ -320,10 +319,17 @@ def analyze_kmers(
             min(ctg_positions, 4 * (ctg_positions // n_shards + 1) + 4096)
             if n_shards > 1 else 1
         )
-        ctg_step = cs.make_ctg_step(
-            mesh, k=k, exchange_cap=ctg_cap, dmin_thres=options.dmin_thres, m=m,
-            max_rounds=max_rounds,
-        )
+        ctg_kw = dict(k=k, exchange_cap=ctg_cap, dmin_thres=options.dmin_thres,
+                      m=m, max_rounds=max_rounds)
+        if multiword:
+            ctg_step = cs.make_ctg_step_mw(mesh, **ctg_kw)
+        elif use_qf:
+            inner_ctg = cs.make_ctg_step(mesh, **ctg_kw)
+
+            def ctg_step(st_, *args):
+                return st_._replace(table=inner_ctg(st_.table, *args))
+        else:
+            ctg_step = cs.make_ctg_step(mesh, **ctg_kw)
         seqs, depths = [], []
         for s, d in prev_ctgs:
             if len(s) < k + 2:

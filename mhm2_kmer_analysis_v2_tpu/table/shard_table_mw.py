@@ -30,7 +30,7 @@ MAX_PROBE = st.MAX_PROBE
 
 class MWShardTable(NamedTuple):
     keys: jax.Array  # FLAT [W*cap] uint32 (word j's slot s at j*cap + s)
-    counts: jax.Array  # [cap] int32 (unused: no ctg pass for k>32 yet)
+    counts: jax.Array  # [cap] int32 (ctg-pass only; read counts derived)
     extc: jax.Array  # [cap*9] int32 (9-bucket count-fold layout)
     claim: jax.Array  # [cap] int32 (scratch kept for layout parity)
     num_dropped: jax.Array  # [] int32
@@ -226,6 +226,131 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
     )
 
 
+@jax.jit
+def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
+                        dmin_lut) -> MWShardTable:
+    """Contig-kmer insertion pass for k > 32 — the multi-word port of
+    shard_table.insert_ctg_batch (insert_supermer_from_ctg semantics,
+    src/kcount/kcount_cpu.cpp:357-407; rules listed there).
+
+    Within-batch reduction sorts lanes lexicographically over the W key words
+    (lax.sort with num_keys=W); invalid lanes sort last as all-ones, which no
+    valid key can collide with (the canonical form of the all-T k-mer is the
+    all-A k-mer, so an all-ones canonical key never occurs — the same
+    argument that makes all-ones a safe EMPTY sentinel)."""
+    cap = table.capacity
+    Wn, R = words.shape
+    words = words.astype(U32)
+    left = left.astype(jnp.int32)
+    right = right.astype(jnp.int32)
+    depth = jnp.minimum(depth.astype(jnp.int32), st.UINT16_MAX)
+
+    # ---- within-batch reduction by k-mer ---------------------------------
+    masked = [jnp.where(valid, words[j], EMPTY) for j in range(Wn)]
+    sorted_ops = jax.lax.sort(
+        (*masked, left, right, depth, valid.astype(jnp.int32)), num_keys=Wn
+    )
+    sw = list(sorted_ops[:Wn])
+    sl, sr, sd = sorted_ops[Wn], sorted_ops[Wn + 1], sorted_ops[Wn + 2]
+    sv = sorted_ops[Wn + 3].astype(bool)
+    neq = jnp.zeros((R - 1,), bool)
+    for j in range(Wn):
+        neq |= sw[j][1:] != sw[j][:-1]
+    first = jnp.concatenate([jnp.ones((1,), bool), neq]) & sv
+    idx = jnp.arange(R, dtype=jnp.int32)
+    gsp = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
+    gsp = jnp.where(sv, gsp, R)
+    epack = sl * 4 + sr
+    gmin_e = jnp.full((R,), 99, jnp.int32).at[gsp].min(epack, mode="drop")
+    gmax_e = jnp.full((R,), -1, jnp.int32).at[gsp].max(epack, mode="drop")
+    gmin_d = jnp.full((R,), st.UINT16_MAX + 1, jnp.int32).at[gsp].min(sd, mode="drop")
+    conflict = gmin_e != gmax_e
+    u_w = sw  # unique lanes' words (first positions)
+    u_left = sl
+    u_right = sr
+    u_depth = jnp.where(conflict, 0, gmin_d)
+    active = first
+
+    # ---- apply unique records against the table --------------------------
+    lane = idx
+    slot = (slot_hash_mw(jnp.stack(u_w, axis=0)) % U32(cap)).astype(jnp.int32)
+    zero_v = (slot[0] & 0).astype(jnp.int32)
+    INVALID = Wn * cap
+    tbl = (table.keys, table.counts, table.extc, table.claim)
+    CTG_BIT = st.CTG_BIT
+
+    def cond(state):
+        _, active, _, it = state
+        return jnp.any(active) & (it < MAX_PROBE)
+
+    def body(state):
+        tbl, active, slot, it = state
+        keys, counts, extc, claim = tbl
+        gslot = jnp.where(active, slot, 0)
+        tw = [keys[j * cap + gslot] for j in range(Wn)]
+        is_match = active
+        is_empty = active
+        for j in range(Wn):
+            is_match &= tw[j] == u_w[j]
+            is_empty &= tw[j] == EMPTY
+        # claim empties (unique keys -> winners are conflict-free)
+        cslot = jnp.where(is_empty, slot, cap)
+        claim = claim.at[cslot].set(lane, mode="drop")
+        won = is_empty & (claim[gslot] == lane)
+        claim = claim.at[cslot].set(-1, mode="drop")
+        w_slot = jnp.where(won, slot, INVALID)
+        for j in range(Wn):
+            keys = keys.at[j * cap + w_slot].set(u_w[j], mode="drop")
+
+        # decision for matches (read-entry counts derive from the five left
+        # buckets; ctg entries carry their depth in the counts word)
+        cur = counts[gslot]
+        cur_ctg = (cur & CTG_BIT) != 0
+        ext_raw = extc.reshape(-1, 9)[gslot]
+        derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+        cur_cnt = jnp.minimum(
+            jnp.where(cur_ctg, cur & (CTG_BIT - 1), derived), st.UINT16_MAX
+        )
+        ext_rows = jnp.minimum(ext_raw, st.UINT16_MAX)
+        dmin = dmin_lut[jnp.clip(cur_cnt, 0, st.UINT16_MAX)]
+        cl = st._call_ext(ext_rows[:, :4], dmin)
+        cr = st._call_ext(ext_rows[:, 4:8], dmin)
+        non_uu = (cl >= 4) | (cr >= 4)
+        ow_read = is_match & ~cur_ctg & ((cur_cnt == 1) | non_uu)
+        live_ctg = is_match & cur_ctg & (cur_cnt != 0)
+        agree = (cl == u_left) & (cr == u_right)
+        ctg_depth = jnp.where(agree, jnp.minimum(u_depth, cur_cnt), 0)
+        write = won | ow_read | live_ctg
+        new_cnt = jnp.where(live_ctg, ctg_depth, u_depth)
+        wr_slot = jnp.where(write, slot, cap)
+        counts = counts.at[wr_slot].set(new_cnt | CTG_BIT, mode="drop")
+        base = wr_slot * 9
+        zero9 = jnp.zeros((R, 9), jnp.int32)
+        extc = extc.at[
+            jnp.where(write, base, cap * 9)[:, None] + jnp.arange(9)[None, :]
+        ].set(zero9, mode="drop")
+        lidx = jnp.where(write, base + jnp.where(u_left < 4, u_left, 8), cap * 9)
+        ridx = jnp.where(write & (u_right < 4), base + 4 + u_right, cap * 9)
+        extc = extc.at[lidx].set(new_cnt, mode="drop")
+        extc = extc.at[ridx].set(new_cnt, mode="drop")
+
+        resolved = is_match | won
+        active = active & ~resolved
+        slot = st._advance(slot, active, it + 1, cap)
+        return (keys, counts, extc, claim), active, slot, it + 1
+
+    tbl, left_over, _, _ = jax.lax.while_loop(cond, body, (tbl, active, slot, zero_v))
+    keys, counts, extc, claim = tbl
+    dropped = jnp.sum(left_over).astype(jnp.int32)
+    return MWShardTable(
+        keys=keys,
+        counts=counts,
+        extc=extc,
+        claim=claim,
+        num_dropped=table.num_dropped + dropped,
+    )
+
+
 class FinalizedMW(NamedTuple):
     keys: jax.Array  # [W, cap]
     counts: jax.Array
@@ -242,9 +367,14 @@ def _finalize_mw_jit(table: MWShardTable, dmin_lut: jax.Array) -> FinalizedMW:
     keys2d = table.keys.reshape(table.n_words, -1)  # once per k-round: fine
     occupied = ~jnp.all(keys2d == EMPTY, axis=0)
     ext_raw = table.extc.reshape(-1, 9)
-    # counts derived from the five left buckets (no ctg pass for k>32)
+    # read-entry counts derive from the five left buckets; ctg-pass entries
+    # (insert_ctg_batch_mw) carry their depth in the counts word
     derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
-    counts = jnp.minimum(derived, st.UINT16_MAX)
+    is_ctg = (table.counts & st.CTG_BIT) != 0
+    counts = jnp.minimum(
+        jnp.where(is_ctg, table.counts & (st.CTG_BIT - 1), derived),
+        st.UINT16_MAX,
+    )
     extc = jnp.minimum(ext_raw, st.UINT16_MAX)
     dmin = dmin_lut[jnp.clip(counts, 0, st.UINT16_MAX)]
     left = st._call_ext(extc[:, :4], dmin)
