@@ -32,13 +32,20 @@ def get_lib():
     ):
         if not os.path.exists(_SRC):
             return None
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
-                check=True, capture_output=True, timeout=120,
-            )
-            os.replace(_SO + ".tmp", _SO)
-        except Exception:
+        built = False
+        for extra in (["-fopenmp"], []):  # fall back if OpenMP is unavailable
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", *extra,
+                     "-o", _SO + ".tmp", _SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(_SO + ".tmp", _SO)
+                built = True
+                break
+            except Exception:
+                continue
+        if not built:
             return None
     try:
         lib = ctypes.CDLL(_SO)

@@ -153,16 +153,22 @@ int32_t knat_merge_scan(const char* seq1, const uint8_t* q1, int32_t len1,
 
 // Reverse complement with IUPAC->N (semantics of revcomp, src/utils.cpp:98-129).
 // Returns 0, or 1 if an illegal character was seen.
-int32_t knat_revcomp(const char* seq, int32_t len, char* out) {
-  static char comp[256];
-  static bool init = false;
-  if (!init) {
+namespace {
+struct CompLut {
+  char comp[256];
+  CompLut() {
     memset(comp, 0, sizeof(comp));
     const char* from = "ACGTacgtNnURYKMSWBDHVurykmswbdhv";
     const char* to = "TGCATGCANNNNNNNNNNNNNNNNNNNNNNNN";
     for (int i = 0; from[i]; i++) comp[(uint8_t)from[i]] = to[i];
-    init = true;
   }
+};
+}  // namespace
+
+int32_t knat_revcomp(const char* seq, int32_t len, char* out) {
+  // magic-static init: thread-safe under the OpenMP merge chunk loop
+  static const CompLut lut;
+  const char* comp = lut.comp;
   for (int32_t i = 0; i < len; i++) {
     char c = comp[(uint8_t)seq[len - 1 - i]];
     if (!c) return 1;
@@ -260,6 +266,13 @@ void knat_merge_chunk(const char* seqs1, const char* quals1, const int64_t* off1
                       int32_t n_pairs, int32_t qual_offset,
                       char* out_seq, char* out_quals, const int64_t* oout,
                       int32_t* statuses) {
+  // Pairs are independent (disjoint oout output ranges, thread_local scratch
+  // in knat_merge_pair, magic-static LUTs) — parallelize across host cores
+  // when built with -fopenmp (the reference runs this loop rank-parallel,
+  // src/merge_reads.cpp:250-771; here one process owns all local cores).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 256)
+#endif
   for (int32_t i = 0; i < n_pairs; i++) {
     int32_t len1 = (int32_t)(off1[i + 1] - off1[i]);
     int32_t len2 = (int32_t)(off2[i + 1] - off2[i]);
