@@ -33,13 +33,18 @@ _BASES = np.array(list("ACGT"))
 
 
 def _rc_vals(vals: np.ndarray, k: int) -> np.ndarray:
-    """Vectorized reverse complement of right-aligned 2k-bit values."""
-    v = vals.copy()
-    out = np.zeros_like(v)
-    for _ in range(k):
-        out = (out << np.uint64(2)) | (np.uint64(3) - (v & np.uint64(3)))
-        v >>= np.uint64(2)
-    return out
+    """Vectorized reverse complement of right-aligned 2k-bit values.
+
+    O(1) passes instead of O(k): complement every 2-bit base at once
+    (3-x == ~x within each group), reverse the 32 groups with byteswap +
+    two in-byte swap rounds, then right-align the top k groups."""
+    v = ~vals.astype(np.uint64)
+    v = v.byteswap()  # reverse the 8 bytes (4 bases each)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = ((v >> np.uint64(4)) & m4) | ((v & m4) << np.uint64(4))
+    m2 = np.uint64(0x3333333333333333)
+    v = ((v >> np.uint64(2)) & m2) | ((v & m2) << np.uint64(2))
+    return v >> np.uint64(64 - 2 * k)
 
 
 @dataclass
@@ -82,44 +87,56 @@ def build_utgs(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,
     nxt_val = ((ov << np.uint64(2)) | o_right.astype(np.uint64)) & mask
     nxt_rc = _rc_vals(nxt_val, k)
     nxt_canon = np.minimum(nxt_val, nxt_rc)
-    nxt_s = (nxt_rc < nxt_val).astype(np.int64)  # 1 if stored flipped
-    j = np.searchsorted(vals, nxt_canon)
+    # node ids stay np.intp: numpy fancy indexing re-casts any other dtype
+    # per gather, which costs more than the narrower array saves (measured)
+    idt = np.intp
+    nxt_s = (nxt_rc < nxt_val).astype(idt)  # 1 if stored flipped
+    j = np.searchsorted(vals, nxt_canon).astype(idt)
     j = np.clip(j, 0, N - 1)
     exists = vals[j] == nxt_canon
     nxt_node = 2 * j + nxt_s
     # reciprocity: next's oriented left ext == our dropped first base
     recip = exists & (o_left[nxt_node] == first_base)
     # no self-loops (A^k / homopolymer self-edges) or immediate mirror loops
-    not_self = nxt_node != np.arange(2 * N)
-    not_mirror = nxt_node != (np.arange(2 * N) ^ 1)
+    ids = np.arange(2 * N, dtype=idt)
+    not_self = nxt_node != ids
+    not_mirror = nxt_node != (ids ^ 1)
     NULL = 2 * N
-    succ = np.where(recip & not_self & not_mirror, nxt_node, NULL).astype(np.int64)
+    succ = np.where(recip & not_self & not_mirror, nxt_node,
+                    idt(NULL)).astype(idt)
 
     succ, cycle_head = _break_cycles(succ, NULL)
 
     # pointer doubling with terminal self-loops: p converges to the path's
     # terminal for every node, d accumulates the edge distance (log rounds of
-    # gathers — the all-gather-friendly formulation for the sharded version)
-    ids = np.arange(2 * N)
+    # gathers — the all-gather-friendly formulation for the sharded version).
+    # int32 node ids halve the gather traffic; rounds stop as soon as every
+    # pointer has converged (log2 of the LONGEST chain, not of 2N).
     p = np.where(succ == NULL, ids, succ)
     d = (succ != NULL).astype(np.int64)
     steps = max(1, int(np.ceil(np.log2(max(2 * N, 2)))) + 1)
     for _ in range(steps):
+        p2 = p[p]
+        if np.array_equal(p2, p):
+            break
         d = d + d[p]
-        p = p[p]
+        p = p2
     term = p
     dist = d
 
     # per-node path head + position via backward doubling over the scatter-
     # built predecessor array (in-degree <= 1, so pred is well-defined)
-    pred = np.full(2 * N, NULL, np.int64)
+    pred = np.full(2 * N, NULL, idt)
     has_succ = succ != NULL
     pred[succ[has_succ]] = ids[has_succ]
     ph = np.where(pred == NULL, ids, pred)
     pos = (pred != NULL).astype(np.int64)
     for _ in range(steps):
+        ph2 = ph[ph]
+        if np.array_equal(ph2, ph):
+            break
         pos = pos + pos[ph]
-        ph = ph[ph]
+        ph = ph2
     head_of = ph
 
     heads = pred == NULL
@@ -175,13 +192,18 @@ def _break_cycles(succ: np.ndarray, NULL: int) -> np.ndarray:
     converge onto a terminal (succ == NULL); cycle nodes converge onto some
     in-cycle node.  Min-label doubling gives each cycle its leader."""
     n = len(succ)
-    ids = np.arange(n)
+    ids = np.arange(n, dtype=succ.dtype)
     p = np.where(succ == NULL, ids, succ)
     ml = np.minimum(ids, p)
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
     for _ in range(steps):
+        p2 = p[p]
+        if np.array_equal(p2, p):
+            # all pointers converged => no cycles exist (cycle nodes never
+            # converge), and ml is only consulted for in-cycle nodes
+            break
         ml = np.minimum(ml, ml[p])
-        p = p[p]
+        p = p2
     in_cycle = succ[p] != NULL  # converged onto a non-terminal
     cut = in_cycle & (succ == ml)  # unique in-cycle predecessor of the leader
     out = succ.copy()
