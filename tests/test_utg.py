@@ -225,3 +225,19 @@ def test_sharded_traversal_tiny_cap_spills():
     mesh = Mesh(np.array(jax.devices()[:4]), ("sh",))
     got = distributed.build_utgs_sharded(vals, counts, left, right, k, mesh, cap=8)
     assert sorted(got.seqs) == sorted(exp.seqs)
+
+
+def test_rc_vals_matches_slow_loop():
+    """The byteswap 2-bit-group reversal in _rc_vals must equal the obvious
+    per-base shift loop for every k (guards the bit-twiddling)."""
+    rng = np.random.default_rng(11)
+    for k in (1, 2, 15, 21, 27, 31, 32):
+        vals = rng.integers(0, 1 << min(2 * k, 63), 1000, dtype=np.uint64)
+        if 2 * k == 64:
+            vals |= rng.integers(0, 2, 1000, dtype=np.uint64) << np.uint64(63)
+        slow_v = vals.copy()
+        slow = np.zeros_like(vals)
+        for _ in range(k):
+            slow = (slow << np.uint64(2)) | (np.uint64(3) - (slow_v & np.uint64(3)))
+            slow_v >>= np.uint64(2)
+        np.testing.assert_array_equal(utg._rc_vals(vals, k), slow)
