@@ -37,6 +37,9 @@ def main():
 
     from mhm2_kmer_analysis_v2_tpu.ops.kmer_ops import kmer_records
     from mhm2_kmer_analysis_v2_tpu.table import shard_table
+    from mhm2_kmer_analysis_v2_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()  # fresh-process reruns skip the remote compile
 
     k = 21
     read_len = 150

@@ -591,6 +591,9 @@ def run_pipeline(options: Options) -> list:
     # multi-host wiring FIRST (before any backend/device access): one JAX
     # process per host, like one UPC++ rank team per node (src/main.cpp:129)
     rank, n_proc = dist.maybe_initialize()
+    from ..utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
     options.setup_output_dir()
     from ..utils.logging import init_logger
     from ..utils.memory import MemoryTracker, log_mem
