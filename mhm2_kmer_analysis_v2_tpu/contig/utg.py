@@ -403,8 +403,11 @@ def build_utgs_mw(kmer_strs: list, counts, left_chars, right_chars, k: int) -> U
     d = (succ != NULL).astype(np.int64)
     steps = max(1, int(np.ceil(np.log2(max(2 * N, 2)))) + 1)
     for _ in range(steps):
+        p2 = p[p]
+        if np.array_equal(p2, p):
+            break
         d = d + d[p]
-        p = p[p]
+        p = p2
     term = p
 
     pred = np.full(2 * N, NULL, np.int64)
@@ -413,8 +416,11 @@ def build_utgs_mw(kmer_strs: list, counts, left_chars, right_chars, k: int) -> U
     ph = np.where(pred == NULL, ids, pred)
     pos = (pred != NULL).astype(np.int64)
     for _ in range(steps):
+        ph2 = ph[ph]
+        if np.array_equal(ph2, ph):
+            break
         pos = pos + pos[ph]
-        ph = ph[ph]
+        ph = ph2
     head_of = ph
 
     heads = pred == NULL
