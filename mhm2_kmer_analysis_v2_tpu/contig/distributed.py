@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.hostmem import host_empty, host_full
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .utg import Utgs, _assemble
@@ -146,7 +148,7 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
 
     # shard boundaries for the distributed searchsorted (replicated, small)
     Np = n2p // 2
-    kmer_bounds = np.empty(n_shards, np.uint64)
+    kmer_bounds = host_empty(n_shards, np.uint64)
     for s in range(n_shards):
         first_kmer = (s * n_local) // 2
         if first_kmer >= N:
@@ -157,7 +159,7 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
         else:
             kmer_bounds[s] = vals[first_kmer]
 
-    vals_p = np.full(Np, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    vals_p = host_full(Np, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
     vals_p[:N] = vals
     lc = np.zeros(Np, np.int64)
     rc_ = np.zeros(Np, np.int64)
@@ -179,11 +181,11 @@ def build_utgs_sharded(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarr
 
     rcv = rc_vals_np(vals_p)
     # oriented arrays (interleaved), padded region self-looping
-    ov = np.empty(n2p, np.uint64)
+    ov = host_empty(n2p, np.uint64)
     ov[0::2] = vals_p
     ov[1::2] = rcv
-    o_left = np.empty(n2p, np.int64)
-    o_right = np.empty(n2p, np.int64)
+    o_left = host_empty(n2p, np.int64)
+    o_right = host_empty(n2p, np.int64)
     o_left[0::2] = lc
     o_left[1::2] = 3 - rc_
     o_right[0::2] = rc_

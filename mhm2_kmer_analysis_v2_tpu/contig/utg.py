@@ -29,6 +29,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..utils.hostmem import host_empty, host_full
+
 _BASES = np.array(list("ACGT"))
 
 
@@ -71,11 +73,11 @@ def build_utgs(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,
     top_shift = np.uint64(2 * (k - 1))
 
     # oriented arrays, index u = 2i+s interleaved
-    ov = np.empty(2 * N, np.uint64)
+    ov = host_empty(2 * N, np.uint64)
     ov[0::2] = vals
     ov[1::2] = rc
-    o_left = np.empty(2 * N, np.int64)
-    o_right = np.empty(2 * N, np.int64)
+    o_left = host_empty(2 * N, np.int64)
+    o_right = host_empty(2 * N, np.int64)
     o_left[0::2] = left_code
     o_left[1::2] = 3 - right_code
     o_right[0::2] = right_code
@@ -126,7 +128,7 @@ def build_utgs(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,
 
     # per-node path head + position via backward doubling over the scatter-
     # built predecessor array (in-degree <= 1, so pred is well-defined)
-    pred = np.full(2 * N, NULL, idt)
+    pred = host_full(2 * N, NULL, idt)
     has_succ = succ != NULL
     pred[succ[has_succ]] = ids[has_succ]
     ph = np.where(pred == NULL, ids, pred)
@@ -165,7 +167,7 @@ def build_utgs(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,
     )[0]
 
     # oriented k-mer strings for heads; appended last base for the rest
-    counts2 = np.empty(2 * N, np.int64)
+    counts2 = host_empty(2 * N, np.int64)
     counts2[0::2] = counts
     counts2[1::2] = counts
     shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
@@ -367,11 +369,11 @@ def build_utgs_mw(kmer_strs: list, counts, left_chars, right_chars, k: int) -> U
     rc_mat = _COMP_CODE[mat[:, ::-1]]
 
     ids = np.arange(2 * N)
-    omat = np.empty((2 * N, k), np.uint8)
+    omat = host_empty((2 * N, k), np.uint8)
     omat[0::2] = mat
     omat[1::2] = rc_mat
-    o_left = np.empty(2 * N, np.int64)
-    o_right = np.empty(2 * N, np.int64)
+    o_left = host_empty(2 * N, np.int64)
+    o_right = host_empty(2 * N, np.int64)
     o_left[0::2] = left_code
     o_left[1::2] = 3 - right_code
     o_right[0::2] = right_code
@@ -410,7 +412,7 @@ def build_utgs_mw(kmer_strs: list, counts, left_chars, right_chars, k: int) -> U
         p = p2
     term = p
 
-    pred = np.full(2 * N, NULL, np.int64)
+    pred = host_full(2 * N, NULL, np.int64)
     has_succ = succ != NULL
     pred[succ[has_succ]] = ids[has_succ]
     ph = np.where(pred == NULL, ids, pred)
@@ -438,7 +440,7 @@ def build_utgs_mw(kmer_strs: list, counts, left_chars, right_chars, k: int) -> U
     sel_head = head_of[sel]
     boundaries = np.nonzero(np.concatenate([[True], sel_head[1:] != sel_head[:-1]]))[0]
 
-    counts2 = np.empty(2 * N, np.int64)
+    counts2 = host_empty(2 * N, np.int64)
     counts2[0::2] = counts
     counts2[1::2] = counts
     sel_last = last_base[sel]

@@ -44,12 +44,18 @@ def ingest_group(
         # block only (src/fastq.cpp:810-892)
         from ..parallel.distributed import my_read_block
 
+        names, seqs, quals = [], [], []
         for i, rec in enumerate(my_read_block(fnames[0], paired=False)):
             if subsample_pct < 100 and (i % 100) >= subsample_pct:
                 continue
-            pr.add_read(f"r{read_id}/1", rec.seq, rec.quals)
-            pr.add_read(f"r{read_id}/2", "N", fake_qual)
+            names.extend((f"r{read_id}/1", f"r{read_id}/2"))
+            seqs.extend((rec.seq, "N"))
+            quals.extend((rec.quals, fake_qual))
             read_id += 2
+            if len(names) >= 8192:
+                pr.add_batch(names, seqs, quals)
+                names, seqs, quals = [], [], []
+        pr.add_batch(names, seqs, quals)
         return read_id
 
     # pairs are processed in CHUNKS so the whole merge scan for a chunk is
@@ -58,15 +64,19 @@ def ingest_group(
     # emission order is preserved exactly
     CHUNK = 4096
     chunk: list = []  # (seq1, quals1, seq2, quals2, attempt_merge)
+    out_names: list = []  # bulk-added once per chunk (add_batch)
+    out_seqs: list = []
+    out_quals: list = []
 
     def emit(seq1, quals1, seq2, quals2, merged, mseq, mquals):
         nonlocal read_id
         if merged:
-            pr.add_read(f"r{read_id}/1", mseq, mquals)
-            pr.add_read(f"r{read_id}/2", "N", fake_qual)
+            out_seqs.extend((mseq, "N"))
+            out_quals.extend((mquals, fake_qual))
         else:
-            pr.add_read(f"r{read_id}/1", seq1, quals1)
-            pr.add_read(f"r{read_id}/2", seq2, quals2)
+            out_seqs.extend((seq1, seq2))
+            out_quals.extend((quals1, quals2))
+        out_names.extend((f"r{read_id}/1", f"r{read_id}/2"))
         read_id += 2
 
     def flush():
@@ -86,6 +96,7 @@ def ingest_group(
                     merged, mseq, mquals = merge_pair(s1, q1, s2, q2, qual_offset, stats)
                 emit(s1, q1, s2, q2, merged, mseq, mquals)
             chunk.clear()
+            _drain()
             return
         statuses, merged_out = res
         ti = 0
@@ -112,6 +123,13 @@ def ingest_group(
                     stats.num_ambiguous += 1
                 emit(s1, q1, s2, q2, False, None, None)
         chunk.clear()
+        _drain()
+
+    def _drain():
+        pr.add_batch(out_names, out_seqs, out_quals)
+        out_names.clear()
+        out_seqs.clear()
+        out_quals.clear()
 
     for pair_idx, (rec1, rec2) in enumerate(_iter_pairs_robust(fnames)):
         # deterministic pair-level subsampling (src/fastq.cpp:1034-1059)
@@ -244,8 +262,15 @@ def load_and_merge_reads(options) -> tuple:
         if getattr(options, "restart", False) and os.path.exists(ckpt):
             slog_verbose("Restart: loading merged reads from ", ckpt)
             rdr = FastqReader(ckpt)
+            names, seqs, quals = [], [], []
             for rec in rdr:
-                pr.add_read(rec.name, rec.seq, rec.quals)
+                names.append(rec.name)
+                seqs.append(rec.seq)
+                quals.append(rec.quals)
+                if len(names) >= 8192:
+                    pr.add_batch(names, seqs, quals)
+                    names, seqs, quals = [], [], []
+            pr.add_batch(names, seqs, quals)
             rdr.close()
             continue
         lo = len(pr)

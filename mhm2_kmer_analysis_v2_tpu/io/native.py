@@ -13,6 +13,8 @@ import subprocess
 
 import numpy as np
 
+from ..utils.hostmem import host_full
+
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "kmer_native.cpp")
 _SO = os.path.join(_REPO, "native", "libkmer_native.so")
@@ -219,7 +221,7 @@ def encode_reads_native(seqs: list, quals: list, qual_offset: int, max_len: int,
     offsets = np.zeros(n + 1, np.int64)
     np.cumsum([len(s) for s in seqs], out=offsets[1:])
     rows = pad_to if pad_to is not None else n
-    codes = np.full((rows, max_len), 4, np.uint8)
+    codes = host_full((rows, max_len), 4, np.uint8)
     badq = np.zeros((rows, max_len), np.uint8)
     lengths = np.zeros(rows, np.int32)
     bad = lib.knat_encode_reads(

@@ -25,6 +25,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..utils.hostmem import host_full
+
 KCOUNT_QUAL_CUTOFF = 20  # CMakeDefinitions.txt:58
 
 # ASCII -> code lookup: ACGT -> 0..3, N/IUPAC -> 4, everything else -> 255
@@ -93,13 +95,20 @@ class _ByteStore:
     """Growable uint8 store (linear-allocator analogue)."""
 
     def __init__(self):
-        self.buf = np.empty(_CHUNK, np.uint8)
+        self.buf = np.zeros(_CHUNK, np.uint8)
         self.used = 0
 
     def append(self, data: np.ndarray):
         n = len(data)
-        while self.used + n > len(self.buf):
-            self.buf = np.concatenate([self.buf, np.empty(max(_CHUNK, n), np.uint8)])
+        if self.used + n > len(self.buf):
+            # geometric growth: amortized O(1)/byte (linear 4MB chunks would
+            # re-copy the whole store O(total/chunk) times at genome scale).
+            # np.zeros, not np.empty: zeros gets calloc'd copy-on-write pages
+            # while empty's malloc'd pages first-touch-fault ~100x slower in
+            # this sandboxed container (measured 5.1s vs 33ms per 64 MB).
+            grown = np.zeros(max(2 * len(self.buf), self.used + n), np.uint8)
+            grown[: self.used] = self.buf[: self.used]
+            self.buf = grown
         self.buf[self.used : self.used + n] = data
         self.used += n
 
@@ -132,6 +141,35 @@ class PackedReads:
         self.names.append(name)
         self.bases += len(seq)
         self.max_read_len = max(self.max_read_len, len(seq))
+
+    def add_batch(self, names: list, seqs: list, quals: list):
+        """Vectorized bulk add: one LUT pass over the chunk's concatenated
+        bases instead of per-read numpy calls (the batched analogue of the
+        reference's linear-allocator block fill, src/packed_reads.cpp:90-126;
+        per-read add_read dominated ingest wall at ~55% before this)."""
+        if not names:
+            return
+        sjoin = "".join(seqs).encode()
+        qjoin = "".join(quals).encode()
+        if len(sjoin) != len(qjoin):
+            for n, s, q in zip(names, seqs, quals):
+                assert len(s) == len(q), (n, len(s), len(q))
+        codes = _LUT[np.frombuffer(sjoin, np.uint8)]
+        if (codes == 255).any():
+            pos = int((codes == 255).argmax())
+            lens = np.cumsum([len(s) for s in seqs])
+            i = int(np.searchsorted(lens, pos, side="right"))
+            bad = chr(sjoin[pos])
+            raise ValueError(f"illegal base character {bad!r} in {names[i]}")
+        self._codes.append(codes)
+        self._quals.append(np.frombuffer(qjoin, np.uint8))
+        lens = np.fromiter((len(s) for s in seqs), np.int64, count=len(seqs))
+        base = self._offsets[-1]
+        self._offsets.extend((base + np.cumsum(lens)).tolist())
+        self.names.extend(names)
+        self.bases += int(lens.sum())
+        if len(lens):
+            self.max_read_len = max(self.max_read_len, int(lens.max()))
 
     def __len__(self):
         return len(self._offsets) - 1
@@ -173,7 +211,7 @@ class PackedReads:
         lens = (off[1:] - off[:-1]).astype(np.int32)
         B = hi - lo
         rows = pad_to if pad_to is not None else B
-        codes = np.full((rows, max_len), 4, np.uint8)
+        codes = host_full((rows, max_len), 4, np.uint8)
         badq = np.zeros((rows, max_len), bool)
         lengths = np.zeros((rows,), np.int32)
         lengths[:B] = np.minimum(lens, max_len)
@@ -222,7 +260,7 @@ def encode_batch(
         return ReadBatch(codes=codes, badq=badq, lengths=lengths)
     B = len(seqs)
     rows = pad_to if pad_to is not None else B
-    codes = np.full((rows, max_len), 4, np.uint8)
+    codes = host_full((rows, max_len), 4, np.uint8)
     badq = np.zeros((rows, max_len), bool)
     lengths = np.zeros((rows,), np.int32)
     thresh = qual_offset + KCOUNT_QUAL_CUTOFF
