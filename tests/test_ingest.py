@@ -103,3 +103,43 @@ def test_load_and_merge_reads_options(tmp_path):
     pr, stats = load_and_merge_reads(options)
     assert stats.num_merged == 1
     assert len(pr) == 2
+
+
+def test_add_batch_matches_add_read():
+    """Bulk add_batch must be byte-equivalent to sequential add_read for
+    mixed-length reads including N/IUPAC bases."""
+    rng = np.random.default_rng(11)
+    names, seqs, quals = [], [], []
+    for i in range(257):  # non-power-of-2, mixed lengths
+        ln = int(rng.integers(1, 120))
+        seq = "".join(rng.choice(list("ACGTNRY"), ln))
+        q = "".join(chr(int(c)) for c in rng.integers(33, 74, ln))
+        names.append(f"r{i}/1")
+        seqs.append(seq)
+        quals.append(q)
+
+    a = PackedReads()
+    for n, s, q in zip(names, seqs, quals):
+        a.add_read(n, s, q)
+    b = PackedReads()
+    b.add_batch(names[:100], seqs[:100], quals[:100])
+    b.add_batch([], [], [])  # empty batch is a no-op
+    b.add_batch(names[100:], seqs[100:], quals[100:])
+
+    assert len(a) == len(b) == 257
+    assert a._offsets == b._offsets
+    assert a.names == b.names
+    assert a.bases == b.bases
+    assert a.max_read_len == b.max_read_len
+    assert np.array_equal(a._codes.view(), b._codes.view())
+    assert np.array_equal(a._quals.view(), b._quals.view())
+    for i in (0, 5, 256):
+        assert a.get_read(i) == b.get_read(i)
+
+
+def test_add_batch_rejects_illegal_base():
+    import pytest
+
+    pr = PackedReads()
+    with pytest.raises(ValueError, match="bad/1"):
+        pr.add_batch(["ok/1", "bad/1"], ["ACGT", "AC!T"], ["IIII", "IIII"])
