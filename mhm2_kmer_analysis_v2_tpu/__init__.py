@@ -14,4 +14,10 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+from .utils.hostmem import tune_malloc
+
+# large-allocation page reuse for every host-side numpy hot path (see
+# hostmem.tune_malloc: cold mmap first-touch is ~100x in this container)
+tune_malloc()
+
 __version__ = "0.1.0"

@@ -1,0 +1,221 @@
+"""Vectorized (numpy) re-implementation of the scalar oracle, k <= 32.
+
+Same semantics as `oracle.OracleCounter` (which carries the reference
+file:line citations): counted positions 1..L-k-1, N->G inside k-mer values
+(src/kmer.cpp:173 with check_n=false), extension tallies skipped for
+low-quality or non-ACGT neighbors, uint16 saturation, dmin_dyn extension
+call with C-double truncation, count<2 and X/F purges
+(src/kcount/kcount_cpu.cpp:173-182,523-601).
+
+The scalar oracle is O(read-length) Python per read and tops out around
+1e5 k-mers/s; this one does ~2k numpy passes per chunk and handles the
+golden-count scale (~150M positions -> 34.5M unique) in minutes, letting us
+verify pipeline output at the reference's own benchmark scale instead of
+only on toy inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .oracle import DYN_MIN_DEPTH, KCOUNT_QUAL_CUTOFF
+
+UINT16_MAX = 0xFFFF
+# (1.0 - DYN_MIN_DEPTH) evaluated in double precision, as the C expression
+# (int)((1.0 - DYN_MIN_DEPTH) * count) does (kcount_cpu.cpp:177)
+_DMIN_FACTOR = np.float64(1.0) - np.float64(DYN_MIN_DEPTH)
+
+# base byte -> 2-bit code with N -> G(2), the (c&4)>>1 bit-trick table
+_KCODE = np.full(256, 0, np.uint8)
+for _b, _c in zip(b"ACGTN", (0, 1, 2, 3, 2)):
+    _KCODE[_b] = _c
+    _KCODE[_b + 32] = _c  # lowercase (bad-qual marking) packs the same
+_IS_ACGT = np.zeros(256, bool)
+for _b in b"ACGT":
+    _IS_ACGT[_b] = True
+    # lowercase is NOT acgt for extension purposes: a bad-qual neighbor
+    # tallies as '0' (oracle.add_read:268-269)
+
+_BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+class FastOracleCounter:
+    """Drop-in OracleCounter analogue for large inputs (reads only; for
+    ctg-kmer carryover semantics use the scalar oracle)."""
+
+    def __init__(self, k: int, qual_offset: int = 33, dmin_thres: int = 2):
+        assert k <= 32, "fast oracle packs k-mers into uint64"
+        self.k = k
+        self.qual_offset = qual_offset
+        self.dmin_thres = dmin_thres
+        self._vals: list[np.ndarray] = []  # canonical u64 per counted position
+        self._lext: list[np.ndarray] = []  # 0..3 = ACGT tally, 4 = none
+        self._rext: list[np.ndarray] = []
+        self._finalized = None
+
+    # -- ingest ----------------------------------------------------------
+    def add_reads(self, seqs: list, quals: list | None = None):
+        """Tally a chunk of reads (strings, or anything ''.join accepts)."""
+        k = self.k
+        flat = np.frombuffer("".join(seqs).encode(), np.uint8)
+        lens = np.fromiter((len(s) for s in seqs), np.int64, count=len(seqs))
+        off = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        if quals is not None:
+            qflat = np.frombuffer("".join(quals).encode(), np.uint8)
+            assert len(qflat) == len(flat)
+            good = qflat >= self.qual_offset + KCOUNT_QUAL_CUTOFF
+        else:
+            # pre-masked input: lowercase marks bad quality
+            good = flat < ord("a")
+        ext_ok = _IS_ACGT[flat] & good
+
+        # counted positions: for each read with L >= k+2, i in 1..L-k-1
+        n_pos = np.maximum(lens - k - 1, 0)
+        # reads shorter than k+2 contribute nothing (kcount.cpp:78 + window)
+        starts = np.repeat(off[:-1] + 1, n_pos)
+        if len(starts) == 0:
+            return
+        # within-read position offsets
+        idx = starts + (np.arange(len(starts)) - np.repeat(
+            np.cumsum(np.concatenate([[0], n_pos[:-1]])), n_pos))
+
+        # O(log k) window pyramids over the flat base array (the same
+        # doubling trick as the device path, ops/kmer_ops.py): fw[m][p] =
+        # 2-bit pack of bases [p, p+m); rc[m][p] = pack of their revcomp.
+        # Window values at read boundaries mix neighboring reads, but idx
+        # only selects interior positions so those lanes are never read.
+        codes = _KCODE[flat].astype(np.uint64)
+        fw = {1: codes}
+        rc1 = np.uint64(3) ^ codes
+        rcw = {1: rc1}
+        m = 1
+        while 2 * m <= k:
+            prev_f, prev_r = fw[m], rcw[m]
+            sh = np.uint64(2 * m)
+            nxt_f = np.zeros(len(codes), np.uint64)
+            nxt_r = np.zeros(len(codes), np.uint64)
+            nxt_f[: -m or None] = (prev_f[:-m] << sh) | prev_f[m:]
+            nxt_r[: -m or None] = (prev_r[m:] << sh) | prev_r[:-m]
+            m *= 2
+            fw[m], rcw[m] = nxt_f, nxt_r
+        # compose k from pyramid levels (high bits first for fw, the
+        # mirrored order for rc)
+        v = np.zeros(len(idx), np.uint64)
+        r = np.zeros(len(idx), np.uint64)
+        p = idx.copy()
+        rem = k
+        for m in sorted(fw, reverse=True):
+            if m <= rem:
+                v = (v << np.uint64(2 * m)) | fw[m][p]
+                r |= rcw[m][p] << np.uint64(2 * (k - rem))
+                p += m
+                rem -= m
+            if rem == 0:
+                break
+        flip = r < v
+        canon = np.where(flip, r, v)
+
+        le = np.where(ext_ok[idx - 1], _KCODE[flat[idx - 1]], 4).astype(np.uint8)
+        re_ = np.where(ext_ok[idx + k], _KCODE[flat[idx + k]], 4).astype(np.uint8)
+        # flipped k-mers swap and complement their extensions
+        fle = np.where(re_ == 4, 4, 3 - re_).astype(np.uint8)
+        fre = np.where(le == 4, 4, 3 - le).astype(np.uint8)
+        self._vals.append(canon)
+        self._lext.append(np.where(flip, fle, le))
+        self._rext.append(np.where(flip, fre, re_))
+        self._finalized = None
+
+    def add_fastq(self, fname: str, chunk_reads: int = 200_000):
+        from .io.fastq import FastqReader
+
+        rdr = FastqReader(fname)
+        seqs, quals = [], []
+        for rec in rdr:
+            seqs.append(rec.seq)
+            quals.append(rec.quals)
+            if len(seqs) >= chunk_reads:
+                self.add_reads(seqs, quals)
+                seqs, quals = [], []
+        if seqs:
+            self.add_reads(seqs, quals)
+        rdr.close()
+
+    # -- finalize ----------------------------------------------------------
+    def _reduce(self):
+        if self._finalized is not None:
+            return self._finalized
+        vals = np.concatenate(self._vals) if self._vals else np.zeros(0, np.uint64)
+        lext = np.concatenate(self._lext) if self._lext else np.zeros(0, np.uint8)
+        rext = np.concatenate(self._rext) if self._rext else np.zeros(0, np.uint8)
+        # sort + segment-reduce (np.unique(return_inverse=True) is ~20x
+        # slower than argsort at this scale in this numpy build)
+        order = np.argsort(vals, kind="stable")
+        sv = vals[order]
+        newseg = np.ones(len(sv), bool)
+        np.not_equal(sv[1:], sv[:-1], out=newseg[1:])
+        uniq = sv[newseg]
+        U = len(uniq)
+        # dtype matters: cumsum over a bool array without it takes a
+        # pathological accumulate path (~100x) in this numpy build
+        seg = np.cumsum(newseg, dtype=np.int64) - 1  # group id per sorted pos
+        counts = np.minimum(np.bincount(seg, minlength=U), UINT16_MAX)
+        ls = lext[order]
+        rs = rext[order]
+        lsel = ls < 4
+        rsel = rs < 4
+        lcnt = np.minimum(
+            np.bincount(seg[lsel] * 4 + ls[lsel], minlength=U * 4), UINT16_MAX
+        ).reshape(U, 4)
+        rcnt = np.minimum(
+            np.bincount(seg[rsel] * 4 + rs[rsel], minlength=U * 4), UINT16_MAX
+        ).reshape(U, 4)
+        self._finalized = (uniq, counts.astype(np.int64), lcnt, rcnt)
+        return self._finalized
+
+    def _call_ext(self, cnt4: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Vectorized ExtCounts::get_ext: returns byte 'A'/'C'/'G'/'T'/'X'/'F'.
+
+        Ties break toward the later base (sorted(..., reverse=True) on
+        (count, base) pairs in the scalar oracle)."""
+        key = cnt4.astype(np.int64) * 4 + np.arange(4)
+        top = np.argmax(key, axis=1)
+        top_c = np.take_along_axis(cnt4, top[:, None], axis=1)[:, 0].astype(np.int64)
+        masked = cnt4.astype(np.int64).copy()
+        np.put_along_axis(masked, top[:, None], -1, axis=1)
+        runner_c = masked.max(axis=1)
+        dmin = np.maximum((_DMIN_FACTOR * counts).astype(np.int64), self.dmin_thres)
+        out = _BASES[top].copy()
+        out[runner_c >= dmin] = ord("F")
+        out[top_c < dmin] = ord("X")
+        return out
+
+    def finalize_arrays(self):
+        """(sorted canonical u64 vals, counts, left char bytes, right char
+        bytes) of surviving k-mers — the purge rules of finalize()."""
+        uniq, counts, lcnt, rcnt = self._reduce()
+        lch = self._call_ext(lcnt, counts)
+        rch = self._call_ext(rcnt, counts)
+        keep = (
+            (counts >= 2)
+            & (lch != ord("X")) & (lch != ord("F"))
+            & (rch != ord("X")) & (rch != ord("F"))
+        )
+        return uniq[keep], counts[keep], lch[keep], rch[keep]
+
+    def finalize(self) -> dict:
+        """{kmer_str: (count, L, R)} — matches OracleCounter.finalize()."""
+        from .oracle import val_to_kmer
+
+        vals, counts, lch, rch = self.finalize_arrays()
+        return {
+            val_to_kmer(int(v), self.k): (int(c), chr(l), chr(r))
+            for v, c, l, r in zip(vals, counts, lch, rch)
+        }
+
+    def summary(self) -> dict:
+        vals, counts, _, _ = self.finalize_arrays()
+        return {
+            "unique_kmers": int(len(vals)),
+            "total_kmer_count_sum": int(counts.sum()),
+        }
