@@ -31,6 +31,28 @@ def make_reads(rng, genome, n_reads, read_len):
     return codes, badq, lengths
 
 
+def _wait_for_backend(max_attempts: int = 10):
+    """Re-exec until a jax backend initializes (the tunneled TPU pool drops
+    out occasionally; jax caches a failed backend init in-process, so retry
+    means a fresh process — keeps the round-end bench from recording nothing
+    when the pool is briefly down)."""
+    import os
+    import sys
+
+    import jax
+
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        attempt = int(os.environ.get("MHM2_BENCH_ATTEMPT", "0"))
+        if attempt + 1 >= max_attempts:
+            raise
+        print(f"# backend unavailable ({e}); retry {attempt + 1} in 60s", flush=True)
+        time.sleep(60)
+        os.environ["MHM2_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -38,6 +60,8 @@ def main():
     from mhm2_kmer_analysis_v2_tpu.ops.kmer_ops import kmer_records
     from mhm2_kmer_analysis_v2_tpu.table import shard_table
     from mhm2_kmer_analysis_v2_tpu.utils.compcache import enable_compilation_cache
+
+    _wait_for_backend()
 
     enable_compilation_cache()  # fresh-process reruns skip the remote compile
 
