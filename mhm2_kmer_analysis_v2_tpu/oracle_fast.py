@@ -1,4 +1,4 @@
-"""Vectorized (numpy) re-implementation of the scalar oracle, k <= 32.
+"""Vectorized (numpy) re-implementation of the scalar oracle, k <= 64.
 
 Same semantics as `oracle.OracleCounter` (which carries the reference
 file:line citations): counted positions 1..L-k-1, N->G inside k-mer values
@@ -44,11 +44,14 @@ class FastOracleCounter:
     ctg-kmer carryover semantics use the scalar oracle)."""
 
     def __init__(self, k: int, qual_offset: int = 33, dmin_thres: int = 2):
-        assert k <= 32, "fast oracle packs k-mers into uint64"
+        assert k <= 64, "fast oracle packs k-mers into one or two uint64 words"
         self.k = k
         self.qual_offset = qual_offset
         self.dmin_thres = dmin_thres
-        self._vals: list[np.ndarray] = []  # canonical u64 per counted position
+        # canonical value per counted position: one u64 word for k<=32,
+        # (hi, lo) u64 pair for k<=64 (hi = first k-32 bases)
+        self._vals: list[np.ndarray] = []
+        self._vals_hi: list[np.ndarray] = []
         self._lext: list[np.ndarray] = []  # 0..3 = ACGT tally, 4 = none
         self._rext: list[np.ndarray] = []
         self._finalized = None
@@ -87,10 +90,10 @@ class FastOracleCounter:
         # only selects interior positions so those lanes are never read.
         codes = _KCODE[flat].astype(np.uint64)
         fw = {1: codes}
-        rc1 = np.uint64(3) ^ codes
-        rcw = {1: rc1}
+        rcw = {1: np.uint64(3) ^ codes}
         m = 1
-        while 2 * m <= k:
+        word = min(k, 32)  # longest single-word window we compose
+        while 2 * m <= word:
             prev_f, prev_r = fw[m], rcw[m]
             sh = np.uint64(2 * m)
             nxt_f = np.zeros(len(codes), np.uint64)
@@ -99,22 +102,54 @@ class FastOracleCounter:
             nxt_r[: -m or None] = (prev_r[m:] << sh) | prev_r[:-m]
             m *= 2
             fw[m], rcw[m] = nxt_f, nxt_r
-        # compose k from pyramid levels (high bits first for fw, the
-        # mirrored order for rc)
-        v = np.zeros(len(idx), np.uint64)
-        r = np.zeros(len(idx), np.uint64)
-        p = idx.copy()
-        rem = k
-        for m in sorted(fw, reverse=True):
-            if m <= rem:
-                v = (v << np.uint64(2 * m)) | fw[m][p]
-                r |= rcw[m][p] << np.uint64(2 * (k - rem))
-                p += m
-                rem -= m
-            if rem == 0:
-                break
-        flip = r < v
-        canon = np.where(flip, r, v)
+
+        def compose_f(p0, L):
+            """2-bit pack of bases [p, p+L) per position, from the pyramid."""
+            v = np.zeros(len(p0), np.uint64)
+            p = p0.copy()
+            rem = L
+            for mm in sorted(fw, reverse=True):
+                if mm <= rem:
+                    v = (v << np.uint64(2 * mm)) | fw[mm][p]
+                    p += mm
+                    rem -= mm
+                if rem == 0:
+                    break
+            return v
+
+        def compose_r(p0, L):
+            """2-bit pack of the revcomp of bases [p, p+L) per position."""
+            r = np.zeros(len(p0), np.uint64)
+            p = p0.copy()
+            rem = L
+            for mm in sorted(fw, reverse=True):
+                if mm <= rem:
+                    r |= rcw[mm][p] << np.uint64(2 * (L - rem))
+                    p += mm
+                    rem -= mm
+                if rem == 0:
+                    break
+            return r
+
+        if k <= 32:
+            v = compose_f(idx, k)
+            r = compose_r(idx, k)
+            flip = r < v
+            canon = np.where(flip, r, v)
+            canon_hi = None
+        else:
+            # two words: hi = first k-32 bases, lo = last 32; the pair
+            # compares like the full 2k-bit integer (lexicographic)
+            hiw = k - 32
+            v_hi = compose_f(idx, hiw)
+            v_lo = compose_f(idx + hiw, 32)
+            # revcomp: first k-32 chars = rc of bases [32, k), last 32
+            # chars = rc of bases [0, 32)
+            r_hi = compose_r(idx + 32, hiw)
+            r_lo = compose_r(idx, 32)
+            flip = (r_hi < v_hi) | ((r_hi == v_hi) & (r_lo < v_lo))
+            canon = np.where(flip, r_lo, v_lo)
+            canon_hi = np.where(flip, r_hi, v_hi)
 
         le = np.where(ext_ok[idx - 1], _KCODE[flat[idx - 1]], 4).astype(np.uint8)
         re_ = np.where(ext_ok[idx + k], _KCODE[flat[idx + k]], 4).astype(np.uint8)
@@ -122,6 +157,8 @@ class FastOracleCounter:
         fle = np.where(re_ == 4, 4, 3 - re_).astype(np.uint8)
         fre = np.where(le == 4, 4, 3 - le).astype(np.uint8)
         self._vals.append(canon)
+        if canon_hi is not None:
+            self._vals_hi.append(canon_hi)
         self._lext.append(np.where(flip, fle, le))
         self._rext.append(np.where(flip, fre, re_))
         self._finalized = None
@@ -150,11 +187,22 @@ class FastOracleCounter:
         rext = np.concatenate(self._rext) if self._rext else np.zeros(0, np.uint8)
         # sort + segment-reduce (np.unique(return_inverse=True) is ~20x
         # slower than argsort at this scale in this numpy build)
-        order = np.argsort(vals, kind="stable")
-        sv = vals[order]
-        newseg = np.ones(len(sv), bool)
-        np.not_equal(sv[1:], sv[:-1], out=newseg[1:])
-        uniq = sv[newseg]
+        if self.k <= 32:
+            order = np.argsort(vals, kind="stable")
+            sv = vals[order]
+            newseg = np.ones(len(sv), bool)
+            np.not_equal(sv[1:], sv[:-1], out=newseg[1:])
+            uniq = sv[newseg]
+        else:
+            his = (np.concatenate(self._vals_hi) if self._vals_hi
+                   else np.zeros(0, np.uint64))
+            order = np.lexsort((vals, his))
+            sv, sh = vals[order], his[order]
+            newseg = np.ones(len(sv), bool)
+            np.not_equal(sv[1:], sv[:-1], out=newseg[1:])
+            newseg[1:] |= sh[1:] != sh[:-1]
+            # [U, 2] columns (hi, lo)
+            uniq = np.column_stack([sh[newseg], sv[newseg]])
         U = len(uniq)
         # dtype matters: cumsum over a bool array without it takes a
         # pathological accumulate path (~100x) in this numpy build
@@ -191,8 +239,12 @@ class FastOracleCounter:
         return out
 
     def finalize_arrays(self):
-        """(sorted canonical u64 vals, counts, left char bytes, right char
-        bytes) of surviving k-mers — the purge rules of finalize()."""
+        """(sorted canonical vals, counts, left char bytes, right char
+        bytes) of surviving k-mers — the purge rules of finalize().
+
+        vals is a 1-D u64 array for k<=32, else a [U, 2] u64 array of
+        (hi, lo) words (hi = first k-32 bases); both orders are the
+        lexicographic canonical k-mer order."""
         uniq, counts, lcnt, rcnt = self._reduce()
         lch = self._call_ext(lcnt, counts)
         rch = self._call_ext(rcnt, counts)
@@ -208,9 +260,11 @@ class FastOracleCounter:
         from .oracle import val_to_kmer
 
         vals, counts, lch, rch = self.finalize_arrays()
+        ints = (vals.astype(object) if vals.ndim == 1
+                else (vals[:, 0].astype(object) << 64) | vals[:, 1].astype(object))
         return {
             val_to_kmer(int(v), self.k): (int(c), chr(l), chr(r))
-            for v, c, l, r in zip(vals, counts, lch, rch)
+            for v, c, l, r in zip(ints, counts, lch, rch)
         }
 
     def summary(self) -> dict:

@@ -47,6 +47,8 @@ def main():
         print(f"reading {fn} ...")
         fo.add_fastq(fn)
     vals, counts, lch, rch = fo.finalize_arrays()
+    if vals.ndim == 2:  # k > 32: (hi, lo) word pairs
+        vals = (vals[:, 0].astype(object) << 64) | vals[:, 1].astype(object)
     uniq, total = len(vals), int(counts.sum())
     print(f"fast oracle: unique={uniq} total_count_sum={total}")
 
