@@ -27,84 +27,12 @@ import numpy as np
 from ..utils.hostmem import host_empty, host_full
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# shared with the count step's owner exchange (parallel/exchange.py): one
+# capped-spill-round abstraction, like the reference's single
+# ThreeTierAggrStore behind both puts and gets
+from ..parallel.exchange import push_exchange as _push_exchange
+from ..parallel.exchange import rr_exchange as _rr_exchange
 from .utg import Utgs, _assemble
-
-
-def _sorted_dest(owner, valid, n_shards: int, cap: int):
-    """Shared prologue: sort by destination, per-destination column, and the
-    pmax-agreed number of cap-sized rounds."""
-    Q = owner.shape[0]
-    key = jnp.where(valid, owner.astype(jnp.int32), n_shards)
-    order = jnp.argsort(key)
-    tgt = key[order]
-    bounds = jnp.searchsorted(tgt, jnp.arange(n_shards + 1, dtype=tgt.dtype))
-    col = jnp.arange(Q, dtype=jnp.int32) - bounds[jnp.clip(tgt, 0, n_shards - 1)].astype(jnp.int32)
-    max_dest = jnp.max(bounds[1:] - bounds[:-1]).astype(jnp.int32)
-    rounds = jax.lax.pmax((max_dest + cap - 1) // cap, "sh")
-    return order, tgt, col, rounds
-
-
-def _rr_exchange(planes, owner, n_shards: int, cap: int, serve_fn, out_dtypes,
-                 valid=None):
-    """Capped request/response exchange (aggregated-RPC *get* analogue).
-
-    planes: list of [Q] request planes.  serve_fn(mark, *received) -> list of
-    reply planes ([n_shards*cap] each, dtypes = out_dtypes); `mark` flags real
-    request slots.  Returns [Q]-aligned reply arrays (invalid lanes zero).
-    """
-    Q = owner.shape[0]
-    if valid is None:
-        valid = jnp.ones((Q,), bool)
-    order, tgt, col, rounds = _sorted_dest(owner, valid, n_shards, cap)
-    sp = [p[order] for p in planes]
-    # fresh zeros are device-invariant; mark them varying over the mesh axis
-    # so the loop carry type matches the per-device body outputs
-    outs = tuple(jax.lax.pvary(jnp.zeros((Q,), dt), ("sh",)) for dt in out_dtypes)
-
-    def body(r, outs):
-        in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
-        row = jnp.where(in_r, tgt, n_shards)
-        ccol = jnp.clip(col - r * cap, 0, cap - 1)
-        mark = jnp.zeros((n_shards, cap), bool).at[row, ccol].set(in_r, mode="drop")
-        mark = jax.lax.all_to_all(mark, "sh", 0, 0, tiled=True)
-        recv = []
-        for p in sp:
-            buf = jnp.zeros((n_shards, cap), p.dtype).at[row, ccol].set(p, mode="drop")
-            recv.append(jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True).reshape(-1))
-        replies = serve_fn(mark.reshape(-1), *recv)
-        new_outs = []
-        for out, rep in zip(outs, replies):
-            back = jax.lax.all_to_all(rep.reshape(n_shards, cap), "sh", 0, 0, tiled=True)
-            flat = back[jnp.clip(tgt, 0, n_shards - 1), ccol]
-            # reply for sorted-slot q lands back at original position order[q]
-            new_outs.append(out.at[jnp.where(in_r, order, Q)].set(
-                jnp.where(in_r, flat, 0), mode="drop"
-            ))
-        return tuple(new_outs)
-
-    return list(jax.lax.fori_loop(0, rounds, body, outs))
-
-
-def _push_exchange(planes, owner, valid, n_shards: int, cap: int, apply_fn, carry):
-    """Capped one-way exchange (aggregated-RPC *put* analogue):
-    carry = apply_fn(carry, mark, *received) per round."""
-    order, tgt, col, rounds = _sorted_dest(owner, valid, n_shards, cap)
-    sp = [p[order] for p in planes]
-    carry = jax.tree.map(lambda x: jax.lax.pvary(x, ("sh",)), carry)
-
-    def body(r, carry):
-        in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
-        row = jnp.where(in_r, tgt, n_shards)
-        ccol = jnp.clip(col - r * cap, 0, cap - 1)
-        mark = jnp.zeros((n_shards, cap), bool).at[row, ccol].set(in_r, mode="drop")
-        mark = jax.lax.all_to_all(mark, "sh", 0, 0, tiled=True)
-        recv = []
-        for p in sp:
-            buf = jnp.zeros((n_shards, cap), p.dtype).at[row, ccol].set(p, mode="drop")
-            recv.append(jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True).reshape(-1))
-        return apply_fn(carry, mark.reshape(-1), *recv)
-
-    return jax.lax.fori_loop(0, rounds, body, carry)
 
 
 def _dist_gather(values, idx, n_shards: int, n_local: int, cap: int):

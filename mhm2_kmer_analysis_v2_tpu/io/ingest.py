@@ -258,7 +258,11 @@ def load_and_merge_reads(options) -> tuple:
         is_unpaired = any(group[0] == f.rstrip(":") for f in options.unpaired_fnames)
         ckpt = get_merged_reads_fname(group[0], options.output_dir)
         if n_proc > 1:
-            ckpt += f".{rank}"  # each process checkpoints its own block
+            # each process checkpoints its own byte-range block; the process
+            # count is part of the name so a --restart under a DIFFERENT
+            # world size never loads misaligned blocks (it re-ingests its own
+            # byte range instead of double-counting/dropping reads)
+            ckpt += f".{rank}of{n_proc}"
         if getattr(options, "restart", False) and os.path.exists(ckpt):
             slog_verbose("Restart: loading merged reads from ", ckpt)
             rdr = FastqReader(ckpt)

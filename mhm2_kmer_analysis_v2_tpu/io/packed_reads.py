@@ -149,21 +149,27 @@ class PackedReads:
         per-read add_read dominated ingest wall at ~55% before this)."""
         if not names:
             return
+        # per-read length check (add_read's assert, kept vectorized): equal
+        # chunk TOTALS are not enough — compensating mismatches would shift
+        # every later read's quality bytes silently
+        lens = np.fromiter(map(len, seqs), np.int64, count=len(seqs))
+        qlens = np.fromiter(map(len, quals), np.int64, count=len(quals))
+        if len(lens) != len(qlens) or (lens != qlens).any():
+            i = int((lens != qlens).argmax()) if len(lens) == len(qlens) else 0
+            raise ValueError(
+                f"seq/qual length mismatch in {names[i]}: "
+                f"{int(lens[i])} vs {int(qlens[i])}"
+            )
         sjoin = "".join(seqs).encode()
         qjoin = "".join(quals).encode()
-        if len(sjoin) != len(qjoin):
-            for n, s, q in zip(names, seqs, quals):
-                assert len(s) == len(q), (n, len(s), len(q))
         codes = _LUT[np.frombuffer(sjoin, np.uint8)]
         if (codes == 255).any():
             pos = int((codes == 255).argmax())
-            lens = np.cumsum([len(s) for s in seqs])
-            i = int(np.searchsorted(lens, pos, side="right"))
+            i = int(np.searchsorted(np.cumsum(lens), pos, side="right"))
             bad = chr(sjoin[pos])
             raise ValueError(f"illegal base character {bad!r} in {names[i]}")
         self._codes.append(codes)
         self._quals.append(np.frombuffer(qjoin, np.uint8))
-        lens = np.fromiter((len(s) for s in seqs), np.int64, count=len(seqs))
         base = self._offsets[-1]
         self._offsets.extend((base + np.cumsum(lens)).tolist())
         self.names.extend(names)

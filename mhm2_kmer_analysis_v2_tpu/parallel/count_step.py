@@ -37,8 +37,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.kmer_ops import kmer_records
 from ..table import shard_table
 from ..table.shard_table import ShardTable
+from . import exchange
 
-U32 = jnp.uint32
+U32 = jnp.uint32  # used by make_count_step_supermer's wire packing
 
 
 def _memo(fn):
@@ -132,50 +133,10 @@ def _pack_meta(left, right, cnt, valid):
     return jnp.where(valid, meta, 0)
 
 
-def _round_exchange(planes, target, valid, n_shards: int, cap: int,
-                    insert_fn, carry, max_rounds: int = 0):
-    """Lossless owner exchange: sort records by destination ONCE, then ship
-    successive cap-sized windows per destination — one all_to_all per round —
-    until every destination's queue drains.  This is the no-drop contract of
-    the reference's ThreeTierAggrStore backpressure (src/kcount/
-    kmer_dht.cpp:247-258) rebuilt as a collective loop whose trip count is
-    made uniform across devices with a pmax.
-
-    planes: list of [R] record planes (uint32/int32, shipped bit-cast u32).
-    insert_fn(carry, *received_planes) -> carry runs per round on the
-    receiver; received planes are [n_shards * cap] u32 with zero padding.
-    max_rounds > 0 bounds the rounds (--max-rpcs-in-flight); only then can
-    records drop, counted in the returned overflow.
-
-    Returns (carry, spill_rounds, overflow) — spill_rounds = rounds - 1.
-    """
-    R = target.shape[0]
-    nplanes = len(planes)
-    sort_key = jnp.where(valid, target, n_shards)
-    order = jnp.argsort(sort_key)
-    tgt = sort_key[order]
-    sp = [p[order].astype(U32) for p in planes]
-    bounds = jnp.searchsorted(tgt, jnp.arange(n_shards + 1, dtype=tgt.dtype))
-    col = jnp.arange(R, dtype=jnp.int32) - bounds[jnp.clip(tgt, 0, n_shards - 1)].astype(jnp.int32)
-    max_dest = jnp.max(bounds[1:] - bounds[:-1]).astype(jnp.int32)
-    rounds = jax.lax.pmax((max_dest + cap - 1) // cap, "sh")
-    if max_rounds:
-        rounds = jnp.minimum(rounds, max_rounds)
-    overflow = jnp.sum((col >= rounds * cap) & (tgt < n_shards)).astype(jnp.int32)
-
-    def body(r, carry):
-        in_range = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
-        row = jnp.where(in_range, tgt, n_shards)
-        ccol = jnp.clip(col - r * cap, 0, cap - 1)
-        buf = jnp.zeros((n_shards, nplanes, cap), U32)
-        for p_i, p in enumerate(sp):
-            buf = buf.at[row, p_i, ccol].set(p, mode="drop")
-        buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
-        received = [buf[:, p_i, :].reshape(-1) for p_i in range(nplanes)]
-        return insert_fn(carry, *received)
-
-    carry = jax.lax.fori_loop(0, rounds, body, carry)
-    return carry, jnp.maximum(rounds - 1, 0).astype(jnp.int32), overflow
+# shared exchange machinery lives in parallel/exchange.py (one abstraction
+# for the count step AND the distributed traversal, like the reference's
+# single ThreeTierAggrStore)
+_round_exchange = exchange.round_exchange
 
 
 def _insert_from_buffers(table: ShardTable, hi, lo, meta, k: int) -> ShardTable:
@@ -535,19 +496,12 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
 
         # sort runs by destination once; rounds peel cap-sized windows
         run_ok = idx < n_runs
-        key = jnp.where(run_ok, run_tgt, n_shards)
-        order = jnp.argsort(key)
-        tgt = key[order]
-        bounds = jnp.searchsorted(tgt, jnp.arange(n_shards + 1, dtype=tgt.dtype))
-        col = idx - bounds[jnp.clip(tgt, 0, n_shards - 1)].astype(jnp.int32)
-        max_dest = jnp.max(bounds[1:] - bounds[:-1]).astype(jnp.int32)
         cap = exchange_cap
-        rounds = jax.lax.pmax((max_dest + cap - 1) // cap, "sh")
-        if max_rounds:
-            rounds = jnp.minimum(rounds, max_rounds)
+        order, tgt, col, rounds, lost = exchange.sorted_dest(
+            run_tgt, run_ok, n_shards, cap, max_rounds
+        )
         # overflow counts LOST K-MERS (records), not runs
         sorted_len = run_len[order]
-        lost = (col >= rounds * cap) & (tgt < n_shards)
         overflow = jnp.sum(jnp.where(lost, sorted_len, 0)).astype(jnp.int32)
 
         codes_g = jnp.where(codes >= 4, 2, codes).astype(jnp.uint32).reshape(-1)

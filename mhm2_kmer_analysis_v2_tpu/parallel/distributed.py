@@ -50,14 +50,21 @@ def maybe_initialize() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
-def my_read_block(fname: str, paired: bool) -> list:
-    """This process's records of `fname` (whole file when single-process)."""
-    from ..io.fastq import read_fastq, read_fastq_block
+def my_read_block(fname: str, paired: bool):
+    """Iterable of this process's records of `fname` (the whole file when
+    single-process — streamed, never materialized: reference-scale inputs are
+    tens of GB and the old read_fastq() list OOM'd the host)."""
+    from ..io.fastq import FastqReader, read_fastq_block
 
     rank, n = jax.process_index(), jax.process_count()
     if n == 1:
-        return read_fastq(fname)
-    return read_fastq_block(fname, rank, n, pair_aware=paired)
+        rdr = FastqReader(fname)
+        try:
+            yield from rdr
+        finally:
+            rdr.close()
+        return
+    yield from read_fastq_block(fname, rank, n, pair_aware=paired)
 
 
 def allsum(x: int) -> int:
@@ -155,14 +162,6 @@ def local_shard_items(arr):
         rows = data.shape[0]
         for r in range(rows):
             yield start + r, data[r]
-
-
-def my_shard_ids(n_shards: int) -> list:
-    """Shard ids owned by this process under the canonical Mesh(jax.devices())
-    layout (devices ordered by process)."""
-    rank, n = jax.process_index(), jax.process_count()
-    per = n_shards // n
-    return list(range(rank * per, (rank + 1) * per))
 
 
 def gather_concat(x: np.ndarray) -> np.ndarray:

@@ -92,25 +92,48 @@ def _prefetched(items, fn, depth: int):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     DONE = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up when the consumer is gone, so an
+        # exception in the consumer (e.g. device OOM mid-step) can't leave
+        # the feed thread blocked forever holding staged batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for it in items:
-                q.put(fn(it))
-            q.put(DONE)
+                if not put(fn(it)):
+                    return
+            put(DONE)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drop any staged batches so their host/device memory is released
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join()
 
 
 def load_reads(options: Options) -> PackedReads:
@@ -624,13 +647,19 @@ def run_pipeline(options: Options) -> list:
         slog("Contig generation k = ", k)
         if k in completed_ks:
             uutigs_path = os.path.join(options.output_dir, f"uutigs-{k}.fasta")
-            if os.path.exists(uutigs_path):
+            prev_res = _load_round_result(options.output_dir, k)
+            if os.path.exists(uutigs_path) and prev_res is not None:
                 slog("Restart: skipping completed contig round k = ", k)
                 if options.ctg_kmers:
                     prev_ctgs = _load_uutigs_fasta(uutigs_path)
+                # the skipped round still contributes its row to the CSV /
+                # log contract, and the depth carryover must match the
+                # original run (adjust_config_option, src/main.cpp:227-229)
+                results.append(prev_res)
+                options.sequencing_depth = max(int(prev_res.avg_kmer_count), 1)
                 continue
-            slog("Restart: round k = ", k, " marked complete but ",
-                 uutigs_path, " is missing; re-running it")
+            slog("Restart: round k = ", k, " marked complete but its "
+                 "artifacts (uutigs/result sidecar) are missing; re-running it")
         res, fin, n_shards = analyze_kmers(pr, k, options, prev_ctgs=prev_ctgs)
         if options.dump_kmers:
             dump_kmers(fin, k, options.output_dir, n_shards)
@@ -648,6 +677,8 @@ def run_pipeline(options: Options) -> list:
         if rank == 0:
             options.write_config_file()
         results.append(res)
+        if rank == 0:
+            _save_round_result(options.output_dir, res)
         slog("Completed contig round k = ", k)
         log_mem(f"after contig round k={k}")
     elapsed = time.time() - t0
@@ -730,6 +761,33 @@ def _completed_rounds(options: Options) -> set:
                 except (ValueError, IndexError):
                     pass
     return ks
+
+
+def _round_result_path(output_dir: str, k: int) -> str:
+    return os.path.join(output_dir, f"round-{k}-result.json")
+
+
+def _save_round_result(output_dir: str, res: AnalysisResult):
+    """Per-round result sidecar: lets --restart reconstruct the skipped
+    round's CSV row and depth carryover instead of silently omitting them."""
+    import dataclasses
+    import json
+
+    with open(_round_result_path(output_dir, res.k), "w") as f:
+        json.dump(dataclasses.asdict(res), f)
+
+
+def _load_round_result(output_dir: str, k: int):
+    import json
+
+    path = _round_result_path(output_dir, k)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return AnalysisResult(**json.load(f))
+    except (ValueError, TypeError):
+        return None
 
 
 def _load_uutigs_fasta(path: str) -> list:

@@ -472,7 +472,9 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
         cur = counts[gslot]
         cur_ctg = (cur & CTG_BIT) != 0
         ext_raw = extc.reshape(-1, 9)[gslot]
-        derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+        # keep int32: under x64 jnp.sum promotes, and an int64 new_cnt would
+        # hit the deprecated unsafe-cast scatter into the int32 counts array
+        derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
         cur_cnt = jnp.minimum(
             jnp.where(cur_ctg, cur & (CTG_BIT - 1), derived), UINT16_MAX
         )
@@ -579,7 +581,7 @@ def _finalize_jit(table: ShardTable, dmin_lut: jax.Array) -> FinalizedShard:
     ext_raw = table.extc.reshape(-1, 9)
     # read-entry counts = sum of the five left buckets; ctg-pass overwrites
     # carry their depth in the counts word (CTG_BIT flag)
-    derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+    derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
     is_ctg = (table.counts & CTG_BIT) != 0
     counts = jnp.minimum(
         jnp.where(is_ctg, table.counts & (CTG_BIT - 1), derived), UINT16_MAX

@@ -307,7 +307,9 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
         cur = counts[gslot]
         cur_ctg = (cur & CTG_BIT) != 0
         ext_raw = extc.reshape(-1, 9)[gslot]
-        derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+        # keep int32: under x64 jnp.sum promotes, and an int64 new_cnt would
+        # hit the deprecated unsafe-cast scatter into the int32 counts array
+        derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
         cur_cnt = jnp.minimum(
             jnp.where(cur_ctg, cur & (CTG_BIT - 1), derived), st.UINT16_MAX
         )
@@ -369,7 +371,7 @@ def _finalize_mw_jit(table: MWShardTable, dmin_lut: jax.Array) -> FinalizedMW:
     ext_raw = table.extc.reshape(-1, 9)
     # read-entry counts derive from the five left buckets; ctg-pass entries
     # (insert_ctg_batch_mw) carry their depth in the counts word
-    derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
+    derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
     is_ctg = (table.counts & st.CTG_BIT) != 0
     counts = jnp.minimum(
         jnp.where(is_ctg, table.counts & (st.CTG_BIT - 1), derived),

@@ -26,6 +26,39 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _run_scalars(run_dir: str, k: int):
+    """(unique, total) the run recorded for round k: the round-<k>-result.json
+    sidecar when present, else the proxy_results_summary.csv row whose
+    position matches k's index in the run config's kmer_lens (the CSV has one
+    row per round, in kmer_lens order, with no k column)."""
+    import json
+
+    sidecar = os.path.join(run_dir, f"round-{k}-result.json")
+    if os.path.exists(sidecar):
+        d = json.load(open(sidecar))
+        return int(d["unique_kmers"]), int(d["total_kmer_count_sum"])
+    csv = os.path.join(run_dir, "proxy_results_summary.csv")
+    if not os.path.exists(csv):
+        return None
+    lines = open(csv).read().splitlines()
+    if len(lines) < 2:
+        return None
+    hdr, rows = lines[0].split(","), lines[1:]
+    idx = 0
+    cfg = os.path.join(run_dir, "mhm2.config")
+    if os.path.exists(cfg):
+        klens = json.load(open(cfg)).get("kmer_lens", [])
+        if k in klens:
+            idx = klens.index(k)
+        elif len(rows) > 1:
+            print(f"warning: k={k} not in run config kmer_lens {klens}; "
+                  "using the first CSV row")
+    if idx >= len(rows):
+        return None
+    rec = dict(zip(hdr, rows[idx].split(",")))
+    return int(rec["Unique kmers"]), int(rec["Total kmers"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
@@ -54,16 +87,15 @@ def main():
 
     failures = 0
 
-    csv = os.path.join(args.run_dir, "proxy_results_summary.csv")
-    if os.path.exists(csv):
-        hdr, row = open(csv).read().splitlines()[:2]
-        rec = dict(zip(hdr.split(","), row.split(",")))
-        got_u, got_t = int(rec["Unique kmers"]), int(rec["Total kmers"])
+    got_ut = _run_scalars(args.run_dir, args.k)
+    if got_ut is not None:
+        got_u, got_t = got_ut
         ok = (got_u, got_t) == (uniq, total)
         failures += not ok
-        print(f"csv: unique={got_u} total={got_t} -> {'OK' if ok else 'MISMATCH'}")
+        print(f"run record (k={args.k}): unique={got_u} total={got_t} "
+              f"-> {'OK' if ok else 'MISMATCH'}")
     else:
-        print("csv: not found (skipped)")
+        print("run record: not found (skipped)")
 
     dumps = sorted(glob.glob(os.path.join(
         args.run_dir, "per_rank", f"kmers-{args.k}.txt.gz*")))

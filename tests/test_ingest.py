@@ -143,3 +143,53 @@ def test_add_batch_rejects_illegal_base():
     pr = PackedReads()
     with pytest.raises(ValueError, match="bad/1"):
         pr.add_batch(["ok/1", "bad/1"], ["ACGT", "AC!T"], ["IIII", "IIII"])
+
+
+def test_add_batch_rejects_per_read_length_mismatch():
+    """COMPENSATING mismatches (equal chunk totals) must still be rejected —
+    they would silently shift every later read's quality bytes."""
+    import pytest
+
+    pr = PackedReads()
+    with pytest.raises(ValueError, match="short/1"):
+        pr.add_batch(
+            ["short/1", "long/1"],
+            ["AC", "ACGT"],
+            ["IIII", "II"],  # totals match (6 == 6), per-read lengths do not
+        )
+    assert len(pr) == 0
+
+
+def test_prefetched_consumer_abort_stops_feed_thread():
+    """An exception in the consumer must not leave the feed thread blocked
+    on a full queue holding staged batches (resource leak on device OOM)."""
+    import threading
+    import time as _time
+
+    from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import _prefetched
+
+    started = threading.active_count()
+    gen = _prefetched(range(100), lambda x: x, depth=2)
+    got = [next(gen), next(gen)]
+    assert got == [0, 1]
+    gen.close()  # consumer dies mid-iteration (the step-raised case)
+    for _ in range(100):  # feed thread should exit promptly
+        if threading.active_count() <= started:
+            break
+        _time.sleep(0.05)
+    assert threading.active_count() <= started
+
+
+def test_prefetched_propagates_worker_exception():
+    from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import _prefetched
+
+    import pytest
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("staged failure")
+        return x
+
+    gen = _prefetched(range(10), boom, depth=2)
+    with pytest.raises(RuntimeError, match="staged failure"):
+        list(gen)

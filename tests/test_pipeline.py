@@ -114,14 +114,22 @@ def test_checkpoint_restart_skips_completed_rounds(tmp_path):
     r2 = run_pipeline(Options(
         output_dir=out, kmer_lens=[21, 33], checkpoint=True, restart=True,
         **base))
-    # restart ran ONLY k=33
-    assert [r.k for r in r2] == [33]
-    assert r2[0].unique_kmers == r_full[1].unique_kmers
-    assert r2[0].total_kmer_count_sum == r_full[1].total_kmer_count_sum
+    # restart SKIPPED k=21 but still reports it (reconstructed from the
+    # round-21-result.json sidecar, so the CSV/log contract covers the full
+    # multi-k run), and ran only k=33
+    assert [r.k for r in r2] == [21, 33]
+    assert r2[0].unique_kmers == r1[0].unique_kmers
+    assert r2[0].total_kmer_count_sum == r1[0].total_kmer_count_sum
+    assert r2[1].unique_kmers == r_full[1].unique_kmers
+    assert r2[1].total_kmer_count_sum == r_full[1].total_kmer_count_sum
     log = open(os.path.join(out, "mhm2.log")).read()
     assert "skipping completed contig round k = 21" in log
     # restart also skipped the merge via the merged-read checkpoint
     assert "Restart: loading merged reads" in log
+    # the rewritten CSV keeps one row per round, k=21's row intact
+    csv_rows = open(os.path.join(out, "proxy_results_summary.csv")).read().splitlines()
+    assert len(csv_rows) == 3  # header + 2 rounds
+    assert csv_rows[1].split(",")[1] == str(r1[0].unique_kmers)
 
 
 def test_table_sizing_and_budget_clamp():
