@@ -309,6 +309,11 @@ def analyze_kmers(
     # collective-ordering point and must interleave identically on every
     # process with the step launches
     prefetch = 2 if n_proc == 1 else 0
+    # MHM2_TPU_HLO_COMM=1 cross-checks the formula bookkeeping against the
+    # compiled program (the GASNET_STATSFILE-style env activation,
+    # src/main.cpp:414-420): capture arg shapes once, report after the loop
+    hlo_args = None
+    want_hlo = bool(os.environ.get("MHM2_TPU_HLO_COMM"))
     for n_real, nbytes, dev_args in _prefetched(host_batches(), stage, prefetch):
         if options.show_progress and total_reads:
             pct = 100 * num_reads // total_reads
@@ -316,7 +321,19 @@ def analyze_kmers(
         num_reads += n_real
         comm_stats.add_h2d(nbytes)
         comm_stats.add_collective(a2a_bytes, 3 if n_shards > 1 else 0)
+        if want_hlo and hlo_args is None:
+            hlo_args = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                (state,) + tuple(dev_args),
+            )
         state = step(state, *dev_args)
+    if hlo_args is not None:
+        from ..utils.comm_stats import hlo_report
+
+        # same shapes as the executed step: compile is a cache hit (in-process
+        # or the persistent compilation cache), so this only re-traces
+        txt = step.lower(*hlo_args).compile().as_text()
+        slog_verbose(hlo_report(txt, f"count step k={k}"))
     if options.show_progress:
         print("\rProcessing reads to count kmers: 100%")
     num_reads = dist.allsum(num_reads)

@@ -261,3 +261,37 @@ def test_pipeline_wire_flag_equivalence(tmp_path):
     r_rec = run_pipeline(Options(output_dir=str(tmp_path / "rec"), wire="record", **base))
     assert r_sm[0].unique_kmers == r_rec[0].unique_kmers
     assert r_sm[0].total_kmer_count_sum == r_rec[0].total_kmer_count_sum
+
+
+def test_hlo_collective_bytes_matches_formula():
+    """The compiled count step's all_to_all shapes (parsed from HLO) must
+    agree with the formula bookkeeping in pipeline/analysis.py — a regression
+    that changes the exchange wire shape shows up here."""
+    from mhm2_kmer_analysis_v2_tpu.utils.comm_stats import hlo_collective_bytes
+
+    n_shards, k, cap, rows, max_len = 8, 21, 256, 8, 64
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    state = cs.create_sharded(n_shards, 1 << 10, mesh=mesh)
+    step = cs.make_count_step(mesh, k=k, exchange_cap=cap)
+    sharding = NamedSharding(mesh, P("sh"))
+    b = encode_batch(["A" * max_len] * rows, ["I" * max_len] * rows,
+                     max_len=max_len, pad_to=rows)
+    args = (
+        jax.device_put(b.codes, sharding),
+        jax.device_put(b.badq, sharding),
+        jax.device_put(b.lengths, sharding),
+    )
+    sds = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        (state,) + args,
+    )
+    txt = step.lower(*sds).compile().as_text()
+    per = hlo_collective_bytes(txt)
+    a2a = {op: v for op, v in per.items() if op.startswith("all-to-all")}
+    assert a2a, f"no all-to-all in compiled HLO: {sorted(per)}"
+    (calls, nbytes), = a2a.values()
+    # one static instance (inside the spill-round loop); per-device buffer is
+    # [n_shards, 3 planes, cap] u32 -> formula bytes / n_shards devices
+    formula_global = 3 * n_shards * n_shards * cap * 4
+    assert calls == 1
+    assert nbytes == formula_global // n_shards, (nbytes, formula_global)
