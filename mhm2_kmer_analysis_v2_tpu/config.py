@@ -38,6 +38,12 @@ class Options:
     use_qf: bool = False
     sequencing_depth: int = 4  # src/options.hpp:103
     optimize_for: str = "default"
+    # --pin: cpu | core | numa | rr_numa | none; default numa like
+    # src/options.hpp:94, MHM2_PIN env overrides (src/options.cpp:332)
+    pin_by: str = "numa"
+    # OpenMP threads for the native merge kernel (--max-worker-threads,
+    # src/options.cpp:329-331); 0 = library default
+    max_worker_threads: int = 0
     restart: bool = False
     # contig-kmer carryover between k rounds (the add_ctg_kmers stage the
     # reference proxy keeps commented out; off by default for proxy parity)
@@ -96,6 +102,18 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--max-rpcs-in-flight", type=int, default=100)
     p.add_argument("--subsample-pct", type=int, default=100)
     p.add_argument("--sequencing-depth", type=int, default=4)
+    p.add_argument("--optimize", choices=["default", "contiguity", "correctness"],
+                   default="default",
+                   help="contiguity uses blastn-scored adapter alignment "
+                        "(src/options.cpp:316-320)")
+    # env default like src/options.cpp:332
+    p.add_argument("--pin", choices=["cpu", "core", "numa", "rr_numa", "none"],
+                   default=os.environ.get("MHM2_PIN", "numa"),
+                   help="restrict the process to logical CPUs, cores, or NUMA "
+                        "domains (src/main.cpp:92-104)")
+    p.add_argument("--max-worker-threads", type=int, default=0,
+                   help="OpenMP threads for the native merge kernel "
+                        "(0 = library default)")
     p.add_argument("--dump-kmers", action="store_true")
     p.add_argument("--dump-merged", action="store_true")
     p.add_argument("--checkpoint", action="store_true")
@@ -163,6 +181,9 @@ def parse_args(argv=None) -> Options:
         wire=a.wire,
         xprof_dir=a.xprof,
         sequencing_depth=a.sequencing_depth,
+        optimize_for=a.optimize,
+        pin_by=a.pin,
+        max_worker_threads=a.max_worker_threads,
         batch_reads=a.batch_reads,
         n_devices=a.n_devices,
     )

@@ -639,6 +639,13 @@ def run_pipeline(options: Options) -> list:
     from ..utils.memory import MemoryTracker, log_mem
 
     init_logger(options.output_dir, options.verbose)
+    # affinity + worker-thread knobs before any heavy host work
+    # (set_process_affinity / set_thread_pool, src/main.cpp:443-447)
+    from ..utils.affinity import set_process_affinity
+
+    set_process_affinity(getattr(options, "pin_by", "none"), rank, n_proc)
+    if getattr(options, "max_worker_threads", 0):
+        os.environ["OMP_NUM_THREADS"] = str(options.max_worker_threads)
     if rank == 0:
         options.write_config_file()
     dist.barrier("startup")

@@ -158,3 +158,43 @@ def test_point_queries_sharded():
     for v, c in zip(some, got[:30]):
         assert c == oc.table[v].count
     assert got[30] == 0
+
+
+def test_affinity_cpulist_parse_and_pin_restore():
+    """--pin analogue (set_process_affinity, src/main.cpp:92-104): cpu mode
+    restricts the mask to this rank's even share; none is a no-op."""
+    import os
+
+    from mhm2_kmer_analysis_v2_tpu.utils.affinity import (
+        _core_groups, _numa_domains, _parse_cpulist, set_process_affinity)
+
+    assert _parse_cpulist("0-3,8,10-11") == [0, 1, 2, 3, 8, 10, 11]
+    assert _parse_cpulist("5") == [5]
+    assert _parse_cpulist("") == []
+
+    domains = _numa_domains()
+    assert domains and all(d for d in domains)
+    avail = sorted(os.sched_getaffinity(0))
+    groups = _core_groups(avail)
+    assert sorted(c for g in groups for c in g) == avail
+
+    before = os.sched_getaffinity(0)
+    try:
+        set_process_affinity("none")
+        assert os.sched_getaffinity(0) == before
+        if len(avail) >= 2:
+            set_process_affinity("cpu", rank=0, local_n=2)
+            got = sorted(os.sched_getaffinity(0))
+            assert got == avail[: len(avail) // 2]
+    finally:
+        os.sched_setaffinity(0, before)
+
+
+def test_cli_pin_and_optimize_flags():
+    from mhm2_kmer_analysis_v2_tpu.config import parse_args
+
+    o = parse_args(["-r", "x.fastq", "--pin", "none",
+                    "--optimize", "contiguity", "--max-worker-threads", "2"])
+    assert o.pin_by == "none"
+    assert o.optimize_for == "contiguity"
+    assert o.max_worker_threads == 2
