@@ -198,3 +198,33 @@ def test_cli_pin_and_optimize_flags():
     assert o.pin_by == "none"
     assert o.optimize_for == "contiguity"
     assert o.max_worker_threads == 2
+
+
+def test_point_queries_sharded_multiword():
+    """Routed point queries for k > 32 (MW tables): the KmerDHT RPC get
+    analogue must work for every MAX_K like the reference's template."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mhm2_kmer_analysis_v2_tpu.parallel import count_step as cs
+    from mhm2_kmer_analysis_v2_tpu.oracle import val_to_kmer
+
+    k = 33
+    n_shards = 4
+    reads = genome_reads(48, 70, genome_len=300, seed=19)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    state = cs.create_sharded_mw(n_shards, 1 << 13, k, mesh=mesh)
+    step = cs.make_count_step_mw(mesh, k=k, exchange_cap=b.codes.size)
+    sharding = NamedSharding(mesh, P("sh"))
+    state = step(state, jax.device_put(b.codes, sharding),
+                 jax.device_put(b.badq, sharding), jax.device_put(b.lengths, sharding))
+
+    from util import oracle_count as _oc
+
+    oc = _oc(reads, k)
+    some = sorted(oc.table)[:30]
+    kmers = [val_to_kmer(v, k) for v in some] + ["C" * k]
+    got = query.get_kmer_counts_sharded(state, kmers, k, n_shards)
+    for v, c in zip(some, got[:30]):
+        assert c == oc.table[v].count
+    assert got[30] == 0
