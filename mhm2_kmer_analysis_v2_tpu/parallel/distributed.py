@@ -47,6 +47,21 @@ def maybe_initialize() -> tuple[int, int]:
                     "COORDINATOR_ADDRESS is set but jax.distributed could not "
                     "initialize (was a device accessed before run_pipeline?)"
                 ) from e
+    elif int(os.environ.get("SLURM_NTASKS", "1")) > 1 or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        # scheduler-launched multi-process job: JAX's cluster auto-detection
+        # reads the SLURM / TPU-pod topology itself — the analogue of the
+        # reference launcher's scheduler detection (src/mhm2.py:110-341),
+        # owned by the runtime instead of the spawn script
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            if jax.process_count() == 1:
+                raise RuntimeError(
+                    "multi-task scheduler environment detected but "
+                    "jax.distributed could not initialize"
+                ) from e
     return jax.process_index(), jax.process_count()
 
 

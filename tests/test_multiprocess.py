@@ -118,3 +118,25 @@ def test_two_process_run_matches_single_process(tmp_path):
     log0 = logs[0] + logs[1]
     assert "Multi-process run: 2 processes" in log0
     assert "balance across processes" in log0
+
+
+def test_maybe_initialize_scheduler_autodetect(monkeypatch):
+    """SLURM-style env triggers the no-arg jax.distributed.initialize
+    (scheduler detection, the src/mhm2.py:110-341 analogue)."""
+    import jax
+
+    from mhm2_kmer_analysis_v2_tpu.parallel import distributed as dist
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **kw: calls.append((a, kw)))
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    dist.maybe_initialize()
+    assert calls == [((), {})]
+
+    # single-task SLURM job: no init attempt
+    calls.clear()
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    dist.maybe_initialize()
+    assert calls == []
