@@ -419,6 +419,146 @@ def _supermer_words(k: int, max_run: int) -> tuple:
     return (-(-bases // 16), -(-bases // 32), bases)
 
 
+def _supermer_rounds(codes, badq, lengths, *, k, m, max_run, n_shards, cap,
+                     max_rounds, insert_fn, carry):
+    """The supermer wire's per-device machinery with a pluggable receiver:
+    build owner runs, exchange packed windows in spill rounds, re-extract
+    k-mer records on the receiver, and feed
+    insert_fn(carry, hi, lo, left, right, cnt, valid) -> carry.
+
+    Returns (carry, spill_rounds, overflow).  Shared by the plain table and
+    --use-qf steps (the reference ships Supermers regardless of backend,
+    src/kcount/kmer_dht.cpp:247-250).
+    """
+    BW, MW, SB = _supermer_words(k, max_run)
+    B, L = codes.shape
+    recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
+    target = recs["target"]
+    valid = recs["valid"]
+    R = B * L
+    flat_t = target.reshape(-1)
+    flat_v = valid.reshape(-1)
+    pos_in_row = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).reshape(-1)
+
+    prev_v = jnp.roll(flat_v, 1).at[0].set(False)
+    prev_t = jnp.roll(flat_t, 1)
+    # rows never chain: the last positions of a row are always invalid
+    # (valid <= len-k-1), so ~prev_v triggers at every row boundary
+    new_run = flat_v & (~prev_v | (prev_t != flat_t) | (pos_in_row == 1))
+    # forced split every max_run positions within a run
+    idx = jnp.arange(R, dtype=jnp.int32)
+    run_start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_run, idx, -1)
+    )
+    within = idx - run_start_idx
+    forced = flat_v & (within > 0) & (within % max_run == 0)
+    start = new_run | forced
+    # recompute run start indices including forced splits
+    run_start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(start, idx, -1)
+    )
+    run_len_max = jnp.where(flat_v, idx - run_start_idx + 1, 0)
+
+    # per-run arrays, R-sized (every run covers >= 1 position so the run
+    # count is bounded by R); run id = rank of the run's start position
+    run_slot_of_pos = jnp.cumsum(start.astype(jnp.int32)) - 1
+    run_slot_of_pos = jnp.where(flat_v, run_slot_of_pos, R)
+    n_runs = jnp.sum(start).astype(jnp.int32)
+    run_len = jnp.zeros((R,), jnp.int32).at[run_slot_of_pos].max(
+        run_len_max, mode="drop"
+    )
+    run_len = jnp.minimum(run_len, max_run)
+    slot_of_start = jnp.where(start, run_slot_of_pos, R)
+    run_start = jnp.zeros((R,), jnp.int32).at[slot_of_start].set(idx, mode="drop")
+    run_tgt = jnp.full((R,), n_shards, jnp.int32).at[slot_of_start].set(
+        flat_t.astype(jnp.int32), mode="drop"
+    )
+
+    # sort runs by destination once; rounds peel cap-sized windows
+    run_ok = idx < n_runs
+    order, tgt, col, rounds, lost = exchange.sorted_dest(
+        run_tgt, run_ok, n_shards, cap, max_rounds
+    )
+    # overflow counts LOST K-MERS (records), not runs
+    sorted_len = run_len[order]
+    overflow = jnp.sum(jnp.where(lost, sorted_len, 0)).astype(jnp.int32)
+
+    codes_g = jnp.where(codes >= 4, 2, codes).astype(jnp.uint32).reshape(-1)
+    ext_inv = (badq | (codes >= 4)).reshape(-1)
+    offs = jnp.arange(SB, dtype=jnp.int32)
+    word_of = offs // 16
+    shift_of = (offs % 16) * 2
+    mword_of = offs // 32
+    mshift = offs % 32
+    Scap = n_shards * cap  # per-round compact window count
+    Wn = BW + MW + 1
+
+    def body(r, local):
+        in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
+        sel = jnp.nonzero(in_r, size=Scap, fill_value=R)[0]
+        ok = sel < R
+        sel_c = jnp.clip(sel, 0, R - 1)
+        rid = order[sel_c]
+        s_start = run_start[rid]
+        s_len = jnp.where(ok, run_len[rid], 0)
+        s_row = jnp.where(ok, tgt[sel_c], n_shards)
+        s_col = jnp.clip(col[sel_c] - r * cap, 0, cap - 1)
+
+        # gather + pack base windows (start-1 .. start-1+SB)
+        row_of = s_start // L
+        col0 = (s_start % L) - 1
+        gcols = jnp.clip(col0[:, None] + offs[None, :], 0, L - 1)
+        gidx = row_of[:, None] * L + gcols
+        win_codes = codes_g[gidx]  # [Scap, SB]
+        win_inv = ext_inv[gidx]
+        # pack: base j -> word j//16, bits 2*(j%16) (little-endian in word)
+        bwords = []
+        for w in range(BW):
+            selw = word_of == w
+            vals = jnp.where(selw[None, :], win_codes << shift_of[None, :].astype(jnp.uint32), 0)
+            bwords.append(jnp.sum(vals, axis=1, dtype=jnp.uint32))
+        mwords = []
+        for w in range(MW):
+            selw = mword_of == w
+            vals = jnp.where(selw[None, :] & win_inv, jnp.uint32(1) << mshift[None, :].astype(jnp.uint32), 0)
+            mwords.append(jnp.sum(vals, axis=1, dtype=jnp.uint32))
+        meta = jnp.where(ok, s_len | (1 << 8), 0)  # count=1 in bits 8+
+        planes = jnp.stack(bwords + mwords + [meta.astype(jnp.uint32)], axis=0)
+
+        buf = jnp.zeros((n_shards, Wn, cap), jnp.uint32)
+        for w in range(Wn):
+            buf = buf.at[s_row, w, s_col].set(planes[w], mode="drop")
+        buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
+
+        # receiver: unpack supermers into windows, re-extract k-mers, insert
+        rS = n_shards * cap
+        rplanes = buf.transpose(1, 0, 2).reshape(Wn, rS)
+        rmeta = rplanes[Wn - 1]
+        rlen = (rmeta & 0xFF).astype(jnp.int32)
+        rcount = (rmeta >> 8).astype(jnp.int32)
+        rb = [rplanes[w] for w in range(BW)]
+        rm = [rplanes[BW + w] for w in range(MW)]
+        base_cols, inv_cols = [], []
+        for j in range(SB):
+            w, sh = j // 16, (j % 16) * 2
+            base_cols.append(((rb[w] >> jnp.uint32(sh)) & jnp.uint32(3)).astype(jnp.int32))
+            mw_, msh = j // 32, j % 32
+            inv_cols.append(((rm[mw_] >> jnp.uint32(msh)) & jnp.uint32(1)).astype(bool))
+        rcodes = jnp.stack(base_cols, axis=1)  # [rS, SB]
+        rinv = jnp.stack(inv_cols, axis=1)
+        rlengths = jnp.where(rlen > 0, rlen + k + 1, 0)
+        sub = kmer_records(rcodes, rinv, rlengths, k=k, n_shards=1)
+        fl = {kk: v.reshape(-1) for kk, v in sub.items()}
+        cnt = jnp.repeat(rcount, SB)
+        return insert_fn(
+            local, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
+            cnt, fl["valid"] & (cnt > 0),
+        )
+
+    carry = jax.lax.fori_loop(0, rounds, body, carry)
+    return carry, jnp.maximum(rounds - 1, 0).astype(jnp.int32), overflow
+
+
 @_memo
 def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
                              m: int | None = None, max_run: int = 16,
@@ -448,136 +588,18 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
     """
     n_shards = mesh.shape["sh"]
     assert n_shards > 1, "supermer exchange only makes sense with >1 shard"
-    BW, MW, SB = _supermer_words(k, max_run)
 
     def per_device(state: ShardedState, codes, badq, lengths):
-        B, L = codes.shape
-        recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
-        target = recs["target"]
-        valid = recs["valid"]
-        R = B * L
-        flat_t = target.reshape(-1)
-        flat_v = valid.reshape(-1)
-        pos_in_row = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).reshape(-1)
-
-        prev_v = jnp.roll(flat_v, 1).at[0].set(False)
-        prev_t = jnp.roll(flat_t, 1)
-        # rows never chain: the last positions of a row are always invalid
-        # (valid <= len-k-1), so ~prev_v triggers at every row boundary
-        new_run = flat_v & (~prev_v | (prev_t != flat_t) | (pos_in_row == 1))
-        # forced split every max_run positions within a run
-        idx = jnp.arange(R, dtype=jnp.int32)
-        run_start_idx = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(new_run, idx, -1)
-        )
-        within = idx - run_start_idx
-        forced = flat_v & (within > 0) & (within % max_run == 0)
-        start = new_run | forced
-        # recompute run start indices including forced splits
-        run_start_idx = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(start, idx, -1)
-        )
-        run_len_max = jnp.where(flat_v, idx - run_start_idx + 1, 0)
-
-        # per-run arrays, R-sized (every run covers >= 1 position so the run
-        # count is bounded by R); run id = rank of the run's start position
-        run_slot_of_pos = jnp.cumsum(start.astype(jnp.int32)) - 1
-        run_slot_of_pos = jnp.where(flat_v, run_slot_of_pos, R)
-        n_runs = jnp.sum(start).astype(jnp.int32)
-        run_len = jnp.zeros((R,), jnp.int32).at[run_slot_of_pos].max(
-            run_len_max, mode="drop"
-        )
-        run_len = jnp.minimum(run_len, max_run)
-        slot_of_start = jnp.where(start, run_slot_of_pos, R)
-        run_start = jnp.zeros((R,), jnp.int32).at[slot_of_start].set(idx, mode="drop")
-        run_tgt = jnp.full((R,), n_shards, jnp.int32).at[slot_of_start].set(
-            flat_t.astype(jnp.int32), mode="drop"
-        )
-
-        # sort runs by destination once; rounds peel cap-sized windows
-        run_ok = idx < n_runs
-        cap = exchange_cap
-        order, tgt, col, rounds, lost = exchange.sorted_dest(
-            run_tgt, run_ok, n_shards, cap, max_rounds
-        )
-        # overflow counts LOST K-MERS (records), not runs
-        sorted_len = run_len[order]
-        overflow = jnp.sum(jnp.where(lost, sorted_len, 0)).astype(jnp.int32)
-
-        codes_g = jnp.where(codes >= 4, 2, codes).astype(jnp.uint32).reshape(-1)
-        ext_inv = (badq | (codes >= 4)).reshape(-1)
-        offs = jnp.arange(SB, dtype=jnp.int32)
-        word_of = offs // 16
-        shift_of = (offs % 16) * 2
-        mword_of = offs // 32
-        mshift = offs % 32
-        Scap = n_shards * cap  # per-round compact window count
-        Wn = BW + MW + 1
-
-        def body(r, local):
-            in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
-            sel = jnp.nonzero(in_r, size=Scap, fill_value=R)[0]
-            ok = sel < R
-            sel_c = jnp.clip(sel, 0, R - 1)
-            rid = order[sel_c]
-            s_start = run_start[rid]
-            s_len = jnp.where(ok, run_len[rid], 0)
-            s_row = jnp.where(ok, tgt[sel_c], n_shards)
-            s_col = jnp.clip(col[sel_c] - r * cap, 0, cap - 1)
-
-            # gather + pack base windows (start-1 .. start-1+SB)
-            row_of = s_start // L
-            col0 = (s_start % L) - 1
-            gcols = jnp.clip(col0[:, None] + offs[None, :], 0, L - 1)
-            gidx = row_of[:, None] * L + gcols
-            win_codes = codes_g[gidx]  # [Scap, SB]
-            win_inv = ext_inv[gidx]
-            # pack: base j -> word j//16, bits 2*(j%16) (little-endian in word)
-            bwords = []
-            for w in range(BW):
-                selw = word_of == w
-                vals = jnp.where(selw[None, :], win_codes << shift_of[None, :].astype(jnp.uint32), 0)
-                bwords.append(jnp.sum(vals, axis=1, dtype=jnp.uint32))
-            mwords = []
-            for w in range(MW):
-                selw = mword_of == w
-                vals = jnp.where(selw[None, :] & win_inv, jnp.uint32(1) << mshift[None, :].astype(jnp.uint32), 0)
-                mwords.append(jnp.sum(vals, axis=1, dtype=jnp.uint32))
-            meta = jnp.where(ok, s_len | (1 << 8), 0)  # count=1 in bits 8+
-            planes = jnp.stack(bwords + mwords + [meta.astype(jnp.uint32)], axis=0)
-
-            buf = jnp.zeros((n_shards, Wn, cap), jnp.uint32)
-            for w in range(Wn):
-                buf = buf.at[s_row, w, s_col].set(planes[w], mode="drop")
-            buf = jax.lax.all_to_all(buf, "sh", 0, 0, tiled=True)
-
-            # receiver: unpack supermers into windows, re-extract k-mers, insert
-            rS = n_shards * cap
-            rplanes = buf.transpose(1, 0, 2).reshape(Wn, rS)
-            rmeta = rplanes[Wn - 1]
-            rlen = (rmeta & 0xFF).astype(jnp.int32)
-            rcount = (rmeta >> 8).astype(jnp.int32)
-            rb = [rplanes[w] for w in range(BW)]
-            rm = [rplanes[BW + w] for w in range(MW)]
-            base_cols, inv_cols = [], []
-            for j in range(SB):
-                w, sh = j // 16, (j % 16) * 2
-                base_cols.append(((rb[w] >> jnp.uint32(sh)) & jnp.uint32(3)).astype(jnp.int32))
-                mw_, msh = j // 32, j % 32
-                inv_cols.append(((rm[mw_] >> jnp.uint32(msh)) & jnp.uint32(1)).astype(bool))
-            rcodes = jnp.stack(base_cols, axis=1)  # [rS, SB]
-            rinv = jnp.stack(inv_cols, axis=1)
-            rlengths = jnp.where(rlen > 0, rlen + k + 1, 0)
-            sub = kmer_records(rcodes, rinv, rlengths, k=k, n_shards=1)
-            fl = {kk: v.reshape(-1) for kk, v in sub.items()}
-            cnt = jnp.repeat(rcount, SB)
+        def ins(local, hi, lo, left, right, cnt, valid):
             return shard_table.insert_batch(
-                local, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
-                cnt, fl["valid"] & (cnt > 0), full_hi_range=k >= 32,
+                local, hi, lo, left, right, cnt, valid, full_hi_range=k >= 32
             )
 
-        local = jax.lax.fori_loop(0, rounds, body, _local_table(state))
-        spill = jnp.maximum(rounds - 1, 0).astype(jnp.int32)
+        local, spill, overflow = _supermer_rounds(
+            codes, badq, lengths, k=k, m=m, max_run=max_run,
+            n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
+            insert_fn=ins, carry=_local_table(state),
+        )
         return ShardedState(
             keys_hi=local.keys_hi[None],
             keys_lo=local.keys_lo[None],
@@ -647,20 +669,37 @@ def create_sharded_qf(n_shards: int, max_elems_per_shard: int,
 
 @_memo
 def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
-                       max_rounds: int = 0):
-    """Sharded count step with singleton-filter offload (--use-qf)."""
+                       max_rounds: int = 0, supermers: bool = False):
+    """Sharded count step with singleton-filter offload (--use-qf).
+
+    `supermers` rides the compressed supermer wire like the plain-table step
+    (the reference ships Supermers regardless of backend/TCF mode,
+    src/kcount/kmer_dht.cpp:247-250)."""
     n_shards = mesh.shape["sh"]
 
     def per_device(state: QFShardedState, codes, badq, lengths):
-        recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
-        flat = {kk: v.reshape(-1) for kk, v in recs.items()}
-        cnt = jnp.ones_like(flat["left"])
-        meta = _pack_meta(flat["left"], flat["right"], cnt, flat["valid"])
         local = _local_table(state.table)
         filt = sf.SingletonFilter(
             fp=state.f_fp[0], meta=state.f_meta[0], claim=state.f_claim[0],
             num_stored=state.f_stored[0],
         )
+
+        if supermers and n_shards > 1:
+            def ins_sm(carry, hi, lo, left, right, cnt, valid):
+                tbl, flt = carry
+                return sf.insert_batch_qf(tbl, flt, hi, lo, left, right, cnt, valid)
+
+            (local, filt), spill, overflow = _supermer_rounds(
+                codes, badq, lengths, k=k, m=m, max_run=16,
+                n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
+                insert_fn=ins_sm, carry=(local, filt),
+            )
+            return _pack_qf_state(state, local, filt, spill, overflow)
+
+        recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
+        flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+        cnt = jnp.ones_like(flat["left"])
+        meta = _pack_meta(flat["left"], flat["right"], cnt, flat["valid"])
 
         def ins(carry, rhi, rlo, rmeta):
             tbl, flt = carry
@@ -679,23 +718,7 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
         else:
             spill = overflow = jnp.zeros((), jnp.int32)
             local, filt = ins((local, filt), flat["canon_hi"], flat["canon_lo"], meta)
-        base = ShardedState(
-            keys_hi=local.keys_hi[None],
-            keys_lo=local.keys_lo[None],
-            counts=local.counts[None],
-            extc=local.extc[None],
-            claim=local.claim[None],
-            num_dropped=local.num_dropped[None],
-            overflow=(state.table.overflow[0] + overflow)[None],
-            spill_rounds=(state.table.spill_rounds[0] + spill)[None],
-        )
-        return QFShardedState(
-            table=base,
-            f_fp=filt.fp[None],
-            f_meta=filt.meta[None],
-            f_claim=filt.claim[None],
-            f_stored=filt.num_stored[None],
-        )
+        return _pack_qf_state(state, local, filt, spill, overflow)
 
     mapped = jax.shard_map(
         per_device,
@@ -704,6 +727,26 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
         out_specs=_QF_STATE_SPEC,
     )
     return jax.jit(mapped, donate_argnums=(0,))
+
+
+def _pack_qf_state(state: QFShardedState, local, filt, spill, overflow) -> QFShardedState:
+    base = ShardedState(
+        keys_hi=local.keys_hi[None],
+        keys_lo=local.keys_lo[None],
+        counts=local.counts[None],
+        extc=local.extc[None],
+        claim=local.claim[None],
+        num_dropped=local.num_dropped[None],
+        overflow=(state.table.overflow[0] + overflow)[None],
+        spill_rounds=(state.table.spill_rounds[0] + spill)[None],
+    )
+    return QFShardedState(
+        table=base,
+        f_fp=filt.fp[None],
+        f_meta=filt.meta[None],
+        f_claim=filt.claim[None],
+        f_stored=filt.num_stored[None],
+    )
 
 
 # ---------------------------------------------------------------------------

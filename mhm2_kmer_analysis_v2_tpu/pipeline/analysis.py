@@ -229,28 +229,29 @@ def analyze_kmers(
     # --max-rpcs-in-flight bounds exchange spill rounds per batch (the
     # in-flight-RPC cap analogue, src/options.cpp:294); 0 = unbounded
     max_rounds = max(options.max_rpcs_in_flight, 0)
+    # --wire picks the multi-shard exchange format: supermer compresses bytes
+    # 2-3x (wins when the interconnect is the bottleneck, i.e. multi-host DCN)
+    # at the cost of receiver-side window re-extraction; record skips the
+    # recompute (wins when compute-bound).  auto: supermer iff multi-process.
+    # (the reference ships Supermers for every backend; here the record wire
+    # exists because it is faster on interconnect-rich single-host meshes)
+    use_supermers = (
+        options.wire == "supermer" or (options.wire == "auto" and n_proc > 1)
+    ) and n_shards > 1 and not multiword
+    if use_supermers:
+        # cap is in supermers per destination; per-round cost is
+        # proportional to the CAP (padding is processed), so size near
+        # the MEAN supermer count (~4-6 kmers/supermer) — the lossless
+        # spill rounds absorb skew, no 4x headroom needed
+        exchange_cap = max(positions_per_device // (n_shards * 3) + 1024, 1024)
     if multiword:
         step = cs.make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m,
                                      max_rounds=max_rounds)
     elif use_qf:
         step = cs.make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m,
-                                     max_rounds=max_rounds)
+                                     max_rounds=max_rounds, supermers=use_supermers)
     else:
-        # bit-packed h2d (0.5 B/base on the wire); when sharded, --wire picks
-        # the exchange format: supermer compresses bytes 2-3x (wins when the
-        # interconnect is the bottleneck, i.e. multi-host DCN) at the cost of
-        # receiver-side window re-extraction; record skips the recompute
-        # (wins when compute-bound).  auto: supermer iff multi-process.
-        use_supermers = (
-            options.wire == "supermer"
-            or (options.wire == "auto" and n_proc > 1)
-        )
-        if n_shards > 1 and use_supermers:
-            # cap is in supermers per destination; per-round cost is
-            # proportional to the CAP (padding is processed), so size near
-            # the MEAN supermer count (~4-6 kmers/supermer) — the lossless
-            # spill rounds absorb skew, no 4x headroom needed
-            exchange_cap = max(positions_per_device // (n_shards * 3) + 1024, 1024)
+        # bit-packed h2d (0.5 B/base on the wire)
         step = cs.make_packed_count_step(
             mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
             supermers=use_supermers, max_rounds=max_rounds,

@@ -157,3 +157,41 @@ def test_qf_saturated_filter_falls_back_to_main_table():
     got = _fin_dict(qf, k)
     assert len(exp) > 250  # the stream really is big vs the 48-slot filter
     assert got == exp
+
+
+def test_qf_supermer_wire_matches_record_wire():
+    """--use-qf over the compressed supermer exchange produces the same
+    finalized tables as the per-record exchange (the reference ships
+    Supermers for every backend, src/kcount/kmer_dht.cpp:247-250)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mhm2_kmer_analysis_v2_tpu.parallel import count_step as cs
+
+    k = 21
+    n_shards = 4
+    reads = genome_reads(96, 70, genome_len=400, seed=77, err=0.01)
+    reads += random_reads(24, k + 2, 70, seed=78)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    sharding = NamedSharding(mesh, P("sh"))
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    args = tuple(jax.device_put(x, sharding) for x in (b.codes, b.badq, b.lengths))
+
+    outs = {}
+    for wire in ("record", "supermer"):
+        state = cs.create_sharded_qf(n_shards, 1 << 13, 1 << 12, mesh=mesh)
+        step = cs.make_count_step_qf(
+            mesh, k=k, exchange_cap=4096, supermers=(wire == "supermer")
+        )
+        state = step(state, *args)
+        assert int(np.sum(np.asarray(state.table.overflow))) == 0
+        fin = cs.make_finalize(mesh)(state.table)
+        merged = {}
+        for shard in range(n_shards):
+            one = shard_table.FinalizedShard(*[np.asarray(x)[shard] for x in fin])
+            vals, counts, left, right = shard_table.compact_to_host(one)
+            for s, c, l, r in zip(shard_table.vals_to_strings(vals, k), counts, left, right):
+                merged[s] = (int(c), l, r)
+        outs[wire] = merged
+    assert outs["supermer"] == outs["record"]
+    # and both match the oracle's non-singleton survivors
+    assert outs["record"] == oracle_count(reads, k).finalize()
