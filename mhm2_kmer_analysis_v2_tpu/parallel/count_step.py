@@ -311,11 +311,22 @@ def unpack_batch(code2, nmask, badq_bits, max_len: int):
 
 
 @_memo
+@_memo
 def make_packed_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
-                           max_len: int, supermers: bool = False, max_rounds: int = 0):
-    """Count step taking bit-packed input planes (see ReadBatch.pack); with
-    `supermers` the multi-shard exchange uses the compressed supermer wire."""
-    if supermers and mesh.shape["sh"] > 1:
+                           max_len: int, supermers: bool = False, max_rounds: int = 0,
+                           table_mode: str = "plain"):
+    """Count step taking bit-packed input planes (see ReadBatch.pack, 0.5
+    B/base + masks on the h2d wire); with `supermers` the multi-shard
+    exchange uses the compressed supermer wire.  table_mode selects the
+    owner-side table family: "plain" (k <= 32), "qf" (--use-qf), or "mw"
+    (k > 32) — all share the (state, codes, badq, lengths) step signature."""
+    if table_mode == "mw":
+        inner = make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m,
+                                   max_rounds=max_rounds, supermers=supermers)
+    elif table_mode == "qf":
+        inner = make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m,
+                                   max_rounds=max_rounds, supermers=supermers)
+    elif supermers and mesh.shape["sh"] > 1:
         inner = make_count_step_supermer(mesh, k=k, exchange_cap=exchange_cap, m=m,
                                          max_rounds=max_rounds)
     else:
@@ -419,22 +430,44 @@ def _supermer_words(k: int, max_run: int) -> tuple:
     return (-(-bases // 16), -(-bases // 32), bases)
 
 
-def _supermer_rounds(codes, badq, lengths, *, k, m, max_run, n_shards, cap,
-                     max_rounds, insert_fn, carry):
-    """The supermer wire's per-device machinery with a pluggable receiver:
-    build owner runs, exchange packed windows in spill rounds, re-extract
-    k-mer records on the receiver, and feed
-    insert_fn(carry, hi, lo, left, right, cnt, valid) -> carry.
+def _recv_kmer_records(k: int, insert_fn):
+    """k <= 32 supermer receiver: re-extract canonical hi/lo records from the
+    unpacked windows and feed insert_fn(carry, hi, lo, left, right, cnt,
+    valid) — used by the plain-table and --use-qf steps."""
 
-    Returns (carry, spill_rounds, overflow).  Shared by the plain table and
-    --use-qf steps (the reference ships Supermers regardless of backend,
-    src/kcount/kmer_dht.cpp:247-250).
+    def receive(carry, rcodes, rinv, rlengths, rcount):
+        SB = rcodes.shape[1]
+        sub = kmer_records(rcodes, rinv, rlengths, k=k, n_shards=1)
+        fl = {kk: v.reshape(-1) for kk, v in sub.items()}
+        cnt = jnp.repeat(rcount, SB)
+        return insert_fn(
+            carry, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
+            cnt, fl["valid"] & (cnt > 0),
+        )
+
+    return receive
+
+
+def _supermer_rounds(codes, badq, lengths, *, k, m, max_run, n_shards, cap,
+                     max_rounds, receive_fn, carry, route_fn=None):
+    """The supermer wire's per-device machinery with pluggable routing and
+    receiver: build owner runs, exchange packed 2-bit windows in spill
+    rounds, and feed receive_fn(carry, rcodes, rinv, rlengths, rcount) with
+    each round's unpacked windows.
+
+    route_fn(codes, badq, lengths) -> (target, valid) overrides the k <= 32
+    per-position routing (multi-word tables route via kmer_records_mw).
+    Returns (carry, spill_rounds, overflow).  Shared by the plain-table,
+    --use-qf, and multi-word steps (the reference ships Supermers regardless
+    of backend, src/kcount/kmer_dht.cpp:247-250).
     """
     BW, MW, SB = _supermer_words(k, max_run)
     B, L = codes.shape
-    recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
-    target = recs["target"]
-    valid = recs["valid"]
+    if route_fn is None:
+        recs = kmer_records(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
+        target, valid = recs["target"], recs["valid"]
+    else:
+        target, valid = route_fn(codes, badq, lengths)
     R = B * L
     flat_t = target.reshape(-1)
     flat_v = valid.reshape(-1)
@@ -547,13 +580,7 @@ def _supermer_rounds(codes, badq, lengths, *, k, m, max_run, n_shards, cap,
         rcodes = jnp.stack(base_cols, axis=1)  # [rS, SB]
         rinv = jnp.stack(inv_cols, axis=1)
         rlengths = jnp.where(rlen > 0, rlen + k + 1, 0)
-        sub = kmer_records(rcodes, rinv, rlengths, k=k, n_shards=1)
-        fl = {kk: v.reshape(-1) for kk, v in sub.items()}
-        cnt = jnp.repeat(rcount, SB)
-        return insert_fn(
-            local, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
-            cnt, fl["valid"] & (cnt > 0),
-        )
+        return receive_fn(local, rcodes, rinv, rlengths, rcount)
 
     carry = jax.lax.fori_loop(0, rounds, body, carry)
     return carry, jnp.maximum(rounds - 1, 0).astype(jnp.int32), overflow
@@ -598,7 +625,7 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
         local, spill, overflow = _supermer_rounds(
             codes, badq, lengths, k=k, m=m, max_run=max_run,
             n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
-            insert_fn=ins, carry=_local_table(state),
+            receive_fn=_recv_kmer_records(k, ins), carry=_local_table(state),
         )
         return ShardedState(
             keys_hi=local.keys_hi[None],
@@ -692,7 +719,7 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
             (local, filt), spill, overflow = _supermer_rounds(
                 codes, badq, lengths, k=k, m=m, max_run=16,
                 n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
-                insert_fn=ins_sm, carry=(local, filt),
+                receive_fn=_recv_kmer_records(k, ins_sm), carry=(local, filt),
             )
             return _pack_qf_state(state, local, filt, spill, overflow)
 
@@ -813,12 +840,52 @@ def _local_table_mw(state: MWShardedState) -> stmw.MWShardTable:
 
 @_memo
 def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
-                       max_rounds: int = 0):
-    """Multi-word sharded count step (same design as make_count_step)."""
+                       max_rounds: int = 0, supermers: bool = False):
+    """Multi-word sharded count step (same design as make_count_step).
+
+    `supermers` rides the compressed supermer wire: windows are 2-bit bases
+    (k-agnostic), the receiver re-extracts multi-word records with
+    kmer_records_mw — compression grows with k (one ~max_run-k-mer window
+    vs max_run W-word records)."""
     n_shards = mesh.shape["sh"]
     Wn = n_words(k)
 
     def per_device(state: MWShardedState, codes, badq, lengths):
+        if supermers and n_shards > 1:
+            def route(codes_, badq_, lengths_):
+                r = kmer_records_mw(codes_, badq_, lengths_, k=k, m=m,
+                                    n_shards=n_shards)
+                return r["target"], r["valid"]
+
+            def receive(tbl, rcodes, rinv, rlengths, rcount):
+                SB = rcodes.shape[1]
+                sub = kmer_records_mw(rcodes, rinv, rlengths, k=k, n_shards=1)
+                rS = rcodes.shape[0]
+                swords = sub["canon"].reshape(Wn, rS * SB)
+                cnt = jnp.repeat(rcount, SB)
+                return stmw.insert_batch_mw(
+                    tbl, swords, sub["left"].reshape(-1),
+                    sub["right"].reshape(-1), cnt,
+                    sub["valid"].reshape(-1) & (cnt > 0),
+                    w0_full_range=(k % 16 == 0),
+                )
+
+            local, spill, overflow = _supermer_rounds(
+                codes, badq, lengths, k=k, m=m, max_run=16,
+                n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
+                receive_fn=receive, carry=_local_table_mw(state),
+                route_fn=route,
+            )
+            return MWShardedState(
+                keys=local.keys[None],
+                counts=local.counts[None],
+                extc=local.extc[None],
+                claim=local.claim[None],
+                num_dropped=local.num_dropped[None],
+                overflow=(state.overflow[0] + overflow)[None],
+                spill_rounds=(state.spill_rounds[0] + spill)[None],
+            )
+
         recs = kmer_records_mw(codes, badq, lengths, k=k, m=m, n_shards=n_shards)
         B, L = codes.shape
         words = recs["canon"].reshape(Wn, B * L)

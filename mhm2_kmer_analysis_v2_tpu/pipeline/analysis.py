@@ -225,7 +225,6 @@ def analyze_kmers(
         cap_from_store = options.max_kmer_store_mb * (1 << 20) // (record_bytes * n_shards)
         exchange_cap = max(min(exchange_cap, cap_from_store), 1024)
 
-    packed_input = False
     # --max-rpcs-in-flight bounds exchange spill rounds per batch (the
     # in-flight-RPC cap analogue, src/options.cpp:294); 0 = unbounded
     max_rounds = max(options.max_rpcs_in_flight, 0)
@@ -237,26 +236,19 @@ def analyze_kmers(
     # exists because it is faster on interconnect-rich single-host meshes)
     use_supermers = (
         options.wire == "supermer" or (options.wire == "auto" and n_proc > 1)
-    ) and n_shards > 1 and not multiword
+    ) and n_shards > 1
     if use_supermers:
         # cap is in supermers per destination; per-round cost is
         # proportional to the CAP (padding is processed), so size near
         # the MEAN supermer count (~4-6 kmers/supermer) — the lossless
         # spill rounds absorb skew, no 4x headroom needed
         exchange_cap = max(positions_per_device // (n_shards * 3) + 1024, 1024)
-    if multiword:
-        step = cs.make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m,
-                                     max_rounds=max_rounds)
-    elif use_qf:
-        step = cs.make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m,
-                                     max_rounds=max_rounds, supermers=use_supermers)
-    else:
-        # bit-packed h2d (0.5 B/base on the wire)
-        step = cs.make_packed_count_step(
-            mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
-            supermers=use_supermers, max_rounds=max_rounds,
-        )
-        packed_input = True
+    # bit-packed h2d (0.5 B/base + masks on the wire) for every table family
+    table_mode = "mw" if multiword else ("qf" if use_qf else "plain")
+    step = cs.make_packed_count_step(
+        mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
+        supermers=use_supermers, max_rounds=max_rounds, table_mode=table_mode,
+    )
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))
 
     from ..utils.comm_stats import comm_stats
@@ -268,7 +260,19 @@ def analyze_kmers(
         jax.profiler.start_trace(options.xprof_dir)
     num_reads = 0
     total_reads = len(pr)
-    a2a_bytes = 3 * n_shards * n_shards * exchange_cap * 4 if n_shards > 1 else 0
+    # per-batch first-round all_to_all bytes (formula bookkeeping; spill
+    # rounds add real traffic and MHM2_TPU_HLO_COMM=1 gives the compiled
+    # shapes): planes depend on wire and table family
+    if use_supermers:
+        bw_, mw_, _ = cs._supermer_words(k, 16)
+        n_planes = bw_ + mw_ + 1
+    elif multiword:
+        from ..ops.kmer_multiword import n_words as _nw
+
+        n_planes = _nw(k) + 1
+    else:
+        n_planes = 3
+    a2a_bytes = n_planes * n_shards * n_shards * exchange_cap * 4 if n_shards > 1 else 0
     # every process feeds its own block's rows; the batch LOOP runs in
     # lockstep across processes (compiled steps are launched SPMD), so the
     # trip count is the max over processes and stragglers feed empty batches
@@ -291,19 +295,12 @@ def analyze_kmers(
         thread so it overlaps the previous batch's device step — the
         thread-pool overlap of src/kcount/kcount_gpu.cpp:118-133)."""
         n_real = int((rb.lengths > 0).sum())
-        if packed_input:
-            pb = rb.pack()
-            return n_real, pb.nbytes, (
-                dist.make_global(sharding, pb.code2),
-                dist.make_global(sharding, pb.nmask),
-                dist.make_global(sharding, pb.badq),
-                dist.make_global(sharding, pb.lengths),
-            )
-        nbytes = rb.codes.nbytes + rb.badq.nbytes + rb.lengths.nbytes
-        return n_real, nbytes, (
-            dist.make_global(sharding, rb.codes),
-            dist.make_global(sharding, rb.badq),
-            dist.make_global(sharding, rb.lengths),
+        pb = rb.pack()
+        return n_real, pb.nbytes, (
+            dist.make_global(sharding, pb.code2),
+            dist.make_global(sharding, pb.nmask),
+            dist.make_global(sharding, pb.badq),
+            dist.make_global(sharding, pb.lengths),
         )
 
     # multi-process feeds stay on the main thread: make_global is itself a

@@ -144,3 +144,43 @@ def test_mw_sharded_invariance():
                 merged[ss] = (int(cc), ll, rr)
         results[n_shards] = merged
     assert results[1] == results[4]
+
+
+def test_mw_supermer_wire_matches_record_wire():
+    """k > 32 over the compressed supermer exchange produces the same
+    finalized tables as the per-record word exchange."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mhm2_kmer_analysis_v2_tpu.io.packed_reads import encode_batch
+    from mhm2_kmer_analysis_v2_tpu.parallel import count_step as cs
+    from mhm2_kmer_analysis_v2_tpu.table import shard_table_mw as stmw
+
+    from util import genome_reads, oracle_count
+
+    k = 33
+    n_shards = 4
+    reads = genome_reads(96, 80, genome_len=400, seed=55, err=0.01)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    sharding = NamedSharding(mesh, P("sh"))
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    args = tuple(jax.device_put(x, sharding) for x in (b.codes, b.badq, b.lengths))
+
+    outs = {}
+    for wire in ("record", "supermer"):
+        state = cs.create_sharded_mw(n_shards, 1 << 13, k, mesh=mesh)
+        step = cs.make_count_step_mw(
+            mesh, k=k, exchange_cap=4096, supermers=(wire == "supermer")
+        )
+        state = step(state, *args)
+        assert int(np.sum(np.asarray(state.overflow))) == 0
+        fin = cs.make_finalize_mw(mesh)(state)
+        merged = {}
+        for shard in range(n_shards):
+            one = stmw.FinalizedMW(*[np.asarray(x)[shard] for x in fin])
+            strs, counts, left, right = stmw.compact_to_host_mw(one, k)
+            for s, c, l, r in zip(strs, counts, left, right):
+                merged[s] = (int(c), l, r)
+        outs[wire] = merged
+    assert outs["supermer"] == outs["record"]
+    assert outs["record"] == oracle_count(reads, k).finalize()
