@@ -320,7 +320,10 @@ def make_packed_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | No
     exchange uses the compressed supermer wire.  table_mode selects the
     owner-side table family: "plain" (k <= 32), "qf" (--use-qf), or "mw"
     (k > 32) — all share the (state, codes, badq, lengths) step signature."""
-    if table_mode == "mw":
+    if table_mode == "mwqf":
+        inner = make_count_step_qf_mw(mesh, k=k, exchange_cap=exchange_cap, m=m,
+                                      max_rounds=max_rounds, supermers=supermers)
+    elif table_mode == "mw":
         inner = make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m,
                                    max_rounds=max_rounds, supermers=supermers)
     elif table_mode == "qf":
@@ -752,6 +755,145 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
         mesh=mesh,
         in_specs=(_QF_STATE_SPEC, P("sh", None), P("sh", None), P("sh")),
         out_specs=_QF_STATE_SPEC,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+class MWQFShardedState(NamedTuple):
+    """Multi-word table + singleton filter (--use-qf with k > 32)."""
+
+    table: "MWShardedState"
+    f_fp: jax.Array
+    f_meta: jax.Array
+    f_claim: jax.Array
+    f_stored: jax.Array
+
+
+def create_sharded_qf_mw(n_shards: int, max_elems_per_shard: int, k: int,
+                         filter_elems_per_shard: int,
+                         mesh: Mesh | None = None) -> MWQFShardedState:
+    base = create_sharded_mw(n_shards, max_elems_per_shard, k, mesh=None)
+    one = sf.create_filter(filter_elems_per_shard)
+
+    def rep(x):
+        return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
+
+    state = MWQFShardedState(
+        table=base,
+        f_fp=rep(one.fp),
+        f_meta=rep(one.meta),
+        f_claim=rep(one.claim),
+        f_stored=jnp.zeros((n_shards,), jnp.int32),
+    )
+    if mesh is not None:
+        from .distributed import put_global
+
+        sharding = jax.sharding.NamedSharding(mesh, P("sh"))
+        state = jax.tree.map(lambda x: put_global(x, sharding), state)
+    return state
+
+
+@_memo
+def make_count_step_qf_mw(mesh: Mesh, *, k: int, exchange_cap: int,
+                          m: int | None = None, max_rounds: int = 0,
+                          supermers: bool = False):
+    """Multi-word sharded count step with singleton-filter offload
+    (--use-qf for k > 32 — the reference's TCF keys on a hash of the full
+    k-mer for any MAX_K, gpu_hash_table.cpp:441-446)."""
+    from ..ops.kmer_multiword import kmer_records_mw, n_words
+
+    n_shards = mesh.shape["sh"]
+    Wn = n_words(k)
+
+    def per_device(state: MWQFShardedState, codes, badq, lengths):
+        local = _local_table_mw(state.table)
+        filt = sf.SingletonFilter(
+            fp=state.f_fp[0], meta=state.f_meta[0], claim=state.f_claim[0],
+            num_stored=state.f_stored[0],
+        )
+
+        def ins_words(carry, swords, sleft, sright, scnt, svalid):
+            tbl, flt = carry
+            return sf.insert_batch_qf_mw(tbl, flt, swords, sleft, sright,
+                                         scnt, svalid)
+
+        if supermers and n_shards > 1:
+            def route(codes_, badq_, lengths_):
+                r = kmer_records_mw(codes_, badq_, lengths_, k=k, m=m,
+                                    n_shards=n_shards)
+                return r["target"], r["valid"]
+
+            def receive(carry, rcodes, rinv, rlengths, rcount):
+                SB = rcodes.shape[1]
+                sub = kmer_records_mw(rcodes, rinv, rlengths, k=k, n_shards=1)
+                rS = rcodes.shape[0]
+                swords = sub["canon"].reshape(Wn, rS * SB)
+                cnt_ = jnp.repeat(rcount, SB)
+                return ins_words(carry, swords, sub["left"].reshape(-1),
+                                 sub["right"].reshape(-1), cnt_,
+                                 sub["valid"].reshape(-1) & (cnt_ > 0))
+
+            (local, filt), spill, overflow = _supermer_rounds(
+                codes, badq, lengths, k=k, m=m, max_run=16,
+                n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
+                receive_fn=receive, carry=(local, filt), route_fn=route,
+            )
+        else:
+            recs = kmer_records_mw(codes, badq, lengths, k=k, m=m,
+                                   n_shards=n_shards)
+            B, L = codes.shape
+            words = recs["canon"].reshape(Wn, B * L)
+            left = recs["left"].reshape(-1)
+            right = recs["right"].reshape(-1)
+            valid = recs["valid"].reshape(-1)
+            target = recs["target"].reshape(-1)
+            cnt = jnp.ones_like(left)
+            meta = _pack_meta(left, right, cnt, valid)
+
+            def ins(carry, *received):
+                rwords = jnp.stack(received[:Wn], axis=0)
+                rmeta = received[Wn].astype(jnp.int32)
+                return ins_words(carry, rwords, rmeta & 7, (rmeta >> 3) & 7,
+                                 rmeta >> 6, rmeta != 0)
+
+            if n_shards > 1:
+                planes = [words[j] for j in range(Wn)] + [meta]
+                (local, filt), spill, overflow = _round_exchange(
+                    planes, target, valid, n_shards, exchange_cap, ins,
+                    (local, filt), max_rounds,
+                )
+            else:
+                spill = overflow = jnp.zeros((), jnp.int32)
+                local, filt = ins_words((local, filt), words, left, right,
+                                        cnt, valid)
+        base = MWShardedState(
+            keys=local.keys[None],
+            counts=local.counts[None],
+            extc=local.extc[None],
+            claim=local.claim[None],
+            num_dropped=local.num_dropped[None],
+            overflow=(state.table.overflow[0] + overflow)[None],
+            spill_rounds=(state.table.spill_rounds[0] + spill)[None],
+        )
+        return MWQFShardedState(
+            table=base,
+            f_fp=filt.fp[None],
+            f_meta=filt.meta[None],
+            f_claim=filt.claim[None],
+            f_stored=filt.num_stored[None],
+        )
+
+    spec = MWQFShardedState(
+        table=_MW_STATE_SPEC,
+        f_fp=P("sh", None),
+        f_meta=P("sh", None),
+        f_claim=P("sh", None),
+        f_stored=P("sh"),
+    )
+    mapped = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec, P("sh", None), P("sh", None), P("sh")),
+        out_specs=spec,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 

@@ -170,7 +170,9 @@ def analyze_kmers(
 
     est_kmers = dist.allsum(pr.estimate_num_kmers(k))
     multiword = k > 32
-    use_qf = options.use_qf and not multiword  # like the reference: CUDA-only
+    # --use-qf works for every k: like the reference's TCF, the filter keys
+    # on a hash of the full k-mer (gpu_hash_table.cpp:441-446)
+    use_qf = options.use_qf
     adjusted = est_kmers // max(options.sequencing_depth, 1)
     kmer_error_rate = 1.0 - (1.0 - BASE_ERROR_RATE) ** k
     num_errors = int(est_kmers * kmer_error_rate)
@@ -202,7 +204,10 @@ def analyze_kmers(
         )
         per_shard = clamped
         filter_per_shard = int(filter_per_shard * scale)
-    if multiword:
+    if multiword and use_qf:
+        state = cs.create_sharded_qf_mw(n_shards, per_shard, k,
+                                        filter_per_shard, mesh=mesh)
+    elif multiword:
         state = cs.create_sharded_mw(n_shards, per_shard, k, mesh=mesh)
     elif use_qf:
         state = cs.create_sharded_qf(n_shards, per_shard, filter_per_shard, mesh=mesh)
@@ -244,7 +249,10 @@ def analyze_kmers(
         # spill rounds absorb skew, no 4x headroom needed
         exchange_cap = max(positions_per_device // (n_shards * 3) + 1024, 1024)
     # bit-packed h2d (0.5 B/base + masks on the wire) for every table family
-    table_mode = "mw" if multiword else ("qf" if use_qf else "plain")
+    if multiword:
+        table_mode = "mwqf" if use_qf else "mw"
+    else:
+        table_mode = "qf" if use_qf else "plain"
     step = cs.make_packed_count_step(
         mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
         supermers=use_supermers, max_rounds=max_rounds, table_mode=table_mode,
@@ -359,15 +367,16 @@ def analyze_kmers(
         )
         ctg_kw = dict(k=k, exchange_cap=ctg_cap, dmin_thres=options.dmin_thres,
                       m=m, max_rounds=max_rounds)
-        if multiword:
-            ctg_step = cs.make_ctg_step_mw(mesh, **ctg_kw)
-        elif use_qf:
-            inner_ctg = cs.make_ctg_step(mesh, **ctg_kw)
-
+        inner_ctg = (cs.make_ctg_step_mw if multiword else cs.make_ctg_step)(
+            mesh, **ctg_kw
+        )
+        if use_qf:
+            # the ctg pass runs against the main table only (filter-resident
+            # read singletons are simply absent there — see block comment)
             def ctg_step(st_, *args):
                 return st_._replace(table=inner_ctg(st_.table, *args))
         else:
-            ctg_step = cs.make_ctg_step(mesh, **ctg_kw)
+            ctg_step = inner_ctg
         seqs, depths = [], []
         for s, d in prev_ctgs:
             if len(s) < k + 2:

@@ -80,6 +80,103 @@ def _fslot(hi, lo, fcap):
     return (fmix32(slot_hash(hi, lo) + U32(0x9E3779B9)) % U32(fcap)).astype(jnp.int32)
 
 
+def _fingerprint_mw(words):
+    """Multi-word fingerprint ([W, R] -> [R]); like the reference's TCF the
+    filter keys on a HASH of the full k-mer for any MAX_K
+    (gpu_hash_table.cpp:441-446 uses kmer_hash(kmer) as the TCF key)."""
+    f = jnp.full_like(words[0], 0xA5A5A5A5)
+    for j in range(words.shape[0]):
+        f = fmix32(f ^ words[j] ^ (U32(j) * U32(0x3C6EF372)))
+    return f & U32(0x7FFFFFFF)
+
+
+def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
+                  phase1_exhausted, valid, lane, zero_v):
+    """Phases 2 of the QF insert, key-representation-agnostic: lookup-then-
+    claim the fingerprint filter for absent lanes.  Returns
+    (fp, meta, claim, promote, replayer, rmeta, f_left, n_stored)."""
+    fcap = filt.capacity
+    R = fps.shape[0]
+    fp_arr, fmeta, fclaim = filt.fp, filt.meta, filt.claim
+    f_active = absent
+    promote = jnp.zeros((R,), bool) & valid
+    replayer = jnp.zeros((R,), bool) & valid
+    stored = jnp.zeros((R,), bool) & valid
+    give_up = jnp.zeros((R,), bool) & valid
+    pslot = jnp.full((R,), fcap, jnp.int32) + zero_v
+
+    def lookup_cond(state):
+        scanning = state[0]
+        it = state[-1]
+        return jnp.any(scanning) & (it < FILTER_MAX_PROBE)
+
+    for _attempt in range(FILTER_ATTEMPTS):
+        # (a) lookup scan
+        scanning = f_active
+        match_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
+        free_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
+
+        def lookup_body(state):
+            scanning, fslot, match_slot, free_slot, it = state
+            g = jnp.where(scanning, fslot, 0)
+            tfp = fp_arr[g]
+            hit = scanning & (tfp == fps)
+            is_tomb = scanning & (tfp == FP_TOMB)
+            is_empty = scanning & (tfp == FP_EMPTY)
+            match_slot = jnp.where(hit, fslot, match_slot)
+            free_slot = jnp.where(
+                (is_tomb | is_empty) & (free_slot == fcap), fslot, free_slot
+            )
+            scanning = scanning & ~hit & ~is_empty
+            fslot = jnp.where(
+                scanning & (fslot + 1 >= fcap), 0,
+                jnp.where(scanning, fslot + 1, fslot),
+            )
+            return scanning, fslot, match_slot, free_slot, it + 1
+
+        _, _, match_slot, free_slot, _ = jax.lax.while_loop(
+            lookup_cond, lookup_body,
+            (scanning, fslot0, match_slot, free_slot, zero_v),
+        )
+
+        matched = f_active & (match_slot < fcap)
+        # (b1) promoters: one replayer per filter entry
+        rslot = jnp.where(matched, match_slot, fcap)
+        fclaim = fclaim.at[rslot].set(lane, mode="drop")
+        g = jnp.where(matched, match_slot, 0)
+        is_rep = matched & (fclaim[g] == lane)
+        fclaim = fclaim.at[rslot].set(-1, mode="drop")
+        promote = promote | matched
+        replayer = replayer | is_rep
+        pslot = jnp.where(matched, match_slot, pslot)
+        # (b2) storers: claim the free slot
+        want_store = f_active & ~matched & (free_slot < fcap)
+        cslot = jnp.where(want_store, free_slot, fcap)
+        fclaim = fclaim.at[cslot].set(lane, mode="drop")
+        g2 = jnp.where(want_store, free_slot, 0)
+        won = want_store & (fclaim[g2] == lane)
+        fclaim = fclaim.at[cslot].set(-1, mode="drop")
+        wslot = jnp.where(won, free_slot, fcap)
+        fp_arr = fp_arr.at[wslot].set(fps, mode="drop")
+        fmeta = fmeta.at[wslot].set(meta_mine, mode="drop")
+        stored = stored | won
+        # lanes without any free slot give up (handled by the main-table
+        # fallback); claim losers retry next attempt
+        give_up = give_up | (f_active & ~matched & (free_slot == fcap))
+        f_active = f_active & ~matched & ~won & (free_slot < fcap)
+
+    f_left = f_active | phase1_exhausted | give_up
+
+    # replay contributions (gather before clearing)
+    rmeta = jnp.where(replayer, fmeta[jnp.where(replayer, pslot, 0)], 0)
+    # promoted entries become tombstones
+    clear_slot = jnp.where(replayer, pslot, fcap)
+    fp_arr = fp_arr.at[clear_slot].set(FP_TOMB, mode="drop")
+    fmeta = fmeta.at[clear_slot].set(0, mode="drop")
+    n_stored = jnp.sum(stored).astype(jnp.int32)
+    return fp_arr, fmeta, fclaim, promote, replayer, rmeta, f_left, n_stored
+
+
 @jax.jit
 def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
                     hi, lo, left, right, cnt, valid):
@@ -143,84 +240,11 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     # their free slot (claim losers retry the whole attempt).
     fps = _fingerprint(hi, lo)
     fslot0 = _fslot(hi, lo, fcap)
-    fp_arr, fmeta, fclaim = filt.fp, filt.meta, filt.claim
     meta_mine = left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6)
-    f_active = absent
-    promote = jnp.zeros((R,), bool) & valid
-    replayer = jnp.zeros((R,), bool) & valid
-    stored = jnp.zeros((R,), bool) & valid
-    give_up = jnp.zeros((R,), bool) & valid
-    pslot = jnp.full((R,), fcap, jnp.int32) + zero_v
-
-    def lookup_cond(state):
-        scanning = state[0]
-        it = state[-1]
-        return jnp.any(scanning) & (it < FILTER_MAX_PROBE)
-
-    for _attempt in range(FILTER_ATTEMPTS):
-        # (a) lookup scan
-        scanning = f_active
-        fslot = fslot0
-        match_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
-        free_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
-
-        def lookup_body(state):
-            scanning, fslot, match_slot, free_slot, it = state
-            g = jnp.where(scanning, fslot, 0)
-            tfp = fp_arr[g]
-            hit = scanning & (tfp == fps)
-            is_tomb = scanning & (tfp == FP_TOMB)
-            is_empty = scanning & (tfp == FP_EMPTY)
-            match_slot = jnp.where(hit, fslot, match_slot)
-            free_slot = jnp.where(
-                (is_tomb | is_empty) & (free_slot == fcap), fslot, free_slot
-            )
-            scanning = scanning & ~hit & ~is_empty
-            fslot = jnp.where(
-                scanning & (fslot + 1 >= fcap), 0,
-                jnp.where(scanning, fslot + 1, fslot),
-            )
-            return scanning, fslot, match_slot, free_slot, it + 1
-
-        _, _, match_slot, free_slot, _ = jax.lax.while_loop(
-            lookup_cond, lookup_body,
-            (scanning, fslot0, match_slot, free_slot, zero_v),
-        )
-
-        matched = f_active & (match_slot < fcap)
-        # (b1) promoters: one replayer per filter entry
-        rslot = jnp.where(matched, match_slot, fcap)
-        fclaim = fclaim.at[rslot].set(lane, mode="drop")
-        g = jnp.where(matched, match_slot, 0)
-        is_rep = matched & (fclaim[g] == lane)
-        fclaim = fclaim.at[rslot].set(-1, mode="drop")
-        promote = promote | matched
-        replayer = replayer | is_rep
-        pslot = jnp.where(matched, match_slot, pslot)
-        # (b2) storers: claim the free slot
-        want_store = f_active & ~matched & (free_slot < fcap)
-        cslot = jnp.where(want_store, free_slot, fcap)
-        fclaim = fclaim.at[cslot].set(lane, mode="drop")
-        g2 = jnp.where(want_store, free_slot, 0)
-        won = want_store & (fclaim[g2] == lane)
-        fclaim = fclaim.at[cslot].set(-1, mode="drop")
-        wslot = jnp.where(won, free_slot, fcap)
-        fp_arr = fp_arr.at[wslot].set(fps, mode="drop")
-        fmeta = fmeta.at[wslot].set(meta_mine, mode="drop")
-        stored = stored | won
-        # lanes without any free slot give up (handled by the main-table
-        # fallback); claim losers retry next attempt
-        give_up = give_up | (f_active & ~matched & (free_slot == fcap))
-        f_active = f_active & ~matched & ~won & (free_slot < fcap)
-
-    f_left = f_active | phase1_exhausted | give_up
-
-    # replay contributions (gather before clearing)
-    rmeta = jnp.where(replayer, fmeta[jnp.where(replayer, pslot, 0)], 0)
-    # promoted entries become tombstones
-    clear_slot = jnp.where(replayer, pslot, fcap)
-    fp_arr = fp_arr.at[clear_slot].set(FP_TOMB, mode="drop")
-    fmeta = fmeta.at[clear_slot].set(0, mode="drop")
+    fp_arr, fmeta, fclaim, promote, replayer, rmeta, f_left, n_stored = (
+        _filter_phase(filt, fps, fslot0, meta_mine, absent, phase1_exhausted,
+                      valid, lane, zero_v)
+    )
 
     # ---- phase 3: promoted lanes insert into the main table --------------
     # own contribution for promote lanes; the replayer lane ALSO carries the
@@ -241,7 +265,98 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
         fp=fp_arr,
         meta=fmeta,
         claim=fclaim,
-        num_stored=filt.num_stored + jnp.sum(stored).astype(jnp.int32),
+        num_stored=filt.num_stored + n_stored,
+    )
+    return table2, filt2
+
+
+@jax.jit
+def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
+                       valid):
+    """Multi-word (k > 32) QF-mode insert: returns (table', filter').
+
+    Same three phases as insert_batch_qf with W-word key compares in phase 1;
+    the filter itself keys on a 64-bit-quality fingerprint of the whole k-mer
+    exactly like the reference's TCF (kmer_hash(kmer) for any MAX_K,
+    gpu_hash_table.cpp:441-446)."""
+    from . import shard_table_mw as stmw
+
+    cap = table.capacity
+    fcap = filt.capacity
+    Wn = words.shape[0]
+    R = words.shape[1]
+    words = words.astype(U32)
+    left = left.astype(jnp.int32)
+    right = right.astype(jnp.int32)
+    cnt = cnt.astype(jnp.int32)
+    lane = jnp.arange(R, dtype=jnp.int32)
+
+    # ---- phase 1: lookup-only probe of the MW main table ------------------
+    keys, counts, extc = table.keys, table.counts, table.extc
+    slot = (stmw.slot_hash_mw(words) % U32(cap)).astype(jnp.int32)
+    zero_v = (slot[0] & 0).astype(jnp.int32)
+    active = valid
+    absent = jnp.zeros((R,), bool) & valid
+    found_slot = jnp.full((R,), cap, jnp.int32) + zero_v
+
+    def body1b(state):
+        active, absent, slot, found_slot, it = state
+        gslot = jnp.where(active, slot, 0)
+        hit = active
+        empty = active
+        for j in range(Wn):
+            tw = keys[j * cap + gslot]
+            hit = hit & (tw == words[j])
+            empty = empty & (tw == stmw.EMPTY)
+        found_slot = jnp.where(hit, slot, found_slot)
+        absent = absent | empty
+        active = active & ~hit & ~empty
+        slot = st._advance(slot, active, it + 1, cap)
+        return active, absent, slot, found_slot, it + 1
+
+    def cond1b(state):
+        active, _, _, _, it = state
+        return jnp.any(active) & (it < MAX_PROBE)
+
+    active, absent, _, found_slot, _ = jax.lax.while_loop(
+        cond1b, body1b, (active, absent, slot, found_slot, zero_v)
+    )
+    phase1_exhausted = active
+    found = found_slot < cap
+    add_slot = jnp.where(found, found_slot, cap)
+    lidx = jnp.where(found, add_slot * 9 + jnp.where(left < 4, left, 8), cap * 9)
+    ridx = jnp.where(found & (right < 4), add_slot * 9 + 4 + right, cap * 9)
+    extc = extc.at[lidx].add(cnt, mode="drop")
+    extc = extc.at[ridx].add(cnt, mode="drop")
+
+    # ---- phase 2: shared filter lookup-then-claim -------------------------
+    fps = _fingerprint_mw(words)
+    fslot0 = (fmix32(stmw.slot_hash_mw(words) + U32(0x9E3779B9)) % U32(fcap)).astype(jnp.int32)
+    meta_mine = left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6)
+    fp_arr, fmeta, fclaim, promote, replayer, rmeta, f_left, n_stored = (
+        _filter_phase(filt, fps, fslot0, meta_mine, absent, phase1_exhausted,
+                      valid, lane, zero_v)
+    )
+
+    # ---- phase 3: promoted lanes insert into the MW main table ------------
+    table2 = type(table)(
+        keys=keys, counts=counts, extc=extc,
+        claim=table.claim, num_dropped=table.num_dropped,
+    )
+    # w0_full_range=True is the conservative emptiness test (all words
+    # checked) — correct for every k without threading k through the jit
+    table2 = stmw.insert_batch_mw(table2, words, left, right, cnt, promote,
+                                  w0_full_range=True)
+    table2 = stmw.insert_batch_mw(table2, words, rmeta & 7, (rmeta >> 3) & 7,
+                                  rmeta >> 6, replayer, w0_full_range=True)
+    table2 = stmw.insert_batch_mw(table2, words, left, right, cnt, f_left,
+                                  w0_full_range=True)
+
+    filt2 = SingletonFilter(
+        fp=fp_arr,
+        meta=fmeta,
+        claim=fclaim,
+        num_stored=filt.num_stored + n_stored,
     )
     return table2, filt2
 

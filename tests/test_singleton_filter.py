@@ -195,3 +195,69 @@ def test_qf_supermer_wire_matches_record_wire():
     assert outs["supermer"] == outs["record"]
     # and both match the oracle's non-singleton survivors
     assert outs["record"] == oracle_count(reads, k).finalize()
+
+
+def test_qf_multiword_equivalent_finalized_output():
+    """--use-qf for k > 32 (the reference's TCF keys on a hash of the full
+    k-mer for any MAX_K): QF-mode MW runs produce the same finalized table
+    as plain MW mode."""
+    from mhm2_kmer_analysis_v2_tpu.ops import kmer_multiword as mw
+    from mhm2_kmer_analysis_v2_tpu.table import shard_table_mw as stmw
+
+    k = 33
+    reads = genome_reads(100, 80, genome_len=400, seed=41, err=0.01)
+    reads += random_reads(20, k + 2, 80, seed=42)  # singleton noise
+    Wn = mw.n_words(k)
+
+    def flat_mw(chunk):
+        b = encode_batch([s for s, _ in chunk], [q for _, q in chunk])
+        recs = mw.kmer_records_mw(
+            jnp.asarray(b.codes), jnp.asarray(b.badq), jnp.asarray(b.lengths),
+            k=k, n_shards=1,
+        )
+        B, L = b.codes.shape
+        return (recs["canon"].reshape(Wn, B * L), recs["left"].reshape(-1),
+                recs["right"].reshape(-1), recs["valid"].reshape(-1))
+
+    def fin_dict(table):
+        fin = stmw.finalize_mw(table)
+        strs, counts, left, right = stmw.compact_to_host_mw(fin, k)
+        return {s: (int(c), l, r) for s, c, l, r in zip(strs, counts, left, right)}
+
+    plain = stmw.create(1 << 14, Wn)
+    qf = stmw.create(1 << 14, Wn)
+    filt = sf.create_filter(1 << 12)
+    for chunk in (reads[:40], reads[40:80], reads[80:]):
+        words, left, right, valid = flat_mw(chunk)
+        one = jnp.ones_like(left)
+        plain = stmw.insert_batch_mw(plain, words, left, right, one, valid,
+                                     w0_full_range=True)
+        qf, filt = sf.insert_batch_qf_mw(qf, filt, words, left, right, one, valid)
+    exp = fin_dict(plain)
+    got = fin_dict(qf)
+    assert got == exp
+    assert exp == oracle_count(reads, k).finalize()
+    assert int(filt.num_stored) > 0  # singletons actually used the filter
+
+
+def test_qf_multiword_pipeline_end_to_end(tmp_path):
+    """--use-qf -k 33 through the CLI pipeline equals the plain run."""
+    from mhm2_kmer_analysis_v2_tpu.config import Options
+    from mhm2_kmer_analysis_v2_tpu.pipeline.analysis import run_pipeline
+
+    from util import genome_reads as gr
+
+    reads = gr(120, 80, genome_len=600, seed=47, err=0.01)
+    fq = tmp_path / "mwqf.fastq"
+    with open(fq, "w") as f:
+        for i, (s, q) in enumerate(reads):
+            f.write(f"@r{i}\n{s}\n+\n{q}\n")
+    outs = {}
+    for mode in ("plain", "qf"):
+        res = run_pipeline(Options(
+            unpaired_fnames=[str(fq) + ":"], kmer_lens=[33],
+            output_dir=str(tmp_path / mode), use_qf=(mode == "qf"),
+            batch_reads=64, adapter_trim=False,
+        ))
+        outs[mode] = (res[0].unique_kmers, res[0].total_kmer_count_sum)
+    assert outs["qf"] == outs["plain"]
