@@ -142,11 +142,14 @@ def get_kmer_counts_sharded(state, kmers: list, k: int, n_shards: int) -> list:
     hash, and resolve each query on its owner shard's table.
 
     state: a parallel.count_step ShardedState (k <= 32) or MWShardedState
-    (k > 32), host-visible arrays.
+    (k > 32); the --use-qf wrapper states are unwrapped to their main table
+    (a filter-resident first occurrence is simply not countable yet, like a
+    reference TCF-resident singleton).  Host-visible arrays.
     """
     from ..oracle import canonical_val, kmer_target_shard, kmer_to_val
     from .shard_table import ShardTable
 
+    state = getattr(state, "table", state)
     multiword = not hasattr(state, "keys_hi")
     routed: dict = {}
     for qi, s in enumerate(kmers):
