@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mhm2_kmer_analysis_v2_tpu import oracle
 from mhm2_kmer_analysis_v2_tpu.io.packed_reads import encode_batch
 from mhm2_kmer_analysis_v2_tpu.ops import kmer_ops, kmer_multiword as mw
-from mhm2_kmer_analysis_v2_tpu.table import shard_table, shard_table_mw as stmw
+from mhm2_kmer_analysis_v2_tpu.table import shard_table, shard_table_mw as stmw, singleton_filter as sf
 from mhm2_kmer_analysis_v2_tpu.contig import utg
 from mhm2_kmer_analysis_v2_tpu.oracle import OracleCounter
 
@@ -56,15 +56,23 @@ def one_trial(seed: int) -> list:
     exp = oc.finalize()
 
     b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    use_qf = bool(rng.integers(0, 2))  # half the trials run the QF mode
     if k <= 32:
         recs = kmer_ops.kmer_records(
             jnp.asarray(b.codes), jnp.asarray(b.badq), jnp.asarray(b.lengths),
             k=k, m=min(15, k), n_shards=1)
         fl = {kk: v.reshape(-1) for kk, v in recs.items()}
         table = shard_table.create(1 << 15)
-        table = shard_table.insert_batch(
-            table, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
-            jnp.ones_like(fl["left"]), fl["valid"])
+        one = jnp.ones_like(fl["left"])
+        if use_qf:
+            filt = sf.create_filter(1 << 13)
+            table, _ = sf.insert_batch_qf(
+                table, filt, fl["canon_hi"], fl["canon_lo"], fl["left"],
+                fl["right"], one, fl["valid"])
+        else:
+            table = shard_table.insert_batch(
+                table, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
+                one, fl["valid"])
         fin = shard_table.finalize(table)
         vals, counts, left, right = shard_table.compact_to_host(fin)
         strs = shard_table.vals_to_strings(vals, k)
@@ -75,14 +83,21 @@ def one_trial(seed: int) -> list:
         Wn = mw.n_words(k)
         words = recs["canon"].reshape(Wn, -1)
         table = stmw.create(1 << 15, Wn)
-        table = stmw.insert_batch_mw(
-            table, words, recs["left"].reshape(-1), recs["right"].reshape(-1),
-            jnp.ones_like(recs["left"].reshape(-1)), recs["valid"].reshape(-1))
+        one = jnp.ones_like(recs["left"].reshape(-1))
+        if use_qf:
+            filt = sf.create_filter(1 << 13)
+            table, _ = sf.insert_batch_qf_mw(
+                table, filt, words, recs["left"].reshape(-1),
+                recs["right"].reshape(-1), one, recs["valid"].reshape(-1))
+        else:
+            table = stmw.insert_batch_mw(
+                table, words, recs["left"].reshape(-1), recs["right"].reshape(-1),
+                one, recs["valid"].reshape(-1))
         finm = stmw.finalize_mw(table)
         strs, counts, left, right = stmw.compact_to_host_mw(finm, k)
     got = {s: (int(c), l, r) for s, c, l, r in zip(strs, counts, left, right)}
     if got != exp:
-        errors.append(f"seed={seed} k={k}: count table mismatch "
+        errors.append(f"seed={seed} k={k} qf={use_qf}: count table mismatch "
                       f"({len(got)} vs {len(exp)} entries)")
         return errors
 
