@@ -139,6 +139,12 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--config", default="", help="load options from a config file")
     a = p.parse_args(argv)
 
+    # argparse validates `choices` only for values typed on the command
+    # line; an MHM2_PIN env default bypasses it
+    if a.pin not in ("cpu", "core", "numa", "rr_numa", "none"):
+        p.error(f"invalid --pin / MHM2_PIN value {a.pin!r} "
+                "(choose from cpu, core, numa, rr_numa, none)")
+
     if a.restart and a.output and not a.config:
         cfg = os.path.join(a.output, "mhm2.config")
         if os.path.exists(cfg):

@@ -311,7 +311,6 @@ def unpack_batch(code2, nmask, badq_bits, max_len: int):
 
 
 @_memo
-@_memo
 def make_packed_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
                            max_len: int, supermers: bool = False, max_rounds: int = 0,
                            table_mode: str = "plain"):
@@ -425,6 +424,12 @@ def make_ctg_step(mesh: Mesh, *, k: int, exchange_cap: int, dmin_thres: int = 2,
 # ---------------------------------------------------------------------------
 # supermer-compressed exchange (k <= 32)
 # ---------------------------------------------------------------------------
+
+
+# supermer run-length cap: one window = max_run k-mers + one halo base each
+# side.  Shared by every wire user AND analysis.py's collective-bytes
+# bookkeeping — change it here only.
+SUPERMER_MAX_RUN = 16
 
 
 def _supermer_words(k: int, max_run: int) -> tuple:
@@ -591,7 +596,7 @@ def _supermer_rounds(codes, badq, lengths, *, k, m, max_run, n_shards, cap,
 
 @_memo
 def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
-                             m: int | None = None, max_run: int = 16,
+                             m: int | None = None, max_run: int = SUPERMER_MAX_RUN,
                              max_rounds: int = 0):
     """Sharded count step exchanging SUPERMERS instead of per-k-mer records.
 
@@ -720,7 +725,7 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
                 return sf.insert_batch_qf(tbl, flt, hi, lo, left, right, cnt, valid)
 
             (local, filt), spill, overflow = _supermer_rounds(
-                codes, badq, lengths, k=k, m=m, max_run=16,
+                codes, badq, lengths, k=k, m=m, max_run=SUPERMER_MAX_RUN,
                 n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
                 receive_fn=_recv_kmer_records(k, ins_sm), carry=(local, filt),
             )
@@ -834,7 +839,7 @@ def make_count_step_qf_mw(mesh: Mesh, *, k: int, exchange_cap: int,
                                  sub["valid"].reshape(-1) & (cnt_ > 0))
 
             (local, filt), spill, overflow = _supermer_rounds(
-                codes, badq, lengths, k=k, m=m, max_run=16,
+                codes, badq, lengths, k=k, m=m, max_run=SUPERMER_MAX_RUN,
                 n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
                 receive_fn=receive, carry=(local, filt), route_fn=route,
             )
@@ -1013,7 +1018,7 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
                 )
 
             local, spill, overflow = _supermer_rounds(
-                codes, badq, lengths, k=k, m=m, max_run=16,
+                codes, badq, lengths, k=k, m=m, max_run=SUPERMER_MAX_RUN,
                 n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
                 receive_fn=receive, carry=_local_table_mw(state),
                 route_fn=route,

@@ -47,22 +47,38 @@ def maybe_initialize() -> tuple[int, int]:
                     "COORDINATOR_ADDRESS is set but jax.distributed could not "
                     "initialize (was a device accessed before run_pipeline?)"
                 ) from e
-    elif int(os.environ.get("SLURM_NTASKS", "1")) > 1 or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
+    elif _scheduler_multiprocess_env():
         # scheduler-launched multi-process job: JAX's cluster auto-detection
         # reads the SLURM / TPU-pod topology itself — the analogue of the
         # reference launcher's scheduler detection (src/mhm2.py:110-341),
         # owned by the runtime instead of the spawn script
         try:
             jax.distributed.initialize()
-        except RuntimeError as e:
+        except (RuntimeError, ValueError) as e:
             if jax.process_count() == 1:
                 raise RuntimeError(
                     "multi-task scheduler environment detected but "
                     "jax.distributed could not initialize"
                 ) from e
     return jax.process_index(), jax.process_count()
+
+
+def _scheduler_multiprocess_env() -> bool:
+    """True only INSIDE a multi-task scheduler step (srun/TPU pod), where
+    JAX's cluster auto-detection has enough to work with.  A >1-task
+    allocation shell (salloc without srun) sets SLURM_NTASKS but not the
+    per-task variables — initializing there would either fail detection or
+    block waiting for peers that never start."""
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    try:
+        ntasks = int(os.environ.get("SLURM_NTASKS") or "1")
+    except ValueError:
+        return False
+    # per-task variables only srun sets (JAX's SlurmCluster needs them too)
+    return ntasks > 1 and "SLURM_PROCID" in os.environ and (
+        "SLURM_STEP_NODELIST" in os.environ
+    )
 
 
 def my_read_block(fname: str, paired: bool):
@@ -80,6 +96,24 @@ def my_read_block(fname: str, paired: bool):
             rdr.close()
         return
     yield from read_fastq_block(fname, rank, n, pair_aware=paired)
+
+
+def host_local_rank() -> tuple[int, int]:
+    """(rank among processes on THIS host, number of processes on this host)
+    — the local_team() analogue (src/main.cpp:128).  Affinity splits must use
+    host-local values: ranks on different hosts each see the whole machine."""
+    n = jax.process_count()
+    if n == 1:
+        return 0, 1
+    import socket
+
+    from jax.experimental import multihost_utils
+
+    me = jax.process_index()
+    h = np.int64(hash(socket.gethostname()) & 0x7FFFFFFFFFFFFFFF)
+    all_h = multihost_utils.process_allgather(np.asarray([h], np.int64)).ravel()
+    mine = all_h == all_h[me]
+    return int(mine[:me].sum()), int(mine.sum())
 
 
 def allsum(x: int) -> int:

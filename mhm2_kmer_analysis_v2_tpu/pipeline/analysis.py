@@ -272,7 +272,7 @@ def analyze_kmers(
     # rounds add real traffic and MHM2_TPU_HLO_COMM=1 gives the compiled
     # shapes): planes depend on wire and table family
     if use_supermers:
-        bw_, mw_, _ = cs._supermer_words(k, 16)
+        bw_, mw_, _ = cs._supermer_words(k, cs.SUPERMER_MAX_RUN)
         n_planes = bw_ + mw_ + 1
     elif multiword:
         from ..ops.kmer_multiword import n_words as _nw
@@ -647,10 +647,13 @@ def run_pipeline(options: Options) -> list:
 
     init_logger(options.output_dir, options.verbose)
     # affinity + worker-thread knobs before any heavy host work
-    # (set_process_affinity / set_thread_pool, src/main.cpp:443-447)
+    # (set_process_affinity / set_thread_pool, src/main.cpp:443-447); the
+    # split uses HOST-LOCAL rank/count (local_team analogue) — processes on
+    # different hosts each see their whole machine
     from ..utils.affinity import set_process_affinity
 
-    set_process_affinity(getattr(options, "pin_by", "none"), rank, n_proc)
+    local_rank, local_n = dist.host_local_rank()
+    set_process_affinity(getattr(options, "pin_by", "none"), local_rank, local_n)
     if getattr(options, "max_worker_threads", 0):
         os.environ["OMP_NUM_THREADS"] = str(options.max_worker_threads)
     if rank == 0:

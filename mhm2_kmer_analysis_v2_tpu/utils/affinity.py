@@ -71,6 +71,12 @@ def set_process_affinity(pin_by: str, rank: int = 0, local_n: int = 1):
     """
     if pin_by == "none" or not hasattr(os, "sched_setaffinity"):
         return
+    if local_n <= 1:
+        # one process per host (the standard TPU topology): restricting the
+        # lone feeder to a CPU/core/NUMA slice would idle the rest of the
+        # host for nothing — the reference's pin targets many-ranks-per-node
+        slog_verbose("Single process on this host: leaving affinity unrestricted")
+        return
     try:
         avail = sorted(os.sched_getaffinity(0))
         if not avail:
@@ -98,7 +104,10 @@ def set_process_affinity(pin_by: str, rank: int = 0, local_n: int = 1):
             cpus = [c for c in domains[min(d, len(domains) - 1)] if c in set(avail)]
             cpus = cpus or avail
         else:
-            raise ValueError(f"unknown --pin mode {pin_by!r}")
+            # unknown value (e.g. a typo'd MHM2_PIN env default): log, don't
+            # crash the pipeline
+            slog_verbose("Unknown --pin mode ", repr(pin_by), "; not pinning")
+            return
         os.sched_setaffinity(0, cpus)
         slog_verbose(
             "Pinned process (", pin_by, ") to CPUs ",

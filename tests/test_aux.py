@@ -182,6 +182,13 @@ def test_affinity_cpulist_parse_and_pin_restore():
     try:
         set_process_affinity("none")
         assert os.sched_getaffinity(0) == before
+        # single process on the host: never restrict (the lone feeder would
+        # lose CPUs for nothing)
+        set_process_affinity("cpu", rank=0, local_n=1)
+        assert os.sched_getaffinity(0) == before
+        # typo'd MHM2_PIN default: log, don't crash or restrict
+        set_process_affinity("numa_rr", rank=0, local_n=2)
+        assert os.sched_getaffinity(0) == before
         if len(avail) >= 2:
             set_process_affinity("cpu", rank=0, local_n=2)
             got = sorted(os.sched_getaffinity(0))
@@ -191,6 +198,8 @@ def test_affinity_cpulist_parse_and_pin_restore():
 
 
 def test_cli_pin_and_optimize_flags():
+    import pytest
+
     from mhm2_kmer_analysis_v2_tpu.config import parse_args
 
     o = parse_args(["-r", "x.fastq", "--pin", "none",
@@ -198,6 +207,15 @@ def test_cli_pin_and_optimize_flags():
     assert o.pin_by == "none"
     assert o.optimize_for == "contiguity"
     assert o.max_worker_threads == 2
+    # an invalid MHM2_PIN env default must be rejected like a CLI typo
+    import os as _os
+
+    _os.environ["MHM2_PIN"] = "numa_rr"
+    try:
+        with pytest.raises(SystemExit):
+            parse_args(["-r", "x.fastq"])
+    finally:
+        del _os.environ["MHM2_PIN"]
 
 
 def test_point_queries_sharded_multiword():

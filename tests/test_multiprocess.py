@@ -131,12 +131,31 @@ def test_maybe_initialize_scheduler_autodetect(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize",
                         lambda *a, **kw: calls.append((a, kw)))
     monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    # inside an srun step: per-task variables present -> auto-init
     monkeypatch.setenv("SLURM_NTASKS", "4")
+    monkeypatch.setenv("SLURM_PROCID", "0")
+    monkeypatch.setenv("SLURM_STEP_NODELIST", "node[0-1]")
     dist.maybe_initialize()
     assert calls == [((), {})]
+
+    # salloc shell (allocation without srun): NTASKS set but no per-task
+    # variables -> must NOT attempt init (it would fail or block on peers)
+    calls.clear()
+    monkeypatch.delenv("SLURM_PROCID", raising=False)
+    monkeypatch.delenv("SLURM_STEP_NODELIST", raising=False)
+    dist.maybe_initialize()
+    assert calls == []
 
     # single-task SLURM job: no init attempt
     calls.clear()
     monkeypatch.setenv("SLURM_NTASKS", "1")
+    monkeypatch.setenv("SLURM_PROCID", "0")
+    monkeypatch.setenv("SLURM_STEP_NODELIST", "node0")
+    dist.maybe_initialize()
+    assert calls == []
+
+    # empty NTASKS must not crash
+    calls.clear()
+    monkeypatch.setenv("SLURM_NTASKS", "")
     dist.maybe_initialize()
     assert calls == []
