@@ -656,6 +656,8 @@ def run_pipeline(options: Options) -> list:
     set_process_affinity(getattr(options, "pin_by", "none"), local_rank, local_n)
     if getattr(options, "max_worker_threads", 0):
         os.environ["OMP_NUM_THREADS"] = str(options.max_worker_threads)
+    _update_rlimits(len(options.all_read_groups()))
+    _log_env()
     if rank == 0:
         options.write_config_file()
     dist.barrier("startup")
@@ -754,6 +756,34 @@ def run_pipeline(options: Options) -> list:
     slog("Peak memory: ", f"{peak_mx:.2f} GB")
     dist.barrier("shutdown")
     return results
+
+
+def _update_rlimits(num_input_files: int):
+    """Raise the open-files soft limit for many per-rank logs/dumps
+    (update_rlimits, src/main.cpp:113-125)."""
+    if num_input_files <= 1:
+        return
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        want = soft + num_input_files * 8
+        if hard != resource.RLIM_INFINITY:
+            want = min(want, hard)
+        resource.setrlimit(resource.RLIMIT_NOFILE, (want, hard))
+        slog_verbose("Set RLIMIT_NOFILE to ", want)
+    except (ImportError, ValueError, OSError):
+        slog_verbose("Could not get/set rlimits for NOFILE")
+
+
+def _log_env():
+    """Log relevant environment at startup (log_env, src/utils.cpp:433)."""
+    keys = [k for k in sorted(os.environ)
+            if k.startswith(("JAX_", "XLA_", "MHM2_", "OMP_", "SLURM_", "TPU_"))]
+    if keys:
+        slog_verbose("Environment:")
+        for k in keys:
+            slog_verbose("  ", k, "=", os.environ[k])
 
 
 def _validate_inputs(options: Options):
