@@ -26,6 +26,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _run_used_qf(run_dir: str) -> bool:
+    import json
+
+    cfg = os.path.join(run_dir, "mhm2.config")
+    if not os.path.exists(cfg):
+        return False
+    try:
+        return bool(json.load(open(cfg)).get("use_qf", False))
+    except ValueError:
+        return False
+
+
 def _run_scalars(run_dir: str, k: int):
     """(unique, total) the run recorded for round k: the round-<k>-result.json
     sidecar when present, else the proxy_results_summary.csv row whose
@@ -87,10 +99,19 @@ def main():
 
     failures = 0
 
+    # --use-qf runs carry the reference's documented "negligible amount of
+    # variation in kmer count results" (README_v2.md:91 — TCF fingerprint
+    # collisions); exact parity is only the contract with the filter off
+    used_qf = _run_used_qf(args.run_dir)
+    tol = 1e-4 if used_qf else 0.0
+    if used_qf:
+        print("run used --use-qf: tolerating <= 0.01% count variation "
+              "(documented TCF behavior, README_v2.md:91)")
+
     got_ut = _run_scalars(args.run_dir, args.k)
     if got_ut is not None:
         got_u, got_t = got_ut
-        ok = (got_u, got_t) == (uniq, total)
+        ok = abs(got_u - uniq) <= tol * uniq and abs(got_t - total) <= tol * total
         failures += not ok
         print(f"run record (k={args.k}): unique={got_u} total={got_t} "
               f"-> {'OK' if ok else 'MISMATCH'}")
@@ -116,7 +137,7 @@ def main():
                 if bad <= 3:
                     print(f"  dump mismatch {val_to_kmer(int(v), args.k)}: "
                           f"run={e} oracle=({int(c)},{chr(l)},{chr(r)})")
-        ok = ok and bad == 0
+        ok = abs(len(got) - exp_n) <= tol * exp_n and bad <= tol * exp_n
         failures += not ok
         print(f"dump: {len(got)} kmers vs {exp_n} expected, {bad} mismatched "
               f"-> {'OK' if ok else 'MISMATCH'}")
