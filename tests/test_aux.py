@@ -246,3 +246,30 @@ def test_point_queries_sharded_multiword():
     for v, c in zip(some, got[:30]):
         assert c == oc.table[v].count
     assert got[30] == 0
+
+
+def test_kmer_dht_facade_all_modes():
+    """models.KmerDHT — the KmerDHT<MAX_K> API analogue
+    (src/kcount/kmer_dht.hpp:118-182): construct, add reads, finalize,
+    query, iterate — for every table family on a 4-shard mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mhm2_kmer_analysis_v2_tpu.models import KmerDHT
+    from util import oracle_count as _oc
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sh",))
+    reads = genome_reads(64, 70, genome_len=300, seed=23)
+    for k, use_qf, wire in ((21, False, "record"), (21, True, "supermer"),
+                            (33, False, "supermer"), (33, True, "record")):
+        dht = KmerDHT(mesh, k, 1 << 13, use_qf=use_qf,
+                      filter_elems_per_shard=1 << 11, wire=wire)
+        dht.add_read_strings([s for s, _ in reads], [q for _, q in reads])
+        exp = _oc(reads, k).finalize()
+        assert dht.get_num_kmers() == len(exp), (k, use_qf, wire)
+        got = {s: (int(c), l, r) for s, c, l, r in dht.items()}
+        assert got == exp, (k, use_qf, wire)
+        some = sorted(exp)[:10]
+        assert dht.get_kmer_counts(some) == [exp[s][0] for s in some]
+        assert not dht.kmer_exists("A" * k) or ("A" * k) in exp
+        assert 0 <= dht.get_kmer_target_rank(some[0]) < 4
