@@ -80,6 +80,12 @@ class FastqReader:
     exactly the file's records.
     """
 
+    # bulk refill size: records are parsed from chunk.split(b"\n") instead
+    # of four readline() calls each — the Python-level per-record overhead
+    # was >50% of ingest wall (the C++ reference reads 16 MB blocks too,
+    # src/fastq.hpp convention)
+    _CHUNK = 4 << 20
+
     def __init__(self, fname: str, start: int = 0, end: int | None = None):
         self.fname = fname
         if is_gz(fname):
@@ -95,6 +101,32 @@ class FastqReader:
             if start > 0:
                 self.f.seek(start)
                 self._seek_next_record()
+        # bulk line buffer: _lines[i] are newline-stripped; _pos is the file
+        # offset of the next UNCONSUMED line, _read_pos of the next refill
+        from collections import deque
+
+        self._lines: deque = deque()
+        self._sizes: deque = deque()
+        self._pos = self.f.tell() if not is_gz(fname) else 0
+        self._read_pos = self._pos
+
+    def _refill(self) -> bool:
+        chunk = self.f.read(self._CHUNK)
+        if not chunk:
+            return False
+        if not chunk.endswith(b"\n"):
+            chunk += self.f.readline()  # complete the partial last line
+        self._read_pos += len(chunk)
+        parts = chunk.split(b"\n")
+        last_complete = parts[-1] == b""
+        if last_complete:
+            parts.pop()
+        self._lines.extend(parts)
+        self._sizes.extend(len(p) + 1 for p in parts)
+        if not last_complete:
+            # EOF without trailing newline: the final line has no '\n' byte
+            self._sizes[-1] -= 1
+        return True
 
     def _seek_next_record(self):
         """Advance to the next record boundary (header line start)."""
@@ -128,42 +160,62 @@ class FastqReader:
         return self
 
     def __next__(self) -> FastqRecord:
-        if self.end is not None and self.f.tell() >= self.end:
+        if self.end is not None and self._pos >= self.end:
             raise StopIteration
         try:
             return self._read_record()
         except OSError:
             # mid-read stream failure: reopen and reseek, like the
-            # reopen-on-failure path at src/fastq.cpp:1086-1099
-            pos = self._safe_tell()
+            # reopen-on-failure path at src/fastq.cpp:1086-1099; buffered
+            # (already-read) lines are kept — the reopen resumes the REFILL
+            # position, not the consume position
             self.f = open(self.fname, "rb")
-            self.f.seek(pos)
+            self.f.seek(self._read_pos)
             return self._read_record()
 
-    def _safe_tell(self) -> int:
-        try:
-            return self.f.tell()
-        except OSError:
-            return 0
-
     def _read_record(self) -> FastqRecord:
-        header = self.f.readline()
-        if not header:
+        lines, sizes = self._lines, self._sizes
+        while len(lines) < 4:
+            if not self._refill():
+                if not lines:
+                    raise StopIteration
+                break
+        if not lines:
             raise StopIteration
-        seq = self.f.readline()
-        plus = self.f.readline()
-        quals = self.f.readline()
-        if not quals:
+        header = lines.popleft()
+        self._pos += sizes.popleft()
+        if len(lines) < 3:
+            # truncated final record
+            for _ in range(len(lines)):
+                self._pos += sizes.popleft()
+            lines.clear()
             raise StopIteration
+        seq = lines.popleft()
+        plus = lines.popleft()
+        quals = lines.popleft()
+        self._pos += sizes.popleft() + sizes.popleft() + sizes.popleft()
         if not header.startswith(b"@") or not plus.startswith(b"+"):
             raise ValueError(
-                f"malformed FASTQ record near byte {self.f.tell()} in {self.fname}"
+                f"malformed FASTQ record near byte {self._pos} in {self.fname}"
             )
         return FastqRecord(
             name=get_fq_name(header.decode()),
             seq=seq.decode().strip().upper(),
-            quals=quals.decode().rstrip("\n"),
+            quals=quals.decode(),
         )
+
+    def tell(self) -> int:
+        """File offset of the next unconsumed record (logical position — the
+        underlying handle reads ahead in bulk)."""
+        return self._pos
+
+    def jump(self, pos: int):
+        """Reposition to an exact record boundary, dropping buffered lines."""
+        self.f.seek(pos)
+        self._lines.clear()
+        self._sizes.clear()
+        self._pos = pos
+        self._read_pos = pos
 
     def close(self):
         self.f.close()
@@ -253,12 +305,12 @@ def estimate_num_reads(fname: str, n_samples: int = 7, sample_records: int = 64)
         start = size * s // n_samples
         rdr = FastqReader(fname, start=start, end=size)
         for _ in range(sample_records):
-            pos0 = rdr.f.tell()
+            pos0 = rdr.tell()
             try:
                 next(rdr)
             except (StopIteration, ValueError):
                 break
-            tot_bytes += rdr.f.tell() - pos0
+            tot_bytes += rdr.tell() - pos0
             tot_recs += 1
         rdr.close()
     if not tot_recs:
@@ -304,9 +356,9 @@ def read_fastq_block(fname: str, rank: int, n_ranks: int, pair_aware: bool = Fal
     # pair-aware blocks read one extra record when their last record starts a
     # pair whose mate lies beyond `end`
     if pair_aware and out and out[-1].name.endswith("/1") and end < size:
-        pos = rdr.f.tell()
+        pos = rdr.tell()
         peek = FastqReader(fname)  # start=0: no boundary seek
-        peek.f.seek(pos)
+        peek.jump(pos)
         try:
             mate = next(peek)
         except StopIteration:
@@ -366,7 +418,7 @@ def read_paired_blocks(fname1: str, fname2: str, rank: int, n_ranks: int) -> tup
                 found = True
                 block2.append(rec)
                 break
-            if rdr2.f.tell() > approx + slack and s2 > 0:
+            if rdr2.tell() > approx + slack and s2 > 0:
                 break  # overshot the window: mate must be before s2
         if found:
             for rec in rdr2:
