@@ -38,13 +38,25 @@ from . import shard_table as st
 from .shard_table import EMPTY, MAX_PROBE, ShardTable
 
 U32 = jnp.uint32
-FILTER_MAX_PROBE = 20
+# scan bound: at the 0.66 design load, linear-probe clusters longer than ~20
+# occur often enough (~1e-3/query) that a stored first occurrence could sit
+# beyond a truncated scan and be ORPHANED — its count is then permanently
+# lost (measured: 6 of 491k counts short by one at FILTER_MAX_PROBE=20).
+# The reference TCF's query is exact (bounded two-choice buckets), so it has
+# no such loss; 128 makes truncation astronomically rare while the
+# while_loop still exits early on resolved lanes.
+FILTER_MAX_PROBE = 128
 FILTER_ATTEMPTS = 4
 FP_EMPTY = np.uint32(0xFFFFFFFF)
 # promoted entries leave a tombstone so probe chains over them stay intact
 # (classic open-addressing deletion; the reference TCF's backing store handles
 # deletes inside poggers, point_tcf/README.md:44)
 FP_TOMB = np.uint32(0xFFFFFFFE)
+# meta word layout: left(3b) | right(3b)<<3 | count(16b)<<6 | fp2(10b)<<22 —
+# the spare top bits carry a secondary fingerprint (41 distinguishing bits
+# total; the reference TCF keys on a 64-bit kmer_hash)
+META_FP2_SHIFT = 22
+META_COUNT_MASK = 0xFFFF
 
 
 class SingletonFilter(NamedTuple):
@@ -80,6 +92,12 @@ def _fslot(hi, lo, fcap):
     return (fmix32(slot_hash(hi, lo) + U32(0x9E3779B9)) % U32(fcap)).astype(jnp.int32)
 
 
+def _fingerprint2(hi, lo):
+    """Secondary 10-bit fingerprint, independent of _fingerprint/_fslot."""
+    f = fmix32(lo ^ U32(0x7FED7FED)) ^ fmix32(hi + U32(0x01234567))
+    return (f & U32(0x3FF)).astype(jnp.int32)
+
+
 def _fingerprint_mw(words):
     """Multi-word fingerprint ([W, R] -> [R]); like the reference's TCF the
     filter keys on a HASH of the full k-mer for any MAX_K
@@ -90,11 +108,23 @@ def _fingerprint_mw(words):
     return f & U32(0x7FFFFFFF)
 
 
+def _fingerprint2_mw(words):
+    f = jnp.full_like(words[0], 0x7FED7FED)
+    for j in range(words.shape[0]):
+        f = fmix32(f ^ words[j] ^ (U32(j) * U32(0x01234567)))
+    return (f & U32(0x3FF)).astype(jnp.int32)
+
+
 def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
-                  phase1_exhausted, valid, lane, zero_v):
+                  phase1_exhausted, valid, lane, zero_v, fps2=None):
     """Phases 2 of the QF insert, key-representation-agnostic: lookup-then-
     claim the fingerprint filter for absent lanes.  Returns
-    (fp, meta, claim, promote, replayer, rmeta, f_left, n_stored)."""
+    (fp, meta, claim, promote, replayer, rmeta, f_left, n_stored).
+
+    fps2: optional 10-bit secondary fingerprint carried in the meta word's
+    spare bits (callers embed it at META_FP2_SHIFT); a chain-scan fp match
+    must also match fps2 or the lane falls back to a direct main-table
+    insert — 41 distinguishing bits instead of 31 at zero memory cost."""
     fcap = filt.capacity
     R = fps.shape[0]
     fp_arr, fmeta, fclaim = filt.fp, filt.meta, filt.claim
@@ -105,21 +135,23 @@ def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
     give_up = jnp.zeros((R,), bool) & valid
     pslot = jnp.full((R,), fcap, jnp.int32) + zero_v
 
-    def lookup_cond(state):
-        scanning = state[0]
-        it = state[-1]
-        return jnp.any(scanning) & (it < FILTER_MAX_PROBE)
-
-    for _attempt in range(FILTER_ATTEMPTS):
-        # (a) lookup scan
-        scanning = f_active
+    def scan_chain(fp_now, scanning):
+        """Linear chain scan against the CURRENT fp array -> (match_slot,
+        free_slot).  The body/cond closures are created FRESH per call: JAX
+        caches while_loop body jaxprs by (function object, avals), so reusing
+        one body function across calls silently replays the FIRST call's
+        closure constants — a stale fp array here (jit-only divergence,
+        found the hard way via an orphaned filter entry at 50k scale)."""
         match_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
         free_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
 
-        def lookup_body(state):
+        def cond(state):
+            return jnp.any(state[0]) & (state[-1] < FILTER_MAX_PROBE)
+
+        def body(state):
             scanning, fslot, match_slot, free_slot, it = state
             g = jnp.where(scanning, fslot, 0)
-            tfp = fp_arr[g]
+            tfp = fp_now[g]
             hit = scanning & (tfp == fps)
             is_tomb = scanning & (tfp == FP_TOMB)
             is_empty = scanning & (tfp == FP_EMPTY)
@@ -135,11 +167,26 @@ def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
             return scanning, fslot, match_slot, free_slot, it + 1
 
         _, _, match_slot, free_slot, _ = jax.lax.while_loop(
-            lookup_cond, lookup_body,
-            (scanning, fslot0, match_slot, free_slot, zero_v),
+            cond, body, (scanning, fslot0, match_slot, free_slot, zero_v)
         )
+        return match_slot, free_slot
+
+    for _attempt in range(FILTER_ATTEMPTS):
+        # (a) lookup scan
+        match_slot, free_slot = scan_chain(fp_arr, f_active)
 
         matched = f_active & (match_slot < fcap)
+        if fps2 is not None:
+            # secondary-fingerprint verification: a colliding entry must not
+            # be promoted (it would consume another k-mer's stored occurrence
+            # — the TCF's documented count-variation mechanism); mismatching
+            # lanes take the lossless direct main-table insert instead
+            mv = fmeta[jnp.where(matched, match_slot, 0)]
+            fp2_ok = ((mv >> META_FP2_SHIFT) & 0x3FF) == fps2
+            collided = matched & ~fp2_ok
+            give_up = give_up | collided
+            f_active = f_active & ~collided
+            matched = matched & fp2_ok
         # (b1) promoters: one replayer per filter entry
         rslot = jnp.where(matched, match_slot, fcap)
         fclaim = fclaim.at[rslot].set(lane, mode="drop")
@@ -166,6 +213,28 @@ def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
         f_active = f_active & ~matched & ~won & (free_slot < fcap)
 
     f_left = f_active | phase1_exhausted | give_up
+
+    # final match-only rescan for the fallback lanes: a same-call duplicate
+    # may have STORED this k-mer's first occurrence after the lane's last
+    # scan (claim contention can burn all FILTER_ATTEMPTS).  Directly
+    # inserting such a lane into the main table would ORPHAN that stored
+    # occurrence — phase 1 hits main forever after, so the filter entry is
+    # never promoted and the final count comes up one short (measured: 6 of
+    # 491k counts at 50k-read scale before this pass).
+    match_slot, _ = scan_chain(fp_arr, f_left)
+    matched = f_left & (match_slot < fcap)
+    if fps2 is not None:
+        mv = fmeta[jnp.where(matched, match_slot, 0)]
+        matched = matched & (((mv >> META_FP2_SHIFT) & 0x3FF) == fps2)
+    rslot = jnp.where(matched, match_slot, fcap)
+    fclaim = fclaim.at[rslot].set(lane, mode="drop")
+    g = jnp.where(matched, match_slot, 0)
+    is_rep = matched & (fclaim[g] == lane)
+    fclaim = fclaim.at[rslot].set(-1, mode="drop")
+    promote = promote | matched
+    replayer = replayer | is_rep
+    pslot = jnp.where(matched, match_slot, pslot)
+    f_left = f_left & ~matched
 
     # replay contributions (gather before clearing)
     rmeta = jnp.where(replayer, fmeta[jnp.where(replayer, pslot, 0)], 0)
@@ -239,11 +308,13 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     # matched lanes promote (one replayer per entry), unmatched lanes claim
     # their free slot (claim losers retry the whole attempt).
     fps = _fingerprint(hi, lo)
+    fps2 = _fingerprint2(hi, lo)
     fslot0 = _fslot(hi, lo, fcap)
-    meta_mine = left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6)
+    meta_mine = (left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6)
+                 | (fps2 << META_FP2_SHIFT))
     fp_arr, fmeta, fclaim, promote, replayer, rmeta, f_left, n_stored = (
         _filter_phase(filt, fps, fslot0, meta_mine, absent, phase1_exhausted,
-                      valid, lane, zero_v)
+                      valid, lane, zero_v, fps2=fps2)
     )
 
     # ---- phase 3: promoted lanes insert into the main table --------------
@@ -255,7 +326,8 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     )
     table2 = st.insert_batch(table2, hi, lo, left, right, cnt, promote)
     table2 = st.insert_batch(
-        table2, hi, lo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6, replayer
+        table2, hi, lo, rmeta & 7, (rmeta >> 3) & 7,
+        (rmeta >> 6) & META_COUNT_MASK, replayer
     )
     # lanes that exhausted the filter probe fall through to a direct main
     # insert (filter full) — no data loss, just no memory saving for them
@@ -331,11 +403,13 @@ def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
 
     # ---- phase 2: shared filter lookup-then-claim -------------------------
     fps = _fingerprint_mw(words)
+    fps2 = _fingerprint2_mw(words)
     fslot0 = (fmix32(stmw.slot_hash_mw(words) + U32(0x9E3779B9)) % U32(fcap)).astype(jnp.int32)
-    meta_mine = left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6)
+    meta_mine = (left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6)
+                 | (fps2 << META_FP2_SHIFT))
     fp_arr, fmeta, fclaim, promote, replayer, rmeta, f_left, n_stored = (
         _filter_phase(filt, fps, fslot0, meta_mine, absent, phase1_exhausted,
-                      valid, lane, zero_v)
+                      valid, lane, zero_v, fps2=fps2)
     )
 
     # ---- phase 3: promoted lanes insert into the MW main table ------------
@@ -348,7 +422,8 @@ def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
     table2 = stmw.insert_batch_mw(table2, words, left, right, cnt, promote,
                                   w0_full_range=True)
     table2 = stmw.insert_batch_mw(table2, words, rmeta & 7, (rmeta >> 3) & 7,
-                                  rmeta >> 6, replayer, w0_full_range=True)
+                                  (rmeta >> 6) & META_COUNT_MASK, replayer,
+                                  w0_full_range=True)
     table2 = stmw.insert_batch_mw(table2, words, left, right, cnt, f_left,
                                   w0_full_range=True)
 

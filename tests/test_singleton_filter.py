@@ -261,3 +261,32 @@ def test_qf_multiword_pipeline_end_to_end(tmp_path):
         ))
         outs[mode] = (res[0].unique_kmers, res[0].total_kmer_count_sum)
     assert outs["qf"] == outs["plain"]
+
+
+def test_qf_jit_matches_eager_under_contention():
+    """Guards the while_loop body-jaxpr cache trap: lax.while_loop caches
+    traced bodies by (function object, avals), so a body function reused
+    across calls replays the FIRST call's closure constants under jit —
+    eager/jit divergence that orphaned filter entries (count off by one)
+    until _filter_phase.scan_chain made the closures per-call."""
+    import jax
+
+    k = 21
+    # heavy same-batch duplication + tiny filter = claim contention
+    reads = genome_reads(120, 60, genome_len=120, seed=99, err=0.0)
+    flat = _flat(reads, k)
+    one = jnp.ones_like(flat["left"])
+
+    t0 = shard_table.create(1 << 13)
+    f0 = sf.create_filter(1 << 8)
+    tj, fj = sf.insert_batch_qf(
+        t0, f0, flat["canon_hi"], flat["canon_lo"], flat["left"],
+        flat["right"], one, flat["valid"])
+    with jax.disable_jit():
+        te, fe = sf.insert_batch_qf.__wrapped__(
+            t0, f0, flat["canon_hi"], flat["canon_lo"], flat["left"],
+            flat["right"], one, flat["valid"])
+    # finalized outputs must agree (slot placement may differ)
+    assert _fin_dict(tj, k) == _fin_dict(te, k)
+    # and match the oracle exactly
+    assert _fin_dict(tj, k) == oracle_count(reads, k).finalize()
