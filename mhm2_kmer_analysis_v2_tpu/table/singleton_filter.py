@@ -19,10 +19,14 @@ fingerprint + packed ext/count meta).  Batch flow per record lane:
      one lane per filter entry (the claim winner) replays the stored exts
      and clears the filter slot
 
-Like the reference filter, distinct k-mers colliding on (slot, fingerprint)
-can merge (~2^-64 per pair) and within-batch ordering can shift saturation
-boundaries — the documented "negligible variation".  Exact-parity runs keep
---use-qf off, as the reference's determinism notes prescribe (SURVEY §4).
+Exactness: a final match-only rescan lets fallback lanes promote entries
+stored by same-batch duplicates (the reference GPU TCF races here and loses
+the stored occurrence — part of its documented "negligible variation",
+README_v2.md:91), and a 41-bit effective fingerprint (10 spare meta bits
+verify promotions) makes distinct-k-mer merges ~2^-41 per chain pair.
+Measured at 50k-read scale the QF output is bit-exact vs the oracle; the
+residual collision probability is why exact-parity CI keeps --use-qf off,
+as the reference's determinism notes prescribe (SURVEY §4).
 """
 
 from __future__ import annotations
@@ -38,13 +42,12 @@ from . import shard_table as st
 from .shard_table import EMPTY, MAX_PROBE, ShardTable
 
 U32 = jnp.uint32
-# scan bound: at the 0.66 design load, linear-probe clusters longer than ~20
-# occur often enough (~1e-3/query) that a stored first occurrence could sit
-# beyond a truncated scan and be ORPHANED — its count is then permanently
-# lost (measured: 6 of 491k counts short by one at FILTER_MAX_PROBE=20).
-# The reference TCF's query is exact (bounded two-choice buckets), so it has
-# no such loss; 128 makes truncation astronomically rare while the
-# while_loop still exits early on resolved lanes.
+# scan bound: a stored first occurrence sitting beyond a truncated scan
+# would be ORPHANED (its count permanently lost once the k-mer lands in the
+# main table), so the bound must exceed any realistic cluster at the 0.66
+# design load; 128 makes truncation astronomically rare while the
+# while_loop still exits early on resolved lanes.  (The reference TCF's
+# query is exact — bounded two-choice buckets — so it has no such path.)
 FILTER_MAX_PROBE = 128
 FILTER_ATTEMPTS = 4
 FP_EMPTY = np.uint32(0xFFFFFFFF)
