@@ -75,28 +75,40 @@ class ShardedState(NamedTuple):
     spill_rounds: jax.Array  # extra exchange rounds beyond the first (skew signal)
 
 
-def create_sharded(n_shards: int, max_elems_per_shard: int, mesh: Mesh | None = None) -> ShardedState:
-    one = shard_table.create(max_elems_per_shard)
-
-    def rep(x):
-        return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
-
-    state = ShardedState(
-        keys_hi=rep(one.keys_hi),
-        keys_lo=rep(one.keys_lo),
-        counts=rep(one.counts),
-        extc=rep(one.extc),
-        claim=rep(one.claim),
-        num_dropped=jnp.zeros((n_shards,), jnp.int32),
-        overflow=jnp.zeros((n_shards,), jnp.int32),
-        spill_rounds=jnp.zeros((n_shards,), jnp.int32),
+def _sharded_init(mesh: Mesh, spec_tree, build_fn):
+    """jit the state constructor with sharded out_shardings: every device
+    fills only ITS shard on-device.  (Building the replicated global on the
+    host and device_put-ing it moved GBs through host memory — measured ~6
+    minutes for a reference-scale table on the CPU mesh, and it would ride
+    the slow h2d path on real chips.)"""
+    shardings = jax.tree.map(
+        lambda spec: jax.sharding.NamedSharding(mesh, spec), spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
     )
-    if mesh is not None:
-        from .distributed import put_global
+    return jax.jit(build_fn, out_shardings=shardings)()
 
-        sharding = jax.sharding.NamedSharding(mesh, P("sh"))
-        state = jax.tree.map(lambda x: put_global(x, sharding), state)
-    return state
+
+def create_sharded(n_shards: int, max_elems_per_shard: int, mesh: Mesh | None = None) -> ShardedState:
+    def build():
+        one = shard_table.create(max_elems_per_shard)
+
+        def rep(x):
+            return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
+
+        return ShardedState(
+            keys_hi=rep(one.keys_hi),
+            keys_lo=rep(one.keys_lo),
+            counts=rep(one.counts),
+            extc=rep(one.extc),
+            claim=rep(one.claim),
+            num_dropped=jnp.zeros((n_shards,), jnp.int32),
+            overflow=jnp.zeros((n_shards,), jnp.int32),
+            spill_rounds=jnp.zeros((n_shards,), jnp.int32),
+        )
+
+    if mesh is not None:
+        return _sharded_init(mesh, _STATE_SPEC, build)
+    return build()
 
 
 _STATE_SPEC = ShardedState(
@@ -681,25 +693,24 @@ _QF_STATE_SPEC = QFShardedState(
 
 def create_sharded_qf(n_shards: int, max_elems_per_shard: int,
                       filter_elems_per_shard: int, mesh: Mesh | None = None) -> QFShardedState:
-    base = create_sharded(n_shards, max_elems_per_shard, mesh=None)
-    one = sf.create_filter(filter_elems_per_shard)
+    def build():
+        base = create_sharded(n_shards, max_elems_per_shard, mesh=None)
+        one = sf.create_filter(filter_elems_per_shard)
 
-    def rep(x):
-        return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
+        def rep(x):
+            return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
 
-    state = QFShardedState(
-        table=base,
-        f_fp=rep(one.fp),
-        f_meta=rep(one.meta),
-        f_claim=rep(one.claim),
-        f_stored=jnp.zeros((n_shards,), jnp.int32),
-    )
+        return QFShardedState(
+            table=base,
+            f_fp=rep(one.fp),
+            f_meta=rep(one.meta),
+            f_claim=rep(one.claim),
+            f_stored=jnp.zeros((n_shards,), jnp.int32),
+        )
+
     if mesh is not None:
-        from .distributed import put_global
-
-        sharding = jax.sharding.NamedSharding(mesh, P("sh"))
-        state = jax.tree.map(lambda x: put_global(x, sharding), state)
-    return state
+        return _sharded_init(mesh, _QF_STATE_SPEC, build)
+    return build()
 
 
 @_memo
@@ -777,25 +788,31 @@ class MWQFShardedState(NamedTuple):
 def create_sharded_qf_mw(n_shards: int, max_elems_per_shard: int, k: int,
                          filter_elems_per_shard: int,
                          mesh: Mesh | None = None) -> MWQFShardedState:
-    base = create_sharded_mw(n_shards, max_elems_per_shard, k, mesh=None)
-    one = sf.create_filter(filter_elems_per_shard)
+    def build():
+        base = create_sharded_mw(n_shards, max_elems_per_shard, k, mesh=None)
+        one = sf.create_filter(filter_elems_per_shard)
 
-    def rep(x):
-        return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
+        def rep(x):
+            return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
 
-    state = MWQFShardedState(
-        table=base,
-        f_fp=rep(one.fp),
-        f_meta=rep(one.meta),
-        f_claim=rep(one.claim),
-        f_stored=jnp.zeros((n_shards,), jnp.int32),
-    )
+        return MWQFShardedState(
+            table=base,
+            f_fp=rep(one.fp),
+            f_meta=rep(one.meta),
+            f_claim=rep(one.claim),
+            f_stored=jnp.zeros((n_shards,), jnp.int32),
+        )
+
     if mesh is not None:
-        from .distributed import put_global
-
-        sharding = jax.sharding.NamedSharding(mesh, P("sh"))
-        state = jax.tree.map(lambda x: put_global(x, sharding), state)
-    return state
+        spec = MWQFShardedState(
+            table=_MW_STATE_SPEC,
+            f_fp=P("sh", None),
+            f_meta=P("sh", None),
+            f_claim=P("sh", None),
+            f_stored=P("sh"),
+        )
+        return _sharded_init(mesh, spec, build)
+    return build()
 
 
 @_memo
@@ -953,26 +970,25 @@ _MW_STATE_SPEC = MWShardedState(
 
 
 def create_sharded_mw(n_shards: int, max_elems_per_shard: int, k: int, mesh: Mesh | None = None) -> MWShardedState:
-    one = stmw.create(max_elems_per_shard, n_words(k))
+    def build():
+        one = stmw.create(max_elems_per_shard, n_words(k))
 
-    def rep(x):
-        return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
+        def rep(x):
+            return jnp.broadcast_to(x[None], (n_shards,) + x.shape)
 
-    state = MWShardedState(
-        keys=rep(one.keys),
-        counts=rep(one.counts),
-        extc=rep(one.extc),
-        claim=rep(one.claim),
-        num_dropped=jnp.zeros((n_shards,), jnp.int32),
-        overflow=jnp.zeros((n_shards,), jnp.int32),
-        spill_rounds=jnp.zeros((n_shards,), jnp.int32),
-    )
+        return MWShardedState(
+            keys=rep(one.keys),
+            counts=rep(one.counts),
+            extc=rep(one.extc),
+            claim=rep(one.claim),
+            num_dropped=jnp.zeros((n_shards,), jnp.int32),
+            overflow=jnp.zeros((n_shards,), jnp.int32),
+            spill_rounds=jnp.zeros((n_shards,), jnp.int32),
+        )
+
     if mesh is not None:
-        from .distributed import put_global
-
-        sharding = jax.sharding.NamedSharding(mesh, P("sh"))
-        state = jax.tree.map(lambda x: put_global(x, sharding), state)
-    return state
+        return _sharded_init(mesh, _MW_STATE_SPEC, build)
+    return build()
 
 
 def _local_table_mw(state: MWShardedState) -> stmw.MWShardTable:
