@@ -320,10 +320,17 @@ def analyze_kmers(
     # src/main.cpp:414-420): capture arg shapes once, report after the loop
     hlo_args = None
     want_hlo = bool(os.environ.get("MHM2_TPU_HLO_COMM"))
+    # periodic log waypoints for long runs (the ProgressBar analogue,
+    # upcxx_utils; stdout --progress is separate)
+    log_every = max(1, n_batches // 10)
+    batch_i = 0
     for n_real, nbytes, dev_args in _prefetched(host_batches(), stage, prefetch):
         if options.show_progress and total_reads:
             pct = 100 * num_reads // total_reads
             print(f"\rProcessing reads to count kmers: {pct}% ", end="", flush=True)
+        batch_i += 1
+        if n_batches >= 20 and batch_i % log_every == 0:
+            slog_verbose("  counted batch ", batch_i, " of ", n_batches)
         num_reads += n_real
         comm_stats.add_h2d(nbytes)
         comm_stats.add_collective(a2a_bytes, 3 if n_shards > 1 else 0)
