@@ -28,6 +28,14 @@ U32 = jnp.uint32
 AXIS = "sh"
 
 
+def _pvary(x):
+    """Mark a device-invariant value as varying over the mesh axis (loop-carry
+    type alignment).  jax.lax.pvary was deprecated in favor of pcast."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (AXIS,), to="varying")
+    return jax.lax.pvary(x, (AXIS,))
+
+
 def sorted_dest(target, valid, n_shards: int, cap: int, max_rounds: int = 0):
     """Shared prologue of every capped exchange: sort lanes by destination,
     compute each lane's per-destination column, and agree (pmax) on the
@@ -111,7 +119,7 @@ def rr_exchange(planes, owner, n_shards: int, cap: int, serve_fn, out_dtypes,
     sp = [p[order] for p in planes]
     # fresh zeros are device-invariant; mark them varying over the mesh axis
     # so the loop carry type matches the per-device body outputs
-    outs = tuple(jax.lax.pvary(jnp.zeros((Q,), dt), (AXIS,)) for dt in out_dtypes)
+    outs = tuple(_pvary(jnp.zeros((Q,), dt)) for dt in out_dtypes)
 
     def body(r, outs):
         in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
@@ -142,7 +150,7 @@ def push_exchange(planes, owner, valid, n_shards: int, cap: int, apply_fn, carry
     carry = apply_fn(carry, mark, *received) per round."""
     order, tgt, col, rounds, _ = sorted_dest(owner, valid, n_shards, cap)
     sp = [p[order] for p in planes]
-    carry = jax.tree.map(lambda x: jax.lax.pvary(x, (AXIS,)), carry)
+    carry = jax.tree.map(_pvary, carry)
 
     def body(r, carry):
         in_r = (col >= r * cap) & (col < (r + 1) * cap) & (tgt < n_shards)
