@@ -10,8 +10,10 @@ per-rank byte-range partition maps to per-process (jax.process_index) blocks.
 
 from __future__ import annotations
 
+import bisect
 import gzip
 import io
+import itertools
 import os
 from dataclasses import dataclass
 
@@ -101,16 +103,21 @@ class FastqReader:
             if start > 0:
                 self.f.seek(start)
                 self._seek_next_record()
-        # bulk line buffer: _lines[i] are newline-stripped; _pos is the file
-        # offset of the next UNCONSUMED line, _read_pos of the next refill
-        from collections import deque
-
-        self._lines: deque = deque()
-        self._sizes: deque = deque()
+        # bulk line buffer: _lines[_li:] are the newline-stripped unconsumed
+        # lines (list + consume index, not a deque — read_batch slices whole
+        # record windows out of it); _pos is the file offset of the next
+        # UNCONSUMED line, _read_pos of the next refill
+        self._lines: list = []
+        self._sizes: list = []
+        self._li = 0
         self._pos = self.f.tell() if not is_gz(fname) else 0
         self._read_pos = self._pos
 
     def _refill(self) -> bool:
+        if self._li:
+            del self._lines[: self._li]
+            del self._sizes[: self._li]
+            self._li = 0
         chunk = self.f.read(self._CHUNK)
         if not chunk:
             return False
@@ -174,26 +181,25 @@ class FastqReader:
             return self._read_record()
 
     def _read_record(self) -> FastqRecord:
-        lines, sizes = self._lines, self._sizes
-        while len(lines) < 4:
+        while len(self._lines) - self._li < 4:
             if not self._refill():
-                if not lines:
-                    raise StopIteration
                 break
-        if not lines:
+        lines, sizes, li = self._lines, self._sizes, self._li
+        avail = len(lines) - li
+        if avail == 0:
             raise StopIteration
-        header = lines.popleft()
-        self._pos += sizes.popleft()
-        if len(lines) < 3:
+        header = lines[li]
+        self._pos += sizes[li]
+        if avail < 4:
             # truncated final record
-            for _ in range(len(lines)):
-                self._pos += sizes.popleft()
-            lines.clear()
+            self._pos += sum(sizes[li + 1 :])
+            self._li = len(lines)
             raise StopIteration
-        seq = lines.popleft()
-        plus = lines.popleft()
-        quals = lines.popleft()
-        self._pos += sizes.popleft() + sizes.popleft() + sizes.popleft()
+        seq = lines[li + 1]
+        plus = lines[li + 2]
+        quals = lines[li + 3]
+        self._pos += sizes[li + 1] + sizes[li + 2] + sizes[li + 3]
+        self._li = li + 4
         if not header.startswith(b"@") or not plus.startswith(b"+"):
             raise ValueError(
                 f"malformed FASTQ record near byte {self._pos} in {self.fname}"
@@ -203,6 +209,57 @@ class FastqReader:
             seq=seq.decode().strip().upper(),
             quals=quals.decode(),
         )
+
+    def read_batch(self, n: int) -> list[FastqRecord]:
+        """Bulk-assemble up to n records — identical consumption semantics to
+        iterating __next__ (byte-range end checked against each record's
+        START offset), with the per-record Python overhead amortized: whole
+        header/seq/qual line windows come out of the buffer as slices and the
+        records are built in one comprehension.  This is the ingest hot path
+        (the reference reads blockwise for the same reason, src/fastq.hpp)."""
+        out: list[FastqRecord] = []
+        while len(out) < n:
+            if self.end is not None and self._pos >= self.end:
+                break
+            avail = (len(self._lines) - self._li) // 4
+            if avail == 0:
+                # slow path owns refill, truncation, malformed-record errors
+                # and the reopen-on-failure retry
+                try:
+                    out.append(next(self))
+                except StopIteration:
+                    break
+                continue
+            take = min(n - len(out), avail)
+            li, lines, sizes = self._li, self._lines, self._sizes
+            cum = list(itertools.accumulate(sizes[li : li + 4 * take]))
+            if self.end is not None:
+                # record r starts at _pos + cum[4r-1]; keep records whose
+                # start precedes `end`, exactly like the per-record check
+                take = min(
+                    take, 1 + bisect.bisect_left(cum[3::4], self.end - self._pos)
+                )
+            hdrs = lines[li : li + 4 * take : 4]
+            pluses = lines[li + 2 : li + 4 * take : 4]
+            if not all(h[:1] == b"@" for h in hdrs) or not all(
+                p[:1] == b"+" for p in pluses
+            ):
+                # malformed record in the window: let the per-record path
+                # consume up to it and raise with the exact byte position
+                try:
+                    out.append(next(self))
+                except StopIteration:
+                    break
+                continue
+            seqs = lines[li + 1 : li + 4 * take : 4]
+            qls = lines[li + 3 : li + 4 * take : 4]
+            self._pos += cum[4 * take - 1]
+            self._li = li + 4 * take
+            out.extend(
+                FastqRecord(get_fq_name(h.decode()), s.decode().strip().upper(), q.decode())
+                for h, s, q in zip(hdrs, seqs, qls)
+            )
+        return out
 
     def tell(self) -> int:
         """File offset of the next unconsumed record (logical position — the
@@ -214,11 +271,22 @@ class FastqReader:
         self.f.seek(pos)
         self._lines.clear()
         self._sizes.clear()
+        self._li = 0
         self._pos = pos
         self._read_pos = pos
 
     def close(self):
         self.f.close()
+
+
+def iter_batched(rdr: FastqReader, batch: int = 4096):
+    """Iterate a FastqReader through read_batch (bulk record assembly) —
+    drop-in replacement for iter(rdr) on hot paths."""
+    while True:
+        recs = rdr.read_batch(batch)
+        if not recs:
+            return
+        yield from recs
 
 
 def _is_seq_line(ln: bytes) -> bool:
@@ -324,7 +392,7 @@ def read_fastq(fname: str, subsample_pct: int = 100) -> list[FastqRecord]:
     out = []
     keep_mod = 100
     rdr = FastqReader(fname)
-    for i, rec in enumerate(rdr):
+    for i, rec in enumerate(iter_batched(rdr)):
         if subsample_pct < 100 and (i % keep_mod) >= subsample_pct:
             continue
         out.append(rec)
@@ -347,7 +415,7 @@ def read_fastq_block(fname: str, rank: int, n_ranks: int, pair_aware: bool = Fal
     rdr = FastqReader(fname, start=start, end=end)
     out = []
     first = True
-    for rec in rdr:
+    for rec in iter_batched(rdr):
         if first and pair_aware and start > 0 and rec.name.endswith("/2"):
             first = False
             continue  # belongs to the previous block's pair
@@ -396,7 +464,7 @@ def read_paired_blocks(fname1: str, fname2: str, rank: int, n_ranks: int) -> tup
     start = size1 * rank // n_ranks
     end = size1 * (rank + 1) // n_ranks
     rdr1 = FastqReader(fname1, start=start, end=end)
-    block1 = list(rdr1)
+    block1 = list(iter_batched(rdr1))
     rdr1.close()
     if not block1:
         return [], []
@@ -443,17 +511,18 @@ def iter_paired(fnames: list[str]):
     if len(fnames) == 2:
         r1 = FastqReader(fnames[0])
         r2 = FastqReader(fnames[1])
-        for a, b in zip(r1, r2):
+        for a, b in zip(iter_batched(r1), iter_batched(r2)):
             yield a, b
         r1.close()
         r2.close()
     else:
         (fname,) = fnames
         rdr = FastqReader(fname)
+        it = iter_batched(rdr)
         while True:
             try:
-                a = next(rdr)
-                b = next(rdr)
+                a = next(it)
+                b = next(it)
             except StopIteration:
                 break
             yield a, b

@@ -171,7 +171,9 @@ def _iter_pairs_robust(fnames: list):
             yield from zip(b1, b2)
         return
     if n_proc == 1:
-        it = iter(FastqReader(fnames[0]))
+        from .fastq import iter_batched
+
+        it = iter_batched(FastqReader(fnames[0]))
     else:
         from ..parallel.distributed import my_read_block
 

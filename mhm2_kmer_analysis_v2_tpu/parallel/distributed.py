@@ -85,13 +85,13 @@ def my_read_block(fname: str, paired: bool):
     """Iterable of this process's records of `fname` (the whole file when
     single-process — streamed, never materialized: reference-scale inputs are
     tens of GB and the old read_fastq() list OOM'd the host)."""
-    from ..io.fastq import FastqReader, read_fastq_block
+    from ..io.fastq import FastqReader, iter_batched, read_fastq_block
 
     rank, n = jax.process_index(), jax.process_count()
     if n == 1:
         rdr = FastqReader(fname)
         try:
-            yield from rdr
+            yield from iter_batched(rdr)
         finally:
             rdr.close()
         return

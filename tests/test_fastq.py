@@ -203,3 +203,54 @@ def test_estimate_num_reads(tmp_path):
             f.write(f"@read{i}/1\n{s}\n+\n{'I' * L}\n")
     est = estimate_num_reads(str(path))
     assert 0.8 * n <= est <= 1.2 * n, est
+
+
+def test_read_batch_equals_per_record(tmp_path):
+    """read_batch (bulk assembly) consumes records identically to __next__,
+    including byte-range end bounds and truncated/no-trailing-newline tails."""
+    reads = random_reads(157, 30, 120, seed=11, qual_range=(33, 74))
+    p = tmp_path / "a.fastq"
+    _write_fastq(p, reads)
+    # strip the trailing newline to exercise the EOF tail path
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[:-1])
+
+    per = list(iter(fastq.FastqReader(str(p))))
+    rdr = fastq.FastqReader(str(p))
+    bulk = []
+    while True:
+        got = rdr.read_batch(13)  # non-divisor batch crosses refill windows
+        if not got:
+            break
+        bulk += got
+    assert bulk == per
+
+    # byte-range blocks: bulk consumption must honor per-record end checks
+    size = len(raw)
+    for n_ranks in (2, 5):
+        seqs = []
+        for rank in range(n_ranks):
+            start = size * rank // n_ranks
+            end = size * (rank + 1) // n_ranks
+            r = fastq.FastqReader(str(p), start=start, end=end)
+            b = []
+            while True:
+                got = r.read_batch(7)
+                if not got:
+                    break
+                b += got
+            # identical to per-record iteration of the same range
+            r2 = fastq.FastqReader(str(p), start=start, end=end)
+            assert b == list(iter(r2)), (n_ranks, rank)
+            seqs += [x.seq for x in b]
+        assert seqs == [x.seq for x in per], n_ranks
+
+
+def test_read_batch_malformed_raises(tmp_path):
+    p = tmp_path / "bad.fastq"
+    with open(p, "w") as f:
+        f.write("@r0/1\nACGT\n+\nIIII\n")
+        f.write("@r1/1\nACGT\nJUNK\nIIII\n")  # '+' line corrupted
+    rdr = fastq.FastqReader(str(p))
+    with pytest.raises(ValueError):
+        rdr.read_batch(10)
