@@ -64,7 +64,7 @@ def get_fq_name(header: str) -> str:
     return header
 
 
-@dataclass
+@dataclass(slots=True)
 class FastqRecord:
     name: str
     seq: str
