@@ -1,0 +1,461 @@
+"""Memory-scalable UU-tig traversal straight from the device-resident table.
+
+The round-2 flow gathered the ENTIRE global compact k-mer table onto every
+host (then re-sharded it for --distributed-traversal) before any traversal —
+O(global table) host arrays per process.  This module feeds the traversal
+from the per-shard finalized tables exactly where they already live (the
+reference's data model is traversal-over-the-sharded-table,
+src/kcount/kmer_dht.hpp:62-68):
+
+  1. per-shard device sort of the kept k-mers (keys stay hash-sharded by
+     minimizer — the same placement the count step used);
+  2. successor lookups route by the MINIMIZER of the candidate k-mer (the
+     identical owner function of the count step, kmer_dht.cpp:193-196), ride
+     the shared capped rr_exchange, and binary-search the owner's sorted
+     shard;
+  3. pointer-doubling rounds (cycle cut, terminal, head/position) resolve
+     remote jumps through the same exchange — node space is shard-major, so
+     node owners are a division, never a search;
+  4. a distributed block-bitonic sort orders every node record by
+     (chain head, position) across shards, so each shard ends up holding a
+     contiguous slice of concatenated chains with EXACTLY n_local records —
+     perfectly balanced, no receive-buffer overflow possible;
+  5. the host then streams one shard slice at a time, stitching chains across
+     slice boundaries with an O(longest contig) carry — peak host memory is
+     one slice + one contig, independent of the global table size.
+
+Cycle rotation parity: cycles are cut at the canonical orientation of their
+smallest k-mer (min-canonical-value label doubling), which reproduces the
+oracle walk's rotation (oracle.py utgs(): "walks leftover cycles from their
+smallest member") — the mirror cycle contains no node whose oriented value
+equals that minimum, stays uncut, and emits nothing.
+
+Emitted contigs are canonical (min(seq, revcomp(seq))), matching the oracle's
+contig convention; emission order is ascending head node id (deterministic
+per mesh; placement-dependent across shard counts, like the per-shard dumps).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.kmer_ops import (
+    _pair_lt,
+    _pair_min,
+    minimizer_len_for_k,
+    revcomp_pairs,
+    route_hash,
+)
+from ..parallel.exchange import AXIS, rr_exchange
+from .utg import Utgs, _rc_vals
+
+U32 = jnp.uint32
+U64 = jnp.uint64
+EMPTY = 0xFFFFFFFF
+_BASES_BYTES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _shift_mask_pair(h, l, shift_bits: int, keep_bits: int):
+    """(value >> shift_bits) & ((1 << keep_bits) - 1) on a u32 pair; shifts
+    and widths are static."""
+    if shift_bits == 0:
+        oh, ol = h, l
+    elif shift_bits < 32:
+        ol = (l >> U32(shift_bits)) | (h << U32(32 - shift_bits))
+        oh = h >> U32(shift_bits)
+    elif shift_bits == 32:
+        ol, oh = h, jnp.zeros_like(h)
+    else:
+        ol = h >> U32(shift_bits - 32)
+        oh = jnp.zeros_like(h)
+    if keep_bits <= 32:
+        ol = ol & U32((1 << keep_bits) - 1) if keep_bits < 32 else ol
+        oh = jnp.zeros_like(oh)
+    elif keep_bits < 64:
+        oh = oh & U32((1 << (keep_bits - 32)) - 1)
+    return oh, ol
+
+
+def route_kmer_pairs(ch, cl, k: int, m: int, n_shards: int):
+    """Owner shard of standalone canonical k-mers (hi, lo pairs).
+
+    Bit-identical minimizer SELECTION to kmer_records (ops/kmer_ops.py):
+    per-window min(fwd m-mer, rc m-mer), max over the k-m+1 windows, then
+    route_hash % n_shards — the standalone-query form of the count step's
+    placement (reference: Kmer::minimizer_hash_fast, src/kmer.cpp:349-398,
+    used for routing at src/kcount/kmer_dht.cpp:193-196)."""
+    rh, rl = revcomp_pairs(ch, cl, k)
+    bh = bl = None
+    for i in range(k - m + 1):
+        # fwd window i = bases i..i+m-1 = (v >> 2(k-m-i)) & mask2m
+        fh, fl = _shift_mask_pair(ch, cl, 2 * (k - m - i), 2 * m)
+        # rc window i = (rc(v) >> 2i) & mask2m
+        gh, gl = _shift_mask_pair(rh, rl, 2 * i, 2 * m)
+        lh, ll = _pair_min(fh, fl, gh, gl)
+        if bh is None:
+            bh, bl = lh, ll
+        else:
+            take = _pair_lt(bh, bl, lh, ll)
+            bh = jnp.where(take, lh, bh)
+            bl = jnp.where(take, ll, bl)
+    return (route_hash(bh, bl) % U32(n_shards)).astype(jnp.int32)
+
+
+def _gather_multi(value_planes, idx, n_shards: int, n_local: int, cap: int):
+    """values[idx] for several range-sharded planes in ONE rr_exchange:
+    idx holds GLOBAL node indices; owner = idx // n_local."""
+    owner = jnp.clip(idx // n_local, 0, n_shards - 1)
+
+    def serve(mark, ridx):
+        me = jax.lax.axis_index(AXIS)
+        pos = jnp.clip(ridx - me * n_local, 0, n_local - 1)
+        return [jnp.where(mark, v[pos], v[0]) for v in value_planes]
+
+    return rr_exchange(
+        [idx.astype(jnp.int32)], owner, n_shards, cap, serve,
+        [v.dtype for v in value_planes],
+    )
+
+
+@dataclass(frozen=True)
+class TraversalPlan:
+    mesh: Mesh
+    k: int
+    K: int  # per-shard kmer slots
+    n_shards: int
+    n2p: int  # total oriented node space (= n_shards * 2K)
+
+
+def make_fin_traversal(mesh: Mesh, k: int, K: int, cap: int | None = None,
+                       m: int | None = None):
+    """Compile the device traversal: FinalizedShard arrays [n_shards, K] ->
+    (head, pos, ov_hi, ov_lo, bc) planes [n_shards, 2K], globally sorted by
+    (head, pos) with non-emitted records keyed to the n2p sentinel.
+
+    bc packs (last_base << 16) | count.  Requires n_shards*2K < 2^31
+    (int32 node ids).
+    """
+    assert k <= 32
+    if m is None:
+        m = minimizer_len_for_k(k)
+    n_shards = mesh.shape["sh"]
+    n_local = 2 * K
+    n2p = n_shards * n_local
+    assert n2p < (1 << 31), "node space exceeds int32 ids"
+    if cap is None:
+        cap = max(256, 4 * n_local // n_shards)
+    cap = min(cap, n_local)
+    steps = max(1, int(np.ceil(np.log2(max(n2p, 2)))) + 1)
+    NULL = n2p
+    mask2k = 2 * k
+
+    log2s = max(n_shards - 1, 1).bit_length() if n_shards > 1 else 0
+    assert n_shards == 1 or n_shards == (1 << log2s), "power-of-two mesh"
+
+    def per_device(keys_hi, keys_lo, counts, left, right, keep):
+        keys_hi = keys_hi.reshape(-1)
+        keys_lo = keys_lo.reshape(-1)
+        counts = counts.reshape(-1)
+        left = left.reshape(-1)
+        right = right.reshape(-1)
+        keep = keep.reshape(-1)
+        me = jax.lax.axis_index(AXIS)
+
+        # ---- per-shard sort of kept kmers (purged -> EMPTY sentinel) ----
+        hi = jnp.where(keep, keys_hi, U32(EMPTY))
+        lo = jnp.where(keep, keys_lo, U32(EMPTY))
+        hi, lo, counts, left, right = jax.lax.sort(
+            (hi, lo, counts, left, right), num_keys=2
+        )
+        kvalid = ~((hi == U32(EMPTY)) & (lo == U32(EMPTY)))
+        my64 = (hi.astype(U64) << U64(32)) | lo.astype(U64)
+
+        # ---- oriented node arrays [2K], shard-major global ids ----
+        rh, rl = revcomp_pairs(hi, lo, k)
+        def il(a, b):  # interleave
+            return jnp.stack([a, b], axis=1).reshape(-1)
+
+        ovh = il(hi, rh)
+        ovl = il(lo, rl)
+        o_left = il(left, 3 - right).astype(jnp.int32)
+        o_right = il(right, 3 - left).astype(jnp.int32)
+        valid = il(kvalid, kvalid)
+        gid = (me * n_local + jnp.arange(n_local)).astype(jnp.int32)
+
+        fb_h, fb_l = _shift_mask_pair(ovh, ovl, 2 * (k - 1), 2)
+        first_base = fb_l.astype(jnp.int32)
+        last_base = (ovl & U32(3)).astype(jnp.int32)
+
+        # ---- successor candidate ----
+        nh = (ovh << U32(2)) | (ovl >> U32(30))
+        nl = (ovl << U32(2)) | o_right.astype(U32)
+        nh, nl = _shift_mask_pair(nh, nl, 0, mask2k)
+        xh, xl = revcomp_pairs(nh, nl, k)
+        flip = _pair_lt(xh, xl, nh, nl)
+        ch = jnp.where(flip, xh, nh)
+        cl = jnp.where(flip, xl, nl)
+
+        # ---- minimizer-routed lookup on the owner's sorted shard ----
+        owner = route_kmer_pairs(ch, cl, k, m, n_shards)
+
+        def serve_lookup(mark, qh, ql):
+            q64 = (qh.astype(U64) << U64(32)) | ql.astype(U64)
+            pos = jnp.clip(jnp.searchsorted(my64, q64), 0, K - 1)
+            hit = mark & (my64[pos] == q64) & kvalid[pos]
+            return [jnp.where(hit, (me * K + pos).astype(jnp.int32), -1)]
+
+        (j,) = rr_exchange([ch, cl], owner, n_shards, cap, serve_lookup,
+                           [jnp.int32], valid=valid)
+        j = jnp.where(valid, j, -1)
+        exists = j >= 0
+        nxt_node = jnp.where(exists, 2 * j + flip.astype(jnp.int32), 0)
+
+        (nl_ext,) = _gather_multi([o_left], nxt_node, n_shards, n_local, cap)
+        recip = exists & (nl_ext == first_base)
+        not_self = nxt_node != gid
+        not_mirror = nxt_node != (gid ^ 1)
+        succ = jnp.where(valid & recip & not_self & not_mirror, nxt_node, NULL)
+
+        # ---- cycle cut at the canonical orientation of the min kmer ----
+        ov64 = (ovh.astype(U64) << U64(32)) | ovl.astype(U64)
+        rcov64 = il((rh.astype(U64) << U64(32)) | rl.astype(U64), my64)
+        clabel = jnp.minimum(ov64, rcov64)  # canonical kmer value per node
+        p = jnp.where(succ == NULL, gid, succ)
+        ml = jnp.minimum(clabel, jnp.where(valid, clabel, ~U64(0)))
+        for _ in range(steps):
+            g_ml, g_p = _gather_multi([ml, p], p, n_shards, n_local, cap)
+            ml = jnp.minimum(ml, g_ml)
+            p = g_p
+        (succ_at_p,) = _gather_multi([succ], p, n_shards, n_local, cap)
+        in_cycle = valid & (succ_at_p != NULL)
+        # star = the cycle's min canonical kmer in canonical orientation;
+        # palindromic min kmer (ov == rc(ov)) ties to the even node
+        star = in_cycle & (ov64 == ml) & (
+            (gid % 2 == 0) | (ov64 != rcov64)
+        )
+        (star_at_succ,) = _gather_multi(
+            [star.astype(jnp.int32)], jnp.where(succ == NULL, 0, succ),
+            n_shards, n_local, cap,
+        )
+        cut = (succ != NULL) & (star_at_succ > 0)
+        succ = jnp.where(cut, NULL, succ)
+        cycle_head = star
+
+        # ---- forward doubling: terminal ----
+        p = jnp.where(succ == NULL, gid, succ)
+        for _ in range(steps):
+            (p,) = _gather_multi([p], p, n_shards, n_local, cap)
+        term = p
+
+        # ---- pred via push, then backward doubling: head + position ----
+        from ..parallel.exchange import push_exchange
+
+        has = succ != NULL
+        sowner = jnp.clip(succ // n_local, 0, n_shards - 1)
+        my_base = me * n_local
+
+        def apply_pred(pred, mark, flat_t, flat_f):
+            locT = jnp.clip(flat_t - my_base, 0, n_local - 1)
+            return pred.at[jnp.where(mark, locT, n_local)].set(
+                flat_f, mode="drop"
+            )
+
+        pred = push_exchange(
+            [succ, gid], sowner, has, n_shards, cap, apply_pred,
+            jnp.full((n_local,), NULL, jnp.int32),
+        )
+        ph = jnp.where(pred == NULL, gid, pred)
+        pos = (pred != NULL).astype(jnp.int32)
+        for _ in range(steps):
+            g_pos, g_ph = _gather_multi([pos, ph], ph, n_shards, n_local, cap)
+            pos = pos + g_pos
+            ph = g_ph
+        head_of = ph
+
+        heads = valid & (pred == NULL)
+        emit = heads & jnp.where(cycle_head, True, gid <= (term ^ 1))
+        (emit_at_head,) = _gather_multi(
+            [emit.astype(jnp.int32)], head_of, n_shards, n_local, cap
+        )
+        on_emitted = valid & (emit_at_head > 0)
+
+        # ---- global (head, pos) sort: local sort + block bitonic ----
+        key_head = jnp.where(on_emitted, head_of.astype(U32), U32(n2p))
+        key_pos = jnp.where(on_emitted, pos.astype(U32), U32(0))
+        bc = ((last_base.astype(U32) & U32(3)) << U32(16)) | (
+            jnp.clip(counts, 0, 65535).astype(U32)[jnp.arange(n_local) // 2]
+        )
+        planes = jax.lax.sort((key_head, key_pos, ovh, ovl, bc), num_keys=2)
+
+        for l in range(log2s):
+            for b in range(l, -1, -1):
+                perm = [(i, i ^ (1 << b)) for i in range(n_shards)]
+                partner = me ^ (1 << b)
+                ascending = ((me >> (l + 1)) & 1) == 0
+                keep_min = (me < partner) == ascending
+                theirs = [
+                    jax.lax.ppermute(x, AXIS, perm) for x in planes
+                ]
+                merged = jax.lax.sort(
+                    tuple(jnp.concatenate([a, t]) for a, t in zip(planes, theirs)),
+                    num_keys=2,
+                )
+                planes = tuple(
+                    jnp.where(keep_min, x[:n_local], x[n_local:]) for x in merged
+                )
+
+        return tuple(x[None] for x in planes)
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("sh"),) * 6,
+        out_specs=(P("sh"),) * 5,
+    )
+    return jax.jit(fn), TraversalPlan(mesh, k, K, n_shards, n2p)
+
+
+@dataclass
+class ChainCarry:
+    """Partial chain crossing a slice boundary during streamed assembly.
+    Picklable (crosses process boundaries in multi-process stitching)."""
+
+    head: int
+    next_pos: int
+    parts: list  # str fragments
+    count_sum: int
+    n: int
+    has_head: bool  # saw the pos==0 record (carries the k-mer string)
+
+
+_COMP_TABLE = str.maketrans("ACGT", "TGCA")
+
+
+def _decode_kmer_str(ovh: int, ovl: int, k: int) -> str:
+    v = (np.uint64(ovh) << np.uint64(32)) | np.uint64(ovl)
+    shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+    codes = ((v >> shifts) & np.uint64(3)).astype(np.int64)
+    return _BASES_BYTES[codes].tobytes().decode()
+
+
+class StreamAssembler:
+    """Streams (head, pos, ovh, ovl, bc) numpy slices — consumed in ascending
+    global order — into contigs via sink(seq, depth).  Peak memory is one
+    slice + the open chain; a chain still open when a process's slices end is
+    returned by finish() as the trailing carry for cross-process stitching."""
+
+    def __init__(self, k: int, n2p: int, sink, canonical: bool = True):
+        self.k = k
+        self.n2p = n2p
+        self.sink = sink
+        self.canonical = canonical
+        self.carry: ChainCarry | None = None
+        self.lead: ChainCarry | None = None  # headless first chain (partial)
+
+    def _flush(self, c: ChainCarry):
+        if not c.has_head:
+            # chain started on an earlier process; hold as the lead partial
+            assert self.lead is None, "more than one headless lead partial"
+            self.lead = c
+            return
+        self.sink(*finish_chain(c, self.canonical))
+
+    def feed(self, head, pos, ovh, ovl, bc):
+        n2p = self.n2p
+        head = np.asarray(head)
+        sel = head < n2p
+        if not sel.any():
+            return
+        head = head[sel].astype(np.int64)
+        pos = np.asarray(pos)[sel].astype(np.int64)
+        ovh_s = np.asarray(ovh)[sel]
+        ovl_s = np.asarray(ovl)[sel]
+        bc_s = np.asarray(bc)[sel]
+        bases = _BASES_BYTES[(bc_s >> 16) & 3]
+        cnts = (bc_s & 0xFFFF).astype(np.int64)
+        starts = np.nonzero(np.concatenate([[True], head[1:] != head[:-1]]))[0]
+        carry = self.carry
+        for si, b in enumerate(starts):
+            e = starts[si + 1] if si + 1 < len(starts) else len(head)
+            h = int(head[b])
+            if carry is not None and carry.head == h:
+                # continuation of the open chain
+                assert int(pos[b]) == carry.next_pos, "chain slice misaligned"
+                carry.parts.append(bases[b:e].tobytes().decode())
+                carry.count_sum += int(cnts[b:e].sum())
+                carry.n += e - b
+                carry.next_pos = int(pos[e - 1]) + 1
+                continue
+            if carry is not None:
+                self._flush(carry)
+            if int(pos[b]) == 0:
+                kmer_str = _decode_kmer_str(int(ovh_s[b]), int(ovl_s[b]), self.k)
+                tail = bases[b + 1 : e].tobytes().decode()
+                carry = ChainCarry(h, int(pos[e - 1]) + 1, [kmer_str + tail],
+                                   int(cnts[b:e].sum()), e - b, True)
+            else:
+                # chain started in an earlier slice owned by another process
+                carry = ChainCarry(h, int(pos[e - 1]) + 1,
+                                   [bases[b:e].tobytes().decode()],
+                                   int(cnts[b:e].sum()), e - b, False)
+        self.carry = carry
+
+    def finish(self) -> tuple[ChainCarry | None, ChainCarry | None]:
+        """Returns (lead_partial, trail_partial); chains fully inside this
+        process's slices have already gone to the sink."""
+        trail = self.carry
+        self.carry = None
+        if trail is not None and trail.has_head is False and self.lead is None:
+            # entire slice range is one headless fragment
+            self.lead = trail
+            trail = None
+        return self.lead, trail
+
+
+def finish_chain(c: ChainCarry, canonical: bool = True) -> tuple[str, float]:
+    seq = "".join(c.parts)
+    if canonical:
+        rc = seq.translate(_COMP_TABLE)[::-1]
+        if rc < seq:
+            seq = rc
+    return seq, c.count_sum / c.n
+
+
+def merge_carries(a: ChainCarry | None, b: ChainCarry | None) -> ChainCarry | None:
+    """Join a trailing partial with the next process's lead partial."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    assert a.head == b.head, "stitched partials disagree on the chain head"
+    return ChainCarry(a.head, b.next_pos, a.parts + b.parts,
+                      a.count_sum + b.count_sum, a.n + b.n, a.has_head)
+
+
+def build_utgs_from_fin(fin, k: int, mesh: Mesh, cap: int | None = None) -> Utgs:
+    """Single-controller scalable traversal: device pointer doubling + global
+    bitonic (head, pos) sort, host streams one shard slice at a time."""
+    K = fin.keep.shape[-1]
+    step, plan = make_fin_traversal(mesh, k, K, cap=cap)
+    planes = step(fin.keys_hi, fin.keys_lo, fin.counts,
+                  fin.left_ext, fin.right_ext, fin.keep)
+    seqs, depths = [], []
+
+    def sink(seq, depth):
+        seqs.append(seq)
+        depths.append(depth)
+
+    asm = StreamAssembler(k, plan.n2p, sink)
+    for s in range(plan.n_shards):
+        asm.feed(*(np.asarray(x[s]) for x in planes))
+    lead, trail = asm.finish()
+    assert lead is None, "headless chain in single-controller assembly"
+    if trail is not None:
+        sink(*finish_chain(trail))
+    return Utgs(seqs, depths)

@@ -1,0 +1,144 @@
+"""Device-resident scalable traversal (contig/device.py) vs host builder/oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from mhm2_kmer_analysis_v2_tpu.contig import device as cdev, utg
+from mhm2_kmer_analysis_v2_tpu.oracle import kmer_to_val, revcomp_str
+from mhm2_kmer_analysis_v2_tpu.ops.kmer_ops import kmer_records, minimizer_len_for_k
+
+from util import genome_reads, oracle_count
+
+EMPTY = 0xFFFFFFFF
+
+
+def _canon_set(seqs):
+    return {min(s, revcomp_str(s)) for s in seqs}
+
+
+def _depth_map(utgs):
+    return {min(s, revcomp_str(s)): round(d, 6) for s, d in zip(utgs.seqs, utgs.depths)}
+
+
+def _items_from_oracle(oc):
+    fin = oc.finalize()
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    items = sorted((kmer_to_val(s), c, code[l], code[r]) for s, (c, l, r) in fin.items())
+    vals = np.array([v for v, _, _, _ in items], np.uint64)
+    counts = np.array([c for _, c, _, _ in items], np.int64)
+    left = np.array([l for _, _, l, _ in items], np.int64)
+    right = np.array([r for _, _, _, r in items], np.int64)
+    return vals, counts, left, right
+
+
+def _fin_arrays(vals, counts, left, right, k, n_shards, extra_cap=0):
+    """Place kmers on shards with the traversal's own routing function and
+    build FinalizedShard-style [n_shards, K] arrays (scattered slot order to
+    exercise the device-side sort)."""
+    hi = (vals >> np.uint64(32)).astype(np.uint32)
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    m = minimizer_len_for_k(k)
+    owner = np.asarray(
+        cdev.route_kmer_pairs(jnp.asarray(hi), jnp.asarray(lo), k, m, n_shards)
+    )
+    per = np.bincount(owner, minlength=n_shards)
+    K = int(per.max()) + 1 + extra_cap
+    shp = (n_shards, K)
+    f_hi = np.full(shp, EMPTY, np.uint32)
+    f_lo = np.full(shp, EMPTY, np.uint32)
+    f_c = np.zeros(shp, np.int32)
+    f_l = np.zeros(shp, np.int32)
+    f_r = np.zeros(shp, np.int32)
+    f_k = np.zeros(shp, bool)
+    rng = np.random.default_rng(7)
+    for s in range(n_shards):
+        idx = np.nonzero(owner == s)[0]
+        slots = rng.permutation(K)[: len(idx)]  # scattered, unsorted slots
+        f_hi[s, slots] = hi[idx]
+        f_lo[s, slots] = lo[idx]
+        f_c[s, slots] = counts[idx]
+        f_l[s, slots] = left[idx]
+        f_r[s, slots] = right[idx]
+        f_k[s, slots] = True
+    return f_hi, f_lo, f_c, f_l, f_r, f_k
+
+
+class _Fin:
+    def __init__(self, arrs):
+        (self.keys_hi, self.keys_lo, self.counts, self.left_ext,
+         self.right_ext, self.keep) = [jnp.asarray(a) for a in arrs]
+
+
+def test_route_matches_count_step_placement():
+    """route_kmer_pairs (standalone-kmer routing) == kmer_records' target for
+    the same kmers — the traversal looks up kmers where the count step put
+    them."""
+    rng = np.random.default_rng(3)
+    for k, n_shards in ((21, 8), (15, 5), (32, 8), (17, 3)):
+        B, L = 8, 80
+        codes = rng.integers(0, 4, (B, L)).astype(np.int32)
+        lengths = np.full((B,), L, np.int32)
+        rec = kmer_records(jnp.asarray(codes), jnp.zeros((B, L), bool),
+                           jnp.asarray(lengths), k=k, n_shards=n_shards)
+        valid = np.asarray(rec["valid"])
+        ch = np.asarray(rec["canon_hi"])[valid]
+        cl = np.asarray(rec["canon_lo"])[valid]
+        want = np.asarray(rec["target"])[valid]
+        m = minimizer_len_for_k(k)
+        got = np.asarray(
+            cdev.route_kmer_pairs(jnp.asarray(ch), jnp.asarray(cl), k, m, n_shards)
+        )
+        assert (got == want).all(), (k, n_shards)
+
+
+def test_device_traversal_matches_host_builder():
+    for n_shards, seed in ((1, 41), (2, 42), (4, 43), (8, 44)):
+        k = 21
+        reads = genome_reads(150, 70, genome_len=400, seed=seed, err=0.01)
+        oc = oracle_count(reads, k)
+        vals, counts, left, right = _items_from_oracle(oc)
+        if len(vals) == 0:
+            continue
+        exp = utg.build_utgs(vals, counts, left, right, k)
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+        fin = _Fin(_fin_arrays(vals, counts, left, right, k, n_shards))
+        got = cdev.build_utgs_from_fin(fin, k, mesh)
+        assert _canon_set(got.seqs) == _canon_set(exp.seqs) == oc.utgs(), (n_shards, seed)
+        assert _depth_map(got) == _depth_map(exp), (n_shards, seed)
+
+
+def test_device_traversal_cycles():
+    """Circular genome -> cycle contigs; rotation must match the oracle walk
+    (cut at the canonical orientation of the cycle's smallest k-mer)."""
+    rng = np.random.default_rng(5)
+    k = 15
+    genome = "".join(rng.choice(list("ACGT"), 120))
+    circ = genome + genome[: k + 10]
+    reads = []
+    for i in range(0, len(circ) - 40):
+        seq = circ[i : i + 40]
+        reads.append((seq, "I" * len(seq)))
+    oc = oracle_count(reads, k)
+    vals, counts, left, right = _items_from_oracle(oc)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sh",))
+    fin = _Fin(_fin_arrays(vals, counts, left, right, k, 4))
+    got = cdev.build_utgs_from_fin(fin, k, mesh)
+    # raw equality (not just canonical-set): rotations must match the oracle
+    assert set(got.seqs) == oc.utgs()
+
+
+def test_device_traversal_small_k_and_tiny_tables():
+    for k, n_reads, seed in ((15, 40, 9), (31, 60, 10), (32, 60, 11)):
+        reads = genome_reads(n_reads, max(70, k + 10), genome_len=300, seed=seed)
+        oc = oracle_count(reads, k)
+        vals, counts, left, right = _items_from_oracle(oc)
+        if len(vals) == 0:
+            continue
+        exp = utg.build_utgs(vals, counts, left, right, k)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sh",))
+        fin = _Fin(_fin_arrays(vals, counts, left, right, k, 8, extra_cap=13))
+        got = cdev.build_utgs_from_fin(fin, k, mesh)
+        assert _canon_set(got.seqs) == _canon_set(exp.seqs), (k, seed)
+        assert _depth_map(got) == _depth_map(exp), (k, seed)
