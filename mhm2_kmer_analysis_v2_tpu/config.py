@@ -51,9 +51,12 @@ class Options:
     # TPU-native knobs (no reference analogue)
     batch_reads: int = 8192
     n_devices: int = 0  # 0 = all
-    # run the UU-tig traversal with the sharded collective builder instead of
-    # the host pointer-doubling (useful on real multi-chip meshes)
-    distributed_traversal: bool = False
+    # UU-tig traversal engine: 'auto' = device-resident scalable traversal
+    # (contig/device.py) whenever the table is sharded (k<=32, n_shards>1) —
+    # never materializes the global table on a host; 'device' forces it;
+    # 'host' forces the gather-to-host pointer-doubling builder; 'sharded'
+    # keeps the round-2 host-gather + collective-doubling builder
+    traversal: str = "auto"
     wire: str = "auto"
     # jax.profiler trace dir for the count stage (SURVEY §5.1 tracing; empty
     # = off) — the xprof/GASNet-trace analogue
@@ -128,7 +131,12 @@ def parse_args(argv=None) -> Options:
                    help="resume in an existing output dir from its config + checkpoints")
     p.add_argument("--batch-reads", type=int, default=8192)
     p.add_argument("--n-devices", type=int, default=0)
-    p.add_argument("--distributed-traversal", action="store_true")
+    p.add_argument("--distributed-traversal", action="store_true",
+                   help="legacy alias for --traversal sharded")
+    p.add_argument("--traversal", choices=["auto", "device", "host", "sharded"],
+                   default="auto",
+                   help="UU-tig traversal engine (auto = device-resident "
+                   "scalable traversal when the table is sharded)")
     p.add_argument("--wire", choices=["auto", "supermer", "record"], default="auto",
                    help="owner-exchange wire format: supermer compresses bytes "
                         "2-3x (best across hosts/DCN); record skips the "
@@ -183,7 +191,7 @@ def parse_args(argv=None) -> Options:
         dump_kmers=a.dump_kmers,
         use_qf=a.use_qf,
         ctg_kmers=a.ctg_kmers,
-        distributed_traversal=a.distributed_traversal,
+        traversal=("sharded" if a.distributed_traversal else a.traversal),
         wire=a.wire,
         xprof_dir=a.xprof,
         sequencing_depth=a.sequencing_depth,

@@ -389,7 +389,7 @@ class StreamAssembler:
                 assert int(pos[b]) == carry.next_pos, "chain slice misaligned"
                 carry.parts.append(bases[b:e].tobytes().decode())
                 carry.count_sum += int(cnts[b:e].sum())
-                carry.n += e - b
+                carry.n += int(e - b)
                 carry.next_pos = int(pos[e - 1]) + 1
                 continue
             if carry is not None:
@@ -398,12 +398,12 @@ class StreamAssembler:
                 kmer_str = _decode_kmer_str(int(ovh_s[b]), int(ovl_s[b]), self.k)
                 tail = bases[b + 1 : e].tobytes().decode()
                 carry = ChainCarry(h, int(pos[e - 1]) + 1, [kmer_str + tail],
-                                   int(cnts[b:e].sum()), e - b, True)
+                                   int(cnts[b:e].sum()), int(e - b), True)
             else:
                 # chain started in an earlier slice owned by another process
                 carry = ChainCarry(h, int(pos[e - 1]) + 1,
                                    [bases[b:e].tobytes().decode()],
-                                   int(cnts[b:e].sum()), e - b, False)
+                                   int(cnts[b:e].sum()), int(e - b), False)
         self.carry = carry
 
     def finish(self) -> tuple[ChainCarry | None, ChainCarry | None]:
@@ -424,7 +424,7 @@ def finish_chain(c: ChainCarry, canonical: bool = True) -> tuple[str, float]:
         rc = seq.translate(_COMP_TABLE)[::-1]
         if rc < seq:
             seq = rc
-    return seq, c.count_sum / c.n
+    return seq, float(c.count_sum / c.n)
 
 
 def merge_carries(a: ChainCarry | None, b: ChainCarry | None) -> ChainCarry | None:
@@ -436,6 +436,113 @@ def merge_carries(a: ChainCarry | None, b: ChainCarry | None) -> ChainCarry | No
     assert a.head == b.head, "stitched partials disagree on the chain head"
     return ChainCarry(a.head, b.next_pos, a.parts + b.parts,
                       a.count_sum + b.count_sum, a.n + b.n, a.has_head)
+
+
+def contigging_device(fin, k: int, mesh: Mesh, output_dir: str, out_name: str,
+                      keep_contigs: bool) -> tuple[Utgs, int, int]:
+    """Full scalable contigging round: traverse the sharded finalized table on
+    device, stream each process's shard slices into contigs, stitch chains
+    that cross process boundaries (tiny pickled partials), and assemble the
+    single rank-0 FASTA from per-run fragment files without ever holding the
+    contig set in memory.
+
+    Returns (local_utgs, n_utgs_global, total_len_global); local_utgs carries
+    contigs only when keep_contigs (the --ctg-kmers carryover needs them) and
+    is marked local=True (each process holds a disjoint subset).
+    """
+    import os
+
+    from ..parallel import distributed as dist
+
+    K = fin.keep.shape[-1]
+    step, plan = make_fin_traversal(mesh, k, K)
+    planes = step(fin.keys_hi, fin.keys_lo, fin.counts,
+                  fin.left_ext, fin.right_ext, fin.keep)
+    # this process's shard slices, ascending, grouped into contiguous runs
+    items = [dict(dist.local_shard_items(p)) for p in planes]
+    my_shards = sorted(items[0])
+    runs: list[list[int]] = []
+    for s in my_shards:
+        if runs and runs[-1][-1] == s - 1:
+            runs[-1].append(s)
+        else:
+            runs.append([s])
+    per_rank = os.path.join(output_dir, "per_rank")
+    os.makedirs(per_rank, exist_ok=True)
+    local_seqs: list = []
+    local_depths: list = []
+    my_n = 0
+    my_len = 0
+
+    def record(f, seq, depth):
+        nonlocal my_n, my_len
+        f.write(f"{float(depth)!r}\t{seq}\n")
+        my_n += 1
+        my_len += len(seq)
+        if keep_contigs:
+            local_seqs.append(seq)
+            local_depths.append(depth)
+
+    partials = []  # (first_shard, last_shard, lead, trail)
+    frag_paths = {}
+    for run in runs:
+        frag = os.path.join(per_rank, f"{out_name}.frag.{run[0]:06d}")
+        frag_paths[run[0]] = frag
+        with open(frag, "w") as f:
+            asm = StreamAssembler(k, plan.n2p,
+                                  lambda seq, depth: record(f, seq, depth))
+            for s in run:
+                asm.feed(*(items[i][s] for i in range(5)))
+            lead, trail = asm.finish()
+        partials.append((run[0], run[-1], lead, trail))
+
+    # stitch chains crossing run boundaries — every process computes the
+    # identical result from the gathered (tiny) partials
+    all_partials = sorted(
+        (p for proc in dist.gather_objects(partials) for p in proc),
+        key=lambda t: t[0],
+    )
+    boundary: dict[int, tuple[str, float]] = {}  # owner run -> (seq, depth)
+    open_: ChainCarry | None = None
+    owner_run = -1
+    for first, last, lead, trail in all_partials:
+        if lead is not None:
+            assert open_ is not None, "headless lead with no open chain"
+            open_ = merge_carries(open_, lead)
+        if trail is not None:
+            if open_ is not None:
+                boundary[owner_run] = finish_chain(open_)
+            open_, owner_run = trail, first
+        elif lead is None and open_ is not None:
+            # run had no continuation: the open chain ended at the boundary
+            boundary[owner_run] = finish_chain(open_)
+            open_, owner_run = None, -1
+    if open_ is not None:
+        boundary[owner_run] = finish_chain(open_)
+    for first, (seq, depth) in sorted(boundary.items()):
+        if first in frag_paths:
+            with open(frag_paths[first], "a") as f:
+                record(f, seq, depth)
+    dist.barrier("contig fragments")
+    if jax.process_index() == 0:
+        path = os.path.join(output_dir, out_name)
+        i = 0
+        with open(path, "w") as out:
+            for first, _, _, _ in all_partials:
+                fp = os.path.join(per_rank, f"{out_name}.frag.{first:06d}")
+                with open(fp) as f:
+                    for line in f:
+                        d, seq = line.rstrip("\n").split("\t")
+                        out.write(f">uutig_{i} {float(d):.3f}\n{seq}\n")
+                        i += 1
+    dist.barrier("contig dump")
+    for fp in frag_paths.values():
+        os.remove(fp)
+    return (
+        Utgs(local_seqs, local_depths, local=True),
+        dist.allsum(my_n),
+        dist.allsum(my_len),
+    )
 
 
 def build_utgs_from_fin(fin, k: int, mesh: Mesh, cap: int | None = None) -> Utgs:

@@ -53,6 +53,9 @@ def _rc_vals(vals: np.ndarray, k: int) -> np.ndarray:
 class Utgs:
     seqs: list  # contig strings
     depths: list  # mean k-mer count per contig
+    # True when seqs holds only THIS process's contigs (the scalable device
+    # traversal never replicates the contig set); False = replicated
+    local: bool = False
 
 
 def build_utgs(vals: np.ndarray, counts: np.ndarray, left_code: np.ndarray,

@@ -421,119 +421,227 @@ def read_fastq(fname: str, subsample_pct: int = 100) -> list[FastqRecord]:
     return out
 
 
-def read_fastq_block(fname: str, rank: int, n_ranks: int, pair_aware: bool = False) -> list[FastqRecord]:
-    """Per-rank even byte-range split with boundary repair
-    (continue_open_default_per_rank_boundaries, src/fastq.cpp:810-892).
+def read_fastq_block(fname: str, rank: int, n_ranks: int, pair_aware: bool = False):
+    """STREAM this rank's records of the per-rank even byte-range split with
+    boundary repair (continue_open_default_per_rank_boundaries,
+    src/fastq.cpp:810-892).  A bounded generator — records are never
+    materialized as a whole block (the reference streams per rank too,
+    src/fastq.cpp:1028-1059); reference-scale blocks are GBs.
 
     With pair_aware (interleaved paired files), blocks are additionally
     aligned to PAIR boundaries: a block whose first record is a '/2' mate
     skips it (the previous block consumed that pair — the reference resolves
     this with the paired-read disambiguation in get_fptr_for_next_record,
-    src/fastq.cpp:284-512, and RPC hand-off of boundaries)."""
+    src/fastq.cpp:284-512, and RPC hand-off of boundaries).
+
+    gzip inputs are not byte-splittable: every rank streams the whole file
+    once and keeps its round-robin slice of fixed record chunks (pair-sized
+    when pair_aware) — bounded memory, deterministic union of all ranks.
+    """
+    if is_gz(fname):
+        yield from _gz_round_robin(fname, rank, n_ranks, chunk=8192)
+        return
     size = os.path.getsize(fname)
     start = size * rank // n_ranks
     end = size * (rank + 1) // n_ranks
     rdr = FastqReader(fname, start=start, end=end)
-    out = []
     first = True
-    for rec in iter_batched(rdr):
-        if first and pair_aware and start > 0 and rec.name.endswith("/2"):
-            first = False
-            continue  # belongs to the previous block's pair
+    last: FastqRecord | None = None
+    while True:
+        recs = rdr.read_batch(4096)
+        if not recs:
+            break
+        if first and pair_aware and start > 0 and recs[0].name.endswith("/2"):
+            recs = recs[1:]  # belongs to the previous block's pair
         first = False
-        out.append(rec)
+        if recs:
+            last = recs[-1]
+            yield from recs
     # pair-aware blocks read one extra record when their last record starts a
     # pair whose mate lies beyond `end`
-    if pair_aware and out and out[-1].name.endswith("/1") and end < size:
+    if pair_aware and last is not None and last.name.endswith("/1") and end < size:
         pos = rdr.tell()
         peek = FastqReader(fname)  # start=0: no boundary seek
         peek.jump(pos)
         try:
             mate = next(peek)
-        except StopIteration:
+        except (StopIteration, ValueError):
             mate = None
         peek.close()
-        if mate is not None and mate.name[:-1] == out[-1].name[:-1]:
-            out.append(mate)
+        if mate is not None and mate.name[:-1] == last.name[:-1]:
+            yield mate
     rdr.close()
-    return out
 
 
-def read_paired_blocks(fname1: str, fname2: str, rank: int, n_ranks: int) -> tuple:
-    """Byte-range blocks of a TWO-FILE pair with index synchronization — the
-    set_matching_pair analogue (src/fastq.cpp:619-742).
+def _gz_round_robin(fname: str, rank: int, n_ranks: int, chunk: int):
+    """Round-robin record-chunk split of a gzip stream (chunk stays even so
+    interleaved pairs never straddle a chunk boundary)."""
+    rdr = FastqReader(fname)
+    ci = 0
+    while True:
+        recs = rdr.read_batch(chunk)
+        if not recs:
+            break
+        if ci % n_ranks == rank:
+            yield from recs
+        ci += 1
+    rdr.close()
 
-    Each rank takes its proportional block of FILE 1.  File 2's reader then
-    starts at the proportional offset minus a slack margin and scans forward
-    until it finds the mate of block 1's first record, so record i of block 2
-    is always the mate of record i of block 1 even when the two files'
-    per-record byte offsets are staggered (different read/quality lengths).
-    If the slack was insufficient (pathological length skew) it doubles and
-    retries, degenerating to a scan from 0 in the worst case.
 
-    Returns (block1, block2) of equal length; concatenating all ranks' blocks
-    yields exactly the files' pairs in order.
+def _name_base(name: str) -> str:
+    return name[:-1] if name.endswith(("1", "2")) and "/" in name else name
+
+
+def iter_paired_blocks(fname1: str, fname2: str, rank: int, n_ranks: int):
+    """STREAM this rank's pairs of a TWO-FILE group with index
+    synchronization — the set_matching_pair analogue (src/fastq.cpp:619-742).
+
+    Each rank takes its proportional byte-range block of FILE 1.  File 2's
+    reader starts at the proportional offset minus a slack margin and scans
+    forward until it finds the mate of block 1's first record; the two
+    streams then advance in lockstep with NAME-BASED resync: a record whose
+    mate is missing from the other file gets a fake 1-base mate (the
+    reference's missing-mate behavior, src/merge_reads.cpp:407-462) instead
+    of silently truncating to the shorter stream.  Block 1's record count
+    paces the block (plus any unpaired file-2 records interleaved between its
+    mates).
+
+    Bounded memory: both files stream; nothing is materialized.
     """
     if is_gz(fname1) or is_gz(fname2):
-        # gzip is not byte-splittable: read whole files, slice by record count
-        b1, b2 = read_fastq(fname1), read_fastq(fname2)
-        n = min(len(b1), len(b2))
-        lo, hi = n * rank // n_ranks, n * (rank + 1) // n_ranks
-        return b1[lo:hi], b2[lo:hi]
+        # gzip is not byte-splittable: both ranks stream both files once and
+        # keep round-robin PAIR chunks (bounded memory)
+        it1 = iter(_gz_round_robin(fname1, rank, n_ranks, chunk=4096))
+        it2 = iter(_gz_round_robin(fname2, rank, n_ranks, chunk=4096))
+        yield from _zip_resync(it1, it2)
+        return
 
     size1 = os.path.getsize(fname1)
     start = size1 * rank // n_ranks
     end = size1 * (rank + 1) // n_ranks
     rdr1 = FastqReader(fname1, start=start, end=end)
-    block1 = list(iter_batched(rdr1))
-    rdr1.close()
-    if not block1:
-        return [], []
-    want = block1[0].name
-    want_base = want[:-1] if want.endswith(("1", "2")) and "/" in want else want
+    try:
+        first1 = next(rdr1)
+    except StopIteration:
+        rdr1.close()
+        return
+    want_base = _name_base(first1.name)
 
     size2 = os.path.getsize(fname2)
     approx = size2 * rank // n_ranks
     slack = max(65536, size2 // max(n_ranks * 8, 1))
+    rdr2 = None
     while True:
         s2 = max(0, approx - slack)
         rdr2 = FastqReader(fname2, start=s2, end=None)
-        # scan at most the slack's worth of records past the approx offset
-        block2 = []
-        found = False
+        found = None
         for rec in rdr2:
-            base = rec.name[:-1] if rec.name.endswith(("1", "2")) and "/" in rec.name else rec.name
-            if base == want_base:
-                found = True
-                block2.append(rec)
+            if _name_base(rec.name) == want_base:
+                found = rec
                 break
             if rdr2.tell() > approx + slack and s2 > 0:
                 break  # overshot the window: mate must be before s2
-        if found:
-            for rec in rdr2:
-                if len(block2) >= len(block1):
-                    break
-                block2.append(rec)
-            rdr2.close()
-            if len(block2) == len(block1):
-                return block1, block2
+        if found is not None:
+            break
         rdr2.close()
+        rdr2 = None
         if s2 == 0:
             raise ValueError(
-                f"read_paired_blocks: mate of {want!r} not found in {fname2}"
+                f"iter_paired_blocks: mate of {first1.name!r} not found in {fname2}"
             )
         slack *= 4
+
+    def stream1():
+        yield first1
+        yield from iter_batched(rdr1)
+
+    def stream2():
+        yield found
+        yield from iter_batched(rdr2)
+
+    yield from _zip_resync(stream1(), stream2(), pace_first=True)
+    rdr1.close()
+    rdr2.close()
+
+
+def _zip_resync(it1, it2, pace_first: bool = False):
+    """Zip two record streams into pairs with name-based missing-mate resync
+    (fake 1-base mates, ≡ the interleaved resync of merge_reads.cpp:407-462).
+    With pace_first, stream 2 stops contributing once stream 1 is exhausted
+    (its remaining records belong to the next rank's block)."""
+    p1 = p2 = None
+    while True:
+        r1 = p1 if p1 is not None else _next_or_none(it1)
+        r2 = p2 if p2 is not None else _next_or_none(it2)
+        p1 = p2 = None
+        if r1 is None and r2 is None:
+            return
+        if r1 is None:
+            if pace_first:
+                return
+            yield _fake_mate(r2, "1"), r2
+            continue
+        if r2 is None:
+            yield r1, _fake_mate(r1, "2")
+            continue
+        b1, b2 = _name_base(r1.name), _name_base(r2.name)
+        if b1 == b2:
+            yield r1, r2
+            continue
+        # streams desynced: peek one ahead on each side to decide which
+        # stream skipped a record
+        n1 = _next_or_none(it1)
+        if n1 is not None and _name_base(n1.name) == b2:
+            # file 1 has an extra record (its mate missing in file 2)
+            yield r1, _fake_mate(r1, "2")
+            yield n1, r2
+            continue
+        n2 = _next_or_none(it2)
+        if n2 is not None and _name_base(n2.name) == b1:
+            # file 2 has an extra record
+            yield _fake_mate(r2, "1"), r2
+            yield r1, n2
+            p1 = n1
+            continue
+        # unrelated records on both sides: emit each with a fake mate
+        yield r1, _fake_mate(r1, "2")
+        yield _fake_mate(r2, "1"), r2
+        p1, p2 = n1, n2
+
+
+def _next_or_none(it):
+    try:
+        return next(it)
+    except StopIteration:
+        return None
+
+
+def _fake_mate(rec: FastqRecord, suffix: str) -> FastqRecord:
+    base = _name_base(rec.name)
+    name = base + suffix if base.endswith("/") else base + "/" + suffix
+    return FastqRecord(name=name, seq="N", quals="!")
+
+
+def read_paired_blocks(fname1: str, fname2: str, rank: int, n_ranks: int) -> tuple:
+    """Materialized form of iter_paired_blocks (kept for tests/small inputs);
+    the ingest path streams via iter_paired_blocks."""
+    b1, b2 = [], []
+    for r1, r2 in iter_paired_blocks(fname1, fname2, rank, n_ranks):
+        b1.append(r1)
+        b2.append(r2)
+    return b1, b2
 
 
 def iter_paired(fnames: list[str]):
     """Yield read pairs from either one interleaved file or two paired files
     (the reference's 'f1:f2' vs interleaved '-r' conventions,
-    src/options.cpp:379-405)."""
+    src/options.cpp:379-405).  Two-file streams resync on a missing mate via
+    fake 1-base mates (src/merge_reads.cpp:407-462) instead of truncating to
+    the shorter stream."""
     if len(fnames) == 2:
         r1 = FastqReader(fnames[0])
         r2 = FastqReader(fnames[1])
-        for a, b in zip(iter_batched(r1), iter_batched(r2)):
-            yield a, b
+        yield from _zip_resync(iter_batched(r1), iter_batched(r2))
         r1.close()
         r2.close()
     else:

@@ -163,12 +163,11 @@ def _iter_pairs_robust(fnames: list):
         if n_proc == 1:
             yield from iter_paired(fnames)
         else:
-            from .fastq import read_paired_blocks
+            from .fastq import iter_paired_blocks
 
-            b1, b2 = read_paired_blocks(
+            yield from iter_paired_blocks(
                 fnames[0], fnames[1], jax.process_index(), n_proc
             )
-            yield from zip(b1, b2)
         return
     if n_proc == 1:
         from .fastq import iter_batched

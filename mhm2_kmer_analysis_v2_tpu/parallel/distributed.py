@@ -213,6 +213,26 @@ def local_shard_items(arr):
             yield start + r, data[r]
 
 
+def gather_objects(obj) -> list:
+    """All-gather one small picklable object per process (ordered by process
+    index) — carries the traversal's boundary-chain partials and other tiny
+    irregular metadata; identity-wrapped when single-process."""
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    buf = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lens = allsum_array(np.eye(jax.process_count(), dtype=np.int64)[
+        jax.process_index()] * len(buf))
+    blob = gather_concat(buf)
+    out = []
+    off = 0
+    for n in lens:
+        out.append(pickle.loads(blob[off : off + int(n)].tobytes()))
+        off += int(n)
+    return out
+
+
 def gather_concat(x: np.ndarray) -> np.ndarray:
     """Concatenate per-process host arrays (axis 0, possibly unequal lengths)
     across processes; identity when single-process."""

@@ -406,8 +406,12 @@ def analyze_kmers(
                 return st_._replace(table=inner_ctg(st_.table, *args))
         else:
             ctg_step = inner_ctg
+        ctg_pairs = (
+            zip(prev_ctgs.seqs, prev_ctgs.depths)
+            if hasattr(prev_ctgs, "seqs") else prev_ctgs
+        )
         seqs, depths = [], []
-        for s, d in prev_ctgs:
+        for s, d in ctg_pairs:
             if len(s) < k + 2:
                 continue
             dd = max(1, min(int(round(d)), 65535))
@@ -415,11 +419,14 @@ def analyze_kmers(
             for lo in range(0, max(len(s) - (k + 1), 1), step_w):
                 seqs.append(s[lo : lo + WC])
                 depths.append(dd)
-        # every process holds the full contig set (traversal gathers); each
-        # inserts a disjoint round-robin slice, lockstep like the read loop
-        rank = jax.process_index()
-        seqs = seqs[rank::n_proc]
-        depths = depths[rank::n_proc]
+        if not getattr(prev_ctgs, "local", False):
+            # replicated contig set (host-gather traversal / restart load):
+            # each process inserts a disjoint round-robin slice, lockstep like
+            # the read loop.  Local contig sets (the scalable device
+            # traversal) are already disjoint per process.
+            rank = jax.process_index()
+            seqs = seqs[rank::n_proc]
+            depths = depths[rank::n_proc]
         cb = batch // n_proc  # this process's rows of the global batch
         n_cbatches = dist.allmax(max(1, -(-len(seqs) // cb)) if seqs else 1)
         for bi in range(n_cbatches):
@@ -581,11 +588,34 @@ def dump_kmers(fin, k: int, output_dir: str, n_shards: int):
 def contigging(fin, k: int, n_shards: int, options: Options):
     """UU-tig traversal over the finalized table (the dbjg_traversal stage the
     reference stubs out at src/contigging.cpp:107-117), emitting
-    uutigs-<k>.fasta."""
+    uutigs-<k>.fasta.
+
+    Default engine for sharded tables (k<=32, n_shards>1) is the
+    device-resident scalable traversal (contig/device.py): the global table is
+    NEVER gathered onto a host — the reference's sharded-table traversal data
+    model (src/kcount/kmer_dht.hpp:62-68)."""
     from ..contig import utg
     from ..table import shard_table_mw as stmw
 
     from ..parallel import distributed as dist
+
+    use_device = k <= 32 and (
+        options.traversal == "device"
+        or (options.traversal == "auto" and n_shards > 1)
+    )
+    if use_device:
+        from ..contig.device import contigging_device
+        from ..parallel import count_step as cs2
+
+        stage_timers.dbjg_traversal.start()
+        mesh = cs2.make_mesh(options.n_devices or None)
+        utgs, n_all, len_all = contigging_device(
+            fin, k, mesh, options.output_dir, f"uutigs-{k}.fasta",
+            keep_contigs=options.ctg_kmers,
+        )
+        stage_timers.dbjg_traversal.stop()
+        slog_verbose("Generated ", n_all, " uutigs, total length ", len_all)
+        return utgs
 
     stage_timers.dbjg_traversal.start()
     if k > 32:
@@ -639,7 +669,7 @@ def contigging(fin, k: int, n_shards: int, options: Options):
             cat(all_right, np.int64)[order],
             k,
         )
-        if options.distributed_traversal:
+        if options.traversal == "sharded":
             from ..contig.distributed import build_utgs_sharded
             from ..parallel import count_step as cs2
 
@@ -734,8 +764,9 @@ def run_pipeline(options: Options) -> list:
             write_histogram(hist, k, options.output_dir)
         utgs = contigging(fin, k, n_shards, options)
         if options.ctg_kmers:
-            # next round seeds from this round's contigs (add_ctg_kmers)
-            prev_ctgs = list(zip(utgs.seqs, utgs.depths))
+            # next round seeds from this round's contigs (add_ctg_kmers);
+            # the Utgs object carries whether the set is process-local
+            prev_ctgs = utgs
         # sequencing depth update for next round (src/contigging.cpp:148-150),
         # written back to the config like adjust_config_option
         # (src/main.cpp:227-229)

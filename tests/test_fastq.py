@@ -117,7 +117,7 @@ def test_pair_aware_blocks_cover_pairs_exactly_once(tmp_path):
     for n_ranks in (2, 3, 5):
         names = []
         for rank in range(n_ranks):
-            recs = fastq.read_fastq_block(str(p), rank, n_ranks, pair_aware=True)
+            recs = list(fastq.read_fastq_block(str(p), rank, n_ranks, pair_aware=True))
             # every block starts with a /1 and has an even pair structure
             if recs:
                 assert recs[0].name.endswith("/1")
@@ -263,3 +263,69 @@ def test_read_batch_malformed_raises(tmp_path):
     assert len(rdr2.read_batch(1)) == 1
     with pytest.raises(ValueError):
         rdr2.read_batch(10)
+
+
+def test_two_file_missing_mate_resync(tmp_path):
+    """Two-file streams with records missing on either side resync by name
+    with fake 1-base mates (the reference's missing-mate behavior,
+    src/merge_reads.cpp:407-462) instead of silently zip-truncating."""
+    f1, f2 = str(tmp_path / "m1.fastq"), str(tmp_path / "m2.fastq")
+    n = 30
+    drop1 = {12, 21}   # records missing from file 1
+    drop2 = {4, 7, 29}  # records missing from file 2
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i in range(n):
+            if i not in drop1:
+                a.write(f"@read{i}/1\nACGTACGTAA\n+\nIIIIIIIIII\n")
+            if i not in drop2:
+                b.write(f"@read{i}/2\nTTGGCCAAGG\n+\nIIIIIIIIII\n")
+    pairs = list(fastq.iter_paired([f1, f2]))
+    assert len(pairs) == n
+    for i, (r1, r2) in enumerate(pairs):
+        assert r1.name == f"read{i}/1" and r2.name == f"read{i}/2", i
+        assert (r1.seq == "N") == (i in drop1)
+        assert (r2.seq == "N") == (i in drop2)
+
+
+def test_streaming_block_readers_bounded_memory(tmp_path):
+    """read_fastq_block / iter_paired_blocks stream: peak Python allocation
+    while consuming a block stays far below the block size (VERDICT r2
+    item 3 — reference streams per rank, src/fastq.cpp:1028-1059)."""
+    import tracemalloc
+
+    seq = "ACGT" * 40
+
+    def mkfiles(n, tag):
+        f1, f2 = str(tmp_path / f"{tag}1.fastq"), str(tmp_path / f"{tag}2.fastq")
+        with open(f1, "w") as a, open(f2, "w") as b:
+            for i in range(n):
+                a.write(f"@read{i}/1\n{seq}\n+\n{'I' * len(seq)}\n")
+                b.write(f"@read{i}/2\n{seq}\n+\n{'I' * len(seq)}\n")
+        return f1, f2
+
+    def peak_of(gen):
+        tracemalloc.start()
+        count = sum(1 for _ in gen)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert count > 0
+        return peak
+
+    # both block sizes exceed the streaming asymptote (2 x 4096-record
+    # batches in flight), so equal peaks == nothing O(block) is held
+    small = mkfiles(20000, "s")
+    large = mkfiles(160000, "l")  # 8x the data
+    # streaming: peak allocation is O(refill chunk + batch), NOT O(block) —
+    # an 8x larger block must not grow the peak materially.  Shrink the refill
+    # chunk so both files span many refills (equal baseline).
+    old_chunk = fastq.FastqReader._CHUNK
+    fastq.FastqReader._CHUNK = 256 << 10
+    try:
+        p_small = peak_of(fastq.read_fastq_block(small[0], 0, 2))
+        p_large = peak_of(fastq.read_fastq_block(large[0], 0, 2))
+        assert p_large < 1.5 * p_small + (1 << 20), (p_small, p_large)
+        p_small = peak_of(fastq.iter_paired_blocks(*small, 0, 2))
+        p_large = peak_of(fastq.iter_paired_blocks(*large, 0, 2))
+        assert p_large < 1.5 * p_small + (1 << 20), (p_small, p_large)
+    finally:
+        fastq.FastqReader._CHUNK = old_chunk
