@@ -79,15 +79,28 @@ class KmerDHT:
 
         if self._fin is not None:
             raise RuntimeError("finish_updates() already called")
+        from ..parallel import distributed as dist
+
         codes = np.ascontiguousarray(codes, np.uint8)
         badq = np.ascontiguousarray(badq, bool)
         lengths = np.ascontiguousarray(lengths, np.int32)
         B, L = codes.shape
-        if B % self.n_shards:
-            raise ValueError(f"batch rows {B} not a multiple of {self.n_shards} shards")
+        # multi-process SPMD: each process passes its OWN rows of the global
+        # batch (the per-rank read blocks of the reference); single-process
+        # passes the whole batch.  Rows must tile this process's shards.
+        n_proc = jax.process_count()
+        local_shards = self.n_shards // max(n_proc, 1)
+        if B % max(local_shards, 1):
+            raise ValueError(
+                f"batch rows {B} not a multiple of this process's "
+                f"{local_shards} shards"
+            )
+        B_glob = dist.allsum(B)
+        if n_proc > 1 and L != dist.allmax(L):
+            raise ValueError("pad read batches to a common max_len across processes")
         cap = self._cap
         if not cap:
-            positions = (B // max(self.n_shards, 1)) * L
+            positions = (B_glob // max(self.n_shards, 1)) * L
             if self.wire == "supermer":
                 cap = max(positions // (max(self.n_shards, 1) * 3) + 1024, 1024)
             else:
@@ -102,10 +115,10 @@ class KmerDHT:
         sharding = NamedSharding(self.mesh, P("sh"))
         self.state = step(
             self.state,
-            jax.device_put(pb.code2, sharding),
-            jax.device_put(pb.nmask, sharding),
-            jax.device_put(pb.badq, sharding),
-            jax.device_put(pb.lengths, sharding),
+            dist.make_global(sharding, pb.code2),
+            dist.make_global(sharding, pb.nmask),
+            dist.make_global(sharding, pb.badq),
+            dist.make_global(sharding, pb.lengths),
         )
 
     def add_read_strings(self, seqs: list, quals: list | None = None,

@@ -57,6 +57,77 @@ def _words_lt(a: list, b: list):
     return lt
 
 
+def _rev32(w):
+    """Complement + reverse the 16 base groups of a u32 word."""
+    v = ~w.astype(U32)
+    v = (
+        ((v >> U32(24)) & U32(0xFF))
+        | ((v >> U32(8)) & U32(0xFF00))
+        | ((v << U32(8)) & U32(0xFF0000))
+        | (v << U32(24))
+    )
+    m4 = U32(0x0F0F0F0F)
+    v = ((v >> U32(4)) & m4) | ((v & m4) << U32(4))
+    m2 = U32(0x33333333)
+    v = ((v >> U32(2)) & m2) | ((v & m2) << U32(2))
+    return v
+
+
+def _ext_bits(wl: list, s: int, nbits: int):
+    """Extract nbits (<= 64) at LSB-offset s from a little-endian u32 word
+    list, as a (hi, lo) pair; s/nbits static."""
+    j0, r0 = divmod(s, 32)
+
+    def word(i):
+        return wl[i] if 0 <= i < len(wl) else jnp.zeros_like(wl[0])
+
+    if r0 == 0:
+        lo = word(j0)
+        hi = word(j0 + 1)
+    else:
+        lo = (word(j0) >> U32(r0)) | (word(j0 + 1) << U32(32 - r0))
+        hi = (word(j0 + 1) >> U32(r0)) | (word(j0 + 2) << U32(32 - r0))
+    if nbits <= 32:
+        lo = lo & U32((1 << nbits) - 1) if nbits < 32 else lo
+        hi = jnp.zeros_like(hi)
+    elif nbits < 64:
+        hi = hi & U32((1 << (nbits - 32)) - 1)
+    return hi, lo
+
+
+def route_kmer_words(planes: list, k: int, n_shards: int, m: int | None = None):
+    """Owner shard of standalone canonical multi-word k-mers.
+
+    planes: W [Q] u32 word planes (word 0 = leading r bases right-aligned).
+    Bit-identical minimizer SELECTION to kmer_records_mw — per-window
+    min(fwd m-mer, rc m-mer), max over the k-m+1 windows, route_hash — so
+    queries/traversal look k-mers up where the count step placed them
+    (reference routing: src/kcount/kmer_dht.cpp:193-196)."""
+    from .kmer_ops import _pair_lt
+
+    if m is None:
+        m = minimizer_len_for_k(k)
+    Wn = len(planes)
+    assert Wn == n_words(k)
+    # little-endian padded word lists; rc list is bit-shifted by D = 32-2r
+    wl = list(reversed(planes))
+    rc_wl = [_rev32(p) for p in planes]
+    r = k - 16 * (Wn - 1)
+    D = 32 - 2 * r if r < 16 else 0
+    bh = bl = None
+    for i in range(k - m + 1):
+        fh, fl = _ext_bits(wl, 2 * (k - m - i), 2 * m)
+        gh, gl = _ext_bits(rc_wl, 2 * i + D, 2 * m)
+        lh, ll = _pair_min(fh, fl, gh, gl)
+        if bh is None:
+            bh, bl = lh, ll
+        else:
+            take = _pair_lt(bh, bl, lh, ll)
+            bh = jnp.where(take, lh, bh)
+            bl = jnp.where(take, ll, bl)
+    return (route_hash(bh, bl) % U32(n_shards)).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "m", "n_shards"))
 def kmer_records_mw(
     codes: jax.Array,

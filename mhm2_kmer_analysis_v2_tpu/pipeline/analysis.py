@@ -470,26 +470,27 @@ def analyze_kmers(
     stage_timers.analyze_kmers.stop()
     comm_stats.end_stage()
 
-    # probe-length / load-factor report (flush_inserts, kcount_cpu.cpp:496-521);
-    # verbose-only: it pulls the full key arrays (~8 B/slot of CAPACITY) to
-    # host, which dwarfs the counting time through a slow host link
-    if options.verbose and not multiword and n_proc == 1:
-        import jax.numpy as jnp
+    # probe-length / load-factor report (flush_inserts, kcount_cpu.cpp:496-521)
+    # — always-on for every table family and process count: the reduction runs
+    # on device and pulls only a few scalars per shard (the r2 version pulled
+    # the full key arrays and was gated to verbose+single-process+shard 0)
+    if multiword:
+        from ..table.shard_table_mw import probe_stats_device_mw
+        from ..ops.kmer_multiword import n_words as _nwords
 
-        from ..table.shard_table import ShardTable as _ST, probe_stats
+        pstats = probe_stats_device_mw(state.keys, _nwords(k))
+    else:
+        from ..table.shard_table import probe_stats_device
 
-        stats0 = probe_stats(_ST(
-            keys_hi=jnp.asarray(state.keys_hi)[0],
-            keys_lo=jnp.asarray(state.keys_lo)[0],
-            counts=jnp.asarray(state.counts)[0],
-            extc=jnp.asarray(state.extc)[0],
-            claim=jnp.asarray(state.claim)[0],
-            num_dropped=jnp.zeros((), jnp.int32),
-        ))
+        pstats = probe_stats_device(state.keys_hi, state.keys_lo)
+    occ = pstats["occupied"]
+    if occ.sum() > 0:
+        wavg = float((pstats["avg_probe"] * occ).sum() / occ.sum())
         slog_verbose(
-            "  load factor: ", f"{stats0['load_factor']:.3f}",
-            ", probe lengths: ", f"{stats0['avg_probe']:.2f}", " avg, ",
-            stats0["max_probe"], " max (shard 0)",
+            "  load factor: ", f"{float(pstats['load_factor'].mean()):.3f}",
+            " avg / ", f"{float(pstats['load_factor'].max()):.3f}",
+            " max, probe lengths: ", f"{wavg:.2f}", " avg, ",
+            int(pstats["max_probe"].max()), " max (", len(occ), " shards)",
         )
 
     unique = int(dist.fetch(fin.num_kept).sum())

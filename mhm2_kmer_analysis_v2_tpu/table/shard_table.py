@@ -173,6 +173,72 @@ def probe_stats(table: ShardTable) -> dict:
     }
 
 
+def _probe_tri_tables(cap: int):
+    """(sorted triangular offsets, probe-index order) as device constants —
+    the schedule inversion tables shared by the device probe-stat reducers."""
+    if cap < QUAD_MIN_CAP:
+        order = np.arange(MAX_PROBE, dtype=np.int64)
+        tri_sorted = order.copy()
+    else:
+        i = np.arange(MAX_PROBE, dtype=np.int64)
+        tri = (i * (i + 1) // 2) % cap
+        order = np.argsort(tri)
+        tri_sorted = tri[order]
+    return (
+        jnp.asarray(tri_sorted.astype(np.int32)),
+        jnp.asarray(order.astype(np.int32)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _probe_scalars_fn(cap: int):
+    """Jitted per-shard probe stats from final contents — DEVICE-side (a few
+    scalars per shard D2H, never the keys).  The always-on replacement for
+    the host probe_stats pull (reference reports load factor / probe lengths
+    for every run, kcount_cpu.cpp:496-521)."""
+    ts, od = _probe_tri_tables(cap)
+
+    @jax.jit
+    def f(hi, lo):
+        occ = (hi != EMPTY) | (lo != EMPTY)
+        slot = jax.lax.broadcasted_iota(jnp.int32, hi.shape, hi.ndim - 1)
+        home = (slot_hash(hi, lo) % U32(cap)).astype(jnp.int32)
+        disp = jnp.mod(slot - home, cap)
+        pos = jnp.clip(jnp.searchsorted(ts, disp.reshape(-1)), 0, MAX_PROBE - 1)
+        probe = jnp.where(
+            ts[pos] == disp.reshape(-1), od[pos], MAX_PROBE
+        ).reshape(disp.shape) + 1
+        probe = jnp.where(occ, probe, 0)
+        return (
+            jnp.sum(occ, axis=-1).astype(jnp.int64),
+            jnp.sum(probe, axis=-1).astype(jnp.int64),
+            jnp.max(probe, axis=-1).astype(jnp.int32),
+        )
+
+    return f
+
+
+def probe_stats_device(keys_hi, keys_lo) -> dict:
+    """Probe/load stats for a sharded table's [n_shards, cap] key planes,
+    computed on device (multi-process safe: fetch pulls [n_shards] scalars).
+
+    Returns {'occupied': [S], 'load_factor': [S], 'avg_probe': [S],
+    'max_probe': [S]} numpy arrays."""
+    from ..parallel import distributed as dist
+
+    cap = keys_hi.shape[-1]
+    n, sump, maxp = _probe_scalars_fn(cap)(keys_hi, keys_lo)
+    n = dist.fetch(n).astype(np.int64)
+    sump = dist.fetch(sump).astype(np.int64)
+    maxp = dist.fetch(maxp).astype(np.int64)
+    return {
+        "occupied": n,
+        "load_factor": n / cap,
+        "avg_probe": np.where(n > 0, sump / np.maximum(n, 1), 0.0),
+        "max_probe": maxp,
+    }
+
+
 def _displacement_to_probe(disp: np.ndarray, cap: int) -> np.ndarray:
     """Invert the probe schedule: displacement (slot - home) mod cap -> probe
     index.  Linear schedule: identity.  Quadratic: match against the

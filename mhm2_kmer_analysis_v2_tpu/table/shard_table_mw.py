@@ -66,6 +66,54 @@ def slot_hash_mw(words: jax.Array) -> jax.Array:
     return h
 
 
+def probe_stats_device_mw(keys_flat, n_words: int) -> dict:
+    """Device-side probe/load stats for a sharded multi-word table's
+    [n_shards, W*cap] flat key planes (mirror of st.probe_stats_device):
+    a few scalars per shard D2H, never the keys."""
+    import numpy as np
+
+    from ..parallel import distributed as dist
+
+    S, WC = keys_flat.shape
+    cap = WC // n_words
+
+    @jax.jit
+    def f(keys):
+        kw = keys.reshape(S, n_words, cap)
+        occ = jnp.zeros((S, cap), bool)
+        for j in range(n_words):
+            occ |= kw[:, j, :] != EMPTY
+        # slot hash over the word axis (elementwise: keys are slot-aligned)
+        h = jnp.zeros((S, cap), U32) ^ U32(0x5BD1E995)
+        for j in range(n_words):
+            h = fmix32(h ^ kw[:, j, :] ^ (U32(j) * U32(0x9E3779B9)))
+        home = (h % U32(cap)).astype(jnp.int32)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (S, cap), 1)
+        disp = jnp.mod(slot - home, cap)
+        ts, od = st._probe_tri_tables(cap)
+        pos = jnp.clip(jnp.searchsorted(ts, disp.reshape(-1)), 0, MAX_PROBE - 1)
+        probe = jnp.where(
+            ts[pos] == disp.reshape(-1), od[pos], MAX_PROBE
+        ).reshape(S, cap) + 1
+        probe = jnp.where(occ, probe, 0)
+        return (
+            jnp.sum(occ, axis=-1).astype(jnp.int64),
+            jnp.sum(probe, axis=-1).astype(jnp.int64),
+            jnp.max(probe, axis=-1).astype(jnp.int32),
+        )
+
+    n, sump, maxp = f(keys_flat)
+    n = dist.fetch(n).astype(np.int64)
+    sump = dist.fetch(sump).astype(np.int64)
+    maxp = dist.fetch(maxp).astype(np.int64)
+    return {
+        "occupied": n,
+        "load_factor": n / cap,
+        "avg_probe": np.where(n > 0, sump / np.maximum(n, 1), 0.0),
+        "max_probe": maxp,
+    }
+
+
 def _probe_round_mw(tbl, recs, w0_full_range: bool, cap: int, step=1):
     """One synchronized probe sweep (multi-word port of st._probe_round).
 

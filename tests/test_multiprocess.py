@@ -159,3 +159,33 @@ def test_maybe_initialize_scheduler_autodetect(monkeypatch):
     monkeypatch.setenv("SLURM_NTASKS", "")
     dist.maybe_initialize()
     assert calls == []
+
+
+@pytest.mark.slow
+def test_two_process_point_queries(tmp_path):
+    """Collective point queries (VERDICT r2 item 9): each process queries its
+    OWN k-mer list against the live sharded table across 2 processes — the
+    any-rank get_kmer_count RPC (src/kcount/kmer_dht.cpp:216-245)."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PYTHONSTARTUP", None)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["PYTHONPATH"] = REPO + os.pathsep + os.path.join(REPO, "tests")
+        env.update({
+            "COORDINATOR_ADDRESS": f"localhost:{port}",
+            "NUM_PROCESSES": "2",
+            "PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_query_driver.py")],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, (pid, log[-4000:])
+        assert f"MP_QUERY_OK rank={pid}" in log, (pid, log[-2000:])

@@ -199,3 +199,44 @@ def test_full_hi_range_sentinel_kmer_k32():
     vals, counts, left, right = shard_table.compact_to_host(fin)
     assert len(vals) == 1 and counts[0] == 3
     assert shard_table.vals_to_strings(vals, k)[0] == "T" * 16 + "A" * 16
+
+
+def test_probe_stats_device_matches_host():
+    """Device-side probe/load reducer (a few scalars D2H) == the host
+    displacement-inversion stats, single-word and multi-word."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mhm2_kmer_analysis_v2_tpu.table import shard_table as st
+    from mhm2_kmer_analysis_v2_tpu.table import shard_table_mw as stmw
+
+    rng = np.random.default_rng(12)
+    t = st.create(6000)
+    n = 3500
+    hi = rng.integers(0, 1 << 20, n).astype(np.uint32)
+    lo = rng.integers(0, 1 << 32, n).astype(np.uint32)
+    tbl = st.insert_batch(
+        t, jnp.asarray(hi), jnp.asarray(lo), jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32), jnp.ones(n, bool),
+    )
+    host = st.probe_stats(tbl)
+    dev = st.probe_stats_device(tbl.keys_hi[None], tbl.keys_lo[None])
+    assert int(dev["occupied"][0]) == host["occupied"]
+    assert abs(float(dev["avg_probe"][0]) - host["avg_probe"]) < 1e-9
+    assert int(dev["max_probe"][0]) == host["max_probe"]
+
+    # multi-word: occupancy + load factor sanity (probe lengths follow the
+    # same schedule inversion)
+    k = 64
+    W = 4
+    tm = stmw.create(5000, W)
+    words = jnp.asarray(rng.integers(0, 1 << 32, (W, 2000)).astype(np.uint32))
+    tblm = stmw.insert_batch_mw(
+        tm, words, jnp.zeros(2000, jnp.int32), jnp.zeros(2000, jnp.int32),
+        jnp.ones(2000, jnp.int32), jnp.ones(2000, bool), w0_full_range=True,
+    )
+    devm = stmw.probe_stats_device_mw(tblm.keys[None], W)
+    occ = (
+        np.asarray(tblm.keys).reshape(W, -1) != 0xFFFFFFFF
+    ).any(axis=0).sum()
+    assert int(devm["occupied"][0]) == int(occ)
+    assert int(devm["max_probe"][0]) >= 1
