@@ -1,4 +1,4 @@
-"""Vectorized (numpy) re-implementation of the scalar oracle, k <= 64.
+"""Vectorized (numpy) re-implementation of the scalar oracle, k <= 160.
 
 Same semantics as `oracle.OracleCounter` (which carries the reference
 file:line citations): counted positions 1..L-k-1, N->G inside k-mer values
@@ -44,14 +44,16 @@ class FastOracleCounter:
     ctg-kmer carryover semantics use the scalar oracle)."""
 
     def __init__(self, k: int, qual_offset: int = 33, dmin_thres: int = 2):
-        assert k <= 64, "fast oracle packs k-mers into one or two uint64 words"
+        assert k <= 160, "fast oracle covers the reference MAX_K set (<=160)"
         self.k = k
         self.qual_offset = qual_offset
         self.dmin_thres = dmin_thres
-        # canonical value per counted position: one u64 word for k<=32,
-        # (hi, lo) u64 pair for k<=64 (hi = first k-32 bases)
-        self._vals: list[np.ndarray] = []
-        self._vals_hi: list[np.ndarray] = []
+        # canonical value per counted position: one u64 word for k<=32, else
+        # a W64 = ceil(k/32) u64 word stack (word 0 = first r = k-32*(W64-1)
+        # bases, then 32-base words — lexicographic like the reference's
+        # big-endian longs, src/kmer.hpp:64-65)
+        self.n_words64 = max(1, -(-k // 32))
+        self._vals: list[np.ndarray] = []  # k<=32: [n]; else [W64, n] stacks
         self._lext: list[np.ndarray] = []  # 0..3 = ACGT tally, 4 = none
         self._rext: list[np.ndarray] = []
         self._finalized = None
@@ -136,20 +138,24 @@ class FastOracleCounter:
             r = compose_r(idx, k)
             flip = r < v
             canon = np.where(flip, r, v)
-            canon_hi = None
         else:
-            # two words: hi = first k-32 bases, lo = last 32; the pair
-            # compares like the full 2k-bit integer (lexicographic)
-            hiw = k - 32
-            v_hi = compose_f(idx, hiw)
-            v_lo = compose_f(idx + hiw, 32)
-            # revcomp: first k-32 chars = rc of bases [32, k), last 32
-            # chars = rc of bases [0, 32)
-            r_hi = compose_r(idx + 32, hiw)
-            r_lo = compose_r(idx, 32)
-            flip = (r_hi < v_hi) | ((r_hi == v_hi) & (r_lo < v_lo))
-            canon = np.where(flip, r_lo, v_lo)
-            canon_hi = np.where(flip, r_hi, v_hi)
+            # W64 words: word 0 = first r bases, then 32-base words; the word
+            # stack compares like the full 2k-bit integer (lexicographic).
+            # revcomp word j = rc of the mirrored input chunk.
+            W64 = self.n_words64
+            r0 = k - 32 * (W64 - 1)
+            widths = [r0] + [32] * (W64 - 1)
+            offs = np.cumsum([0] + widths[:-1])
+            v_w = [compose_f(idx + o, w) for o, w in zip(offs, widths)]
+            r_w = [compose_r(idx + k - o - w, w) for o, w in zip(offs, widths)]
+            flip = np.zeros(len(idx), bool)
+            eq = np.ones(len(idx), bool)
+            for vw, rw in zip(v_w, r_w):
+                flip |= eq & (rw < vw)
+                eq &= rw == vw
+            canon = np.stack(
+                [np.where(flip, rw, vw) for vw, rw in zip(v_w, r_w)]
+            )
 
         le = np.where(ext_ok[idx - 1], _KCODE[flat[idx - 1]], 4).astype(np.uint8)
         re_ = np.where(ext_ok[idx + k], _KCODE[flat[idx + k]], 4).astype(np.uint8)
@@ -157,8 +163,6 @@ class FastOracleCounter:
         fle = np.where(re_ == 4, 4, 3 - re_).astype(np.uint8)
         fre = np.where(le == 4, 4, 3 - le).astype(np.uint8)
         self._vals.append(canon)
-        if canon_hi is not None:
-            self._vals_hi.append(canon_hi)
         self._lext.append(np.where(flip, fle, le))
         self._rext.append(np.where(flip, fre, re_))
         self._finalized = None
@@ -182,27 +186,33 @@ class FastOracleCounter:
     def _reduce(self):
         if self._finalized is not None:
             return self._finalized
-        vals = np.concatenate(self._vals) if self._vals else np.zeros(0, np.uint64)
         lext = np.concatenate(self._lext) if self._lext else np.zeros(0, np.uint8)
         rext = np.concatenate(self._rext) if self._rext else np.zeros(0, np.uint8)
         # sort + segment-reduce (np.unique(return_inverse=True) is ~20x
         # slower than argsort at this scale in this numpy build)
         if self.k <= 32:
+            vals = (np.concatenate(self._vals) if self._vals
+                    else np.zeros(0, np.uint64))
             order = np.argsort(vals, kind="stable")
             sv = vals[order]
             newseg = np.ones(len(sv), bool)
             np.not_equal(sv[1:], sv[:-1], out=newseg[1:])
             uniq = sv[newseg]
         else:
-            his = (np.concatenate(self._vals_hi) if self._vals_hi
-                   else np.zeros(0, np.uint64))
-            order = np.lexsort((vals, his))
-            sv, sh = vals[order], his[order]
-            newseg = np.ones(len(sv), bool)
-            np.not_equal(sv[1:], sv[:-1], out=newseg[1:])
-            newseg[1:] |= sh[1:] != sh[:-1]
-            # [U, 2] columns (hi, lo)
-            uniq = np.column_stack([sh[newseg], sv[newseg]])
+            W64 = self.n_words64
+            words = (np.concatenate(self._vals, axis=1) if self._vals
+                     else np.zeros((W64, 0), np.uint64))
+            # np.lexsort: LAST key is primary -> pass words least- to
+            # most-significant
+            order = np.lexsort(tuple(words[::-1]))
+            sw = words[:, order]
+            newseg = np.ones(sw.shape[1], bool)
+            if sw.shape[1]:
+                newseg[1:] = False
+            for j in range(W64):
+                newseg[1:] |= sw[j, 1:] != sw[j, :-1]
+            # [U, W64] columns, most-significant word first
+            uniq = sw[:, newseg].T.copy()
         U = len(uniq)
         # dtype matters: cumsum over a bool array without it takes a
         # pathological accumulate path (~100x) in this numpy build
@@ -242,8 +252,8 @@ class FastOracleCounter:
         """(sorted canonical vals, counts, left char bytes, right char
         bytes) of surviving k-mers — the purge rules of finalize().
 
-        vals is a 1-D u64 array for k<=32, else a [U, 2] u64 array of
-        (hi, lo) words (hi = first k-32 bases); both orders are the
+        vals is a 1-D u64 array for k<=32, else a [U, W64] u64 word matrix
+        (word 0 = first k-32*(W64-1) bases); both orders are the
         lexicographic canonical k-mer order."""
         uniq, counts, lcnt, rcnt = self._reduce()
         lch = self._call_ext(lcnt, counts)
@@ -260,8 +270,12 @@ class FastOracleCounter:
         from .oracle import val_to_kmer
 
         vals, counts, lch, rch = self.finalize_arrays()
-        ints = (vals.astype(object) if vals.ndim == 1
-                else (vals[:, 0].astype(object) << 64) | vals[:, 1].astype(object))
+        if vals.ndim == 1:
+            ints = vals.astype(object)
+        else:
+            ints = vals[:, 0].astype(object)
+            for j in range(1, vals.shape[1]):
+                ints = (ints << 64) | vals[:, j].astype(object)
         return {
             val_to_kmer(int(v), self.k): (int(c), chr(l), chr(r))
             for v, c, l, r in zip(ints, counts, lch, rch)

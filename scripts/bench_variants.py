@@ -74,30 +74,33 @@ def main():
             flush=True,
         )
 
-    # ---- multi-word k=33 (3 uint32 words) ---------------------------------
-    k_mw = 33
-
-    def step_mw(table, batch):
-        codes, badq, lengths = batch
-        recs = kmer_records_mw(codes, badq, lengths, k=k_mw, n_shards=1)
-        W = recs["canon"].shape[0]
-        words = recs["canon"].reshape(W, -1)
-        flat = {kk: v.reshape(-1) for kk, v in recs.items() if kk != "canon"}
-        table = shard_table_mw.insert_batch_mw(
-            table, words, flat["left"], flat["right"],
-            jnp.ones_like(flat["left"]), flat["valid"],
-            w0_full_range=(k_mw % 16 == 0),
-        )
-        return table, 0
-
+    # ---- multi-word (3 words at k=33; 8 words at the reference's
+    # MAX_BUILD_KMER=128 default) ------------------------------------------
     from mhm2_kmer_analysis_v2_tpu.ops.kmer_multiword import n_words
 
-    bench(
-        "kmer_count_throughput_mw_k33",
-        k_mw,
-        shard_table_mw.create(10_000_000, n_words(k_mw)),
-        step_mw,
-    )
+    def make_step_mw(k_mw):
+        def step_mw(table, batch):
+            codes, badq, lengths = batch
+            recs = kmer_records_mw(codes, badq, lengths, k=k_mw, n_shards=1)
+            W = recs["canon"].shape[0]
+            words = recs["canon"].reshape(W, -1)
+            flat = {kk: v.reshape(-1) for kk, v in recs.items() if kk != "canon"}
+            table = shard_table_mw.insert_batch_mw(
+                table, words, flat["left"], flat["right"],
+                jnp.ones_like(flat["left"]), flat["valid"],
+                w0_full_range=(k_mw % 16 == 0),
+            )
+            return table, 0
+
+        return step_mw
+
+    for k_mw in (33, 128):
+        bench(
+            f"kmer_count_throughput_mw_k{k_mw}",
+            k_mw,
+            shard_table_mw.create(10_000_000, n_words(k_mw)),
+            make_step_mw(k_mw),
+        )
 
     # ---- --use-qf (singleton filter in front of the k=21 table) -----------
     k_qf = 21

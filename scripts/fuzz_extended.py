@@ -29,7 +29,7 @@ from mhm2_kmer_analysis_v2_tpu.oracle import OracleCounter
 def one_trial(seed: int) -> list:
     errors = []
     rng = np.random.default_rng(seed)
-    k = int(rng.choice([15, 17, 19, 21, 23, 27, 31, 32, 33, 39, 45, 55, 63, 64]))
+    k = int(rng.choice([15, 17, 19, 21, 23, 27, 31, 32, 33, 39, 45, 55, 63, 64, 96, 128, 160]))
     glen = int(rng.integers(120, 900))
     genome = "".join(rng.choice(list("ACGT"), glen))
     n_reads = int(rng.integers(20, 120))

@@ -21,7 +21,7 @@ def _records(reads, k, n_shards=1):
     return batch, recs
 
 
-@pytest.mark.parametrize("k", [33, 55, 64, 77, 96])
+@pytest.mark.parametrize("k", [33, 55, 64, 77, 96, 128, 160])
 def test_records_vs_oracle(k):
     reads = random_reads(5, k + 2, 2 * k + 20, seed=k)
     n_shards = 5
@@ -66,7 +66,7 @@ def test_records_vs_oracle(k):
             assert int(tgt[b, i]) == oracle.kmer_target_shard(cv, k, n_shards, m)
 
 
-@pytest.mark.parametrize("k", [33, 55])
+@pytest.mark.parametrize("k", [33, 55, 128, 160])
 def test_insert_finalize_vs_oracle(k):
     reads = genome_reads(60, k + 40, genome_len=400, seed=k, err=0.01)
     batch, recs = _records(reads, k)
@@ -113,13 +113,13 @@ def test_mw_pipeline_end_to_end(tmp_path):
     assert canon == oc.utgs()
 
 
-def test_mw_sharded_invariance():
+@pytest.mark.parametrize("k", [33, 160])
+def test_mw_sharded_invariance(k):
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from mhm2_kmer_analysis_v2_tpu.parallel import count_step as cs
 
-    k = 33
-    reads = genome_reads(64, 80, genome_len=300, seed=9)
+    reads = genome_reads(64, max(80, k + 12), genome_len=400, seed=9)
     results = {}
     for n_shards in (1, 4):
         mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
@@ -184,3 +184,23 @@ def test_mw_supermer_wire_matches_record_wire():
         outs[wire] = merged
     assert outs["supermer"] == outs["record"]
     assert outs["record"] == oracle_count(reads, k).finalize()
+
+
+@pytest.mark.parametrize("k", [33, 64, 96, 128, 160])
+def test_route_kmer_words_matches_count_step(k):
+    """Standalone multi-word k-mer routing (queries/traversal) places k-mers
+    exactly where kmer_records_mw's count-step targets do."""
+    rng = np.random.default_rng(k)
+    S = 7
+    B, L = 4, k + 40
+    codes = rng.integers(0, 4, (B, L)).astype(np.int32)
+    rec = mw.kmer_records_mw(
+        jnp.asarray(codes), jnp.zeros((B, L), bool),
+        jnp.full((B,), L, jnp.int32), k=k, n_shards=S,
+    )
+    valid = np.asarray(rec["valid"])
+    canon = np.asarray(rec["canon"])
+    want = np.asarray(rec["target"])[valid]
+    planes = [jnp.asarray(canon[j][valid]) for j in range(mw.n_words(k))]
+    got = np.asarray(mw.route_kmer_words(planes, k, S))
+    assert (got == want).all(), k

@@ -27,7 +27,7 @@ def _random_reads(rng, k, n, err_n=0.01, err_sub=0.02):
 def test_fast_oracle_matches_scalar_fuzz():
     rng = np.random.default_rng(42)
     for trial in range(7):
-        k = int(rng.choice([15, 17, 21, 27, 31, 32, 33, 47, 55, 64]))
+        k = int(rng.choice([15, 17, 21, 27, 31, 32, 33, 47, 55, 64, 96, 128, 160]))
         seqs, quals = _random_reads(rng, k, int(rng.integers(30, 150)))
         oc = OracleCounter(k)
         for s, q in zip(seqs, quals):
