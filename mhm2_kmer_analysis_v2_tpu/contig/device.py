@@ -321,6 +321,18 @@ def make_fin_traversal(mesh: Mesh, k: int, K: int, cap: int | None = None,
     return jax.jit(fn), TraversalPlan(mesh, k, K, n_shards, n2p)
 
 
+def _device_shard_blocks(arr):
+    """(global_shard_index, DEVICE-resident block) for this process's shards
+    of a leading-axis-sharded array — like distributed.local_shard_items but
+    without the host copy (callers chunk-fetch)."""
+    for s in getattr(arr, "addressable_shards", []):
+        idx = s.index[0] if s.index else slice(None)
+        start = idx.start or 0
+        rows = s.data.shape[0]
+        for r in range(rows):
+            yield start + r, s.data[r]
+
+
 @dataclass
 class ChainCarry:
     """Partial chain crossing a slice boundary during streamed assembly.
@@ -458,8 +470,10 @@ def contigging_device(fin, k: int, mesh: Mesh, output_dir: str, out_name: str,
     step, plan = make_fin_traversal(mesh, k, K)
     planes = step(fin.keys_hi, fin.keys_lo, fin.counts,
                   fin.left_ext, fin.right_ext, fin.keep)
-    # this process's shard slices, ascending, grouped into contiguous runs
-    items = [dict(dist.local_shard_items(p)) for p in planes]
+    # this process's shard slices, ascending, grouped into contiguous runs;
+    # blocks stay DEVICE-resident — the feed loop pulls fixed-size chunks, so
+    # peak host memory is O(chunk + open chain), independent of table size
+    items = [dict(_device_shard_blocks(p)) for p in planes]
     my_shards = sorted(items[0])
     runs: list[list[int]] = []
     for s in my_shards:
@@ -485,6 +499,8 @@ def contigging_device(fin, k: int, mesh: Mesh, output_dir: str, out_name: str,
 
     partials = []  # (first_shard, last_shard, lead, trail)
     frag_paths = {}
+    CHUNK = 1 << 19  # records per host fetch (5 planes x 4 B -> ~10 MB)
+    n_local = 2 * K
     for run in runs:
         frag = os.path.join(per_rank, f"{out_name}.frag.{run[0]:06d}")
         frag_paths[run[0]] = frag
@@ -492,7 +508,9 @@ def contigging_device(fin, k: int, mesh: Mesh, output_dir: str, out_name: str,
             asm = StreamAssembler(k, plan.n2p,
                                   lambda seq, depth: record(f, seq, depth))
             for s in run:
-                asm.feed(*(items[i][s] for i in range(5)))
+                for lo in range(0, n_local, CHUNK):
+                    hi = min(lo + CHUNK, n_local)
+                    asm.feed(*(np.asarray(items[i][s][lo:hi]) for i in range(5)))
             lead, trail = asm.finish()
         partials.append((run[0], run[-1], lead, trail))
 

@@ -142,3 +142,45 @@ def test_device_traversal_small_k_and_tiny_tables():
         got = cdev.build_utgs_from_fin(fin, k, mesh)
         assert _canon_set(got.seqs) == _canon_set(exp.seqs), (k, seed)
         assert _depth_map(got) == _depth_map(exp), (k, seed)
+
+
+def test_contigging_device_flat_host_memory(tmp_path):
+    """VERDICT r2 item 1 'done' criterion: peak HOST allocation during the
+    scalable contigging stays ~flat while the per-shard table grows ~8x
+    (chunked slice fetches + O(longest contig) carry; the round-2 path
+    gathered the whole global table)."""
+    import tracemalloc
+
+    from mhm2_kmer_analysis_v2_tpu.contig.device import contigging_device
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    k = 21
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sh",))
+
+    def run(genome_len, tag):
+        rng = np.random.default_rng(99)
+        genome = "".join(rng.choice(list("ACGT"), genome_len))
+        # two full-genome 'reads' -> every interior k-mer has count 2 and
+        # clean UU extensions (one long chain, cheap to build at any scale)
+        from mhm2_kmer_analysis_v2_tpu.oracle_fast import FastOracleCounter
+        fo = FastOracleCounter(k)
+        fo.add_reads([genome, genome], None)
+        vals, counts, lch, rch = fo.finalize_arrays()
+        code = {ord("A"): 0, ord("C"): 1, ord("G"): 2, ord("T"): 3}
+        left = np.array([code[c] for c in lch], np.int64)
+        right = np.array([code[c] for c in rch], np.int64)
+        fin = _Fin(_fin_arrays(vals, counts, left, right, k, 8))
+        out = tmp_path / tag
+        out.mkdir()
+        tracemalloc.start()
+        utgs, n_all, len_all = contigging_device(
+            fin, k, mesh, str(out), "uutigs-test.fasta", keep_contigs=False)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        # sanity: the chain reconstructs the genome
+        assert len_all >= genome_len - 2 * k, (len_all, genome_len)
+        return peak
+
+    p_small = run(30_000, "small")
+    p_large = run(240_000, "large")  # 8x the table
+    assert p_large < 1.5 * p_small + (4 << 20), (p_small, p_large)
