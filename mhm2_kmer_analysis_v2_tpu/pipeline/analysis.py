@@ -398,13 +398,16 @@ def analyze_kmers(
             dist.make_global(sharding, pb.lengths),
         )
 
+    # MHM2_TPU_NO_FEED_THREAD=1 serializes the feed (A/B measurement knob for
+    # the overlap win; see BASELINE.md)
+    depth = 0 if os.environ.get("MHM2_TPU_NO_FEED_THREAD") else 2
     if n_proc == 1:
         # single process: the h2d staging itself also rides the feed thread
         def stage_full(rb):
             n_real, pb = stage_pack(rb)
             return n_real, pb.nbytes, to_device(pb)
 
-        feed = _prefetched(host_batches(), stage_full, 2)
+        feed = _prefetched(host_batches(), stage_full, depth)
     else:
         # multi-process: the numpy pack overlaps on the feed thread, but
         # make_global (a collective-ordering point) and the step launch stay
@@ -412,7 +415,7 @@ def analyze_kmers(
         # identically (r2 disabled overlap entirely here; this keeps the
         # expensive half of the staging overlapped — VERDICT r2 item 4)
         def feed_gen():
-            for n_real, pb in _prefetched(host_batches(), stage_pack, 2):
+            for n_real, pb in _prefetched(host_batches(), stage_pack, depth):
                 yield n_real, pb.nbytes, to_device(pb)
 
         feed = feed_gen()

@@ -37,8 +37,8 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     L = args.read_len
-    # ~320 bytes per pair (2 records x (name + seq + '+' + quals))
-    n_pairs = int(args.gb * 1e9 / (4 * L + 40) / 2)
+    # bytes per pair = 2 records x (name ~14 + seq L+1 + '+' 2 + quals L+1)
+    n_pairs = int(args.gb * 1e9 / (4 * L + 36))
 
     # genome sizes: log-spread, sum to total_mbp
     raw = np.exp(rng.uniform(0, 2.2, args.genomes))
