@@ -66,9 +66,11 @@ def main():
                 if len(idx) == 0:
                     continue
                 g = genomes[gi]
+                # lower clip below 2L so a realistic fraction of pairs
+                # overlaps enough to merge (MIN_OVERLAP=12)
                 ins = np.clip(
                     rng.normal(insert_mu, insert_sd, len(idx)).astype(np.int64),
-                    2 * L, 4 * L,
+                    int(1.4 * L), 4 * L,
                 )
                 pos = rng.integers(0, len(g) - ins.max() - 1, len(idx))
                 offs = np.arange(L)
