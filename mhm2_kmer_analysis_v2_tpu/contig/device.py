@@ -321,6 +321,246 @@ def make_fin_traversal(mesh: Mesh, k: int, K: int, cap: int | None = None,
     return jax.jit(fn), TraversalPlan(mesh, k, K, n_shards, n2p)
 
 
+def make_fin_traversal_mw(mesh: Mesh, k: int, K: int, cap: int | None = None,
+                          m: int | None = None):
+    """Multi-word (k > 32) device traversal: FinalizedMW arrays
+    [n_shards, W, K] -> (head, pos, ov word planes..., bc) planes
+    [n_shards, 2K], globally sorted by (head, pos).
+
+    Same scheme as make_fin_traversal with W = ceil(k/16) u32 word stacks:
+    lexicographic word sorts, a vectorized binary search for successor
+    lookups, W-plane label doubling for the cycle cut, and W ov payload
+    planes through the block-bitonic sort."""
+    from ..ops.kmer_multiword import (
+        _ext_bits,
+        _rev32,
+        n_words,
+        route_kmer_words,
+    )
+
+    assert k > 32
+    if m is None:
+        m = minimizer_len_for_k(k)
+    W = n_words(k)
+    r = k - 16 * (W - 1)
+    widths = [r] + [16] * (W - 1)
+    offs = [0]
+    for w in widths[:-1]:
+        offs.append(offs[-1] + w)
+    n_shards = mesh.shape["sh"]
+    n_local = 2 * K
+    n2p = n_shards * n_local
+    assert n2p < (1 << 31), "node space exceeds int32 ids"
+    if cap is None:
+        cap = max(256, 4 * n_local // n_shards)
+    cap = min(cap, n_local)
+    steps = max(1, int(np.ceil(np.log2(max(n2p, 2)))) + 1)
+    NULL = n2p
+    log2s = max(n_shards - 1, 1).bit_length() if n_shards > 1 else 0
+    assert n_shards == 1 or n_shards == (1 << log2s), "power-of-two mesh"
+    search_steps = max(1, (K + 1).bit_length())
+
+    def words_lt(a: list, b: list):
+        lt = eq = None
+        for aw, bw in zip(a, b):
+            wlt = aw < bw
+            weq = aw == bw
+            if lt is None:
+                lt, eq = wlt, weq
+            else:
+                lt = lt | (eq & wlt)
+                eq = eq & weq
+        return lt
+
+    def words_eq(a: list, b: list):
+        eq = None
+        for aw, bw in zip(a, b):
+            weq = aw == bw
+            eq = weq if eq is None else eq & weq
+        return eq
+
+    def words_min(a: list, b: list):
+        take_a = words_lt(a, b)
+        return [jnp.where(take_a, aw, bw) for aw, bw in zip(a, b)]
+
+    def rc_words(words: list):
+        """Reverse complement of big-endian word stacks (bit-exact layout)."""
+        rc_wl = [_rev32(p) for p in words]  # little-endian padded rc list
+        D = 32 - 2 * r
+        out = []
+        for o, w in zip(offs, widths):
+            _, lo = _ext_bits(rc_wl, 2 * (k - o - w) + D, 2 * w)
+            out.append(lo)
+        return out
+
+    def per_device(keys, counts, left, right, keep):
+        keys = keys.reshape(W, K)
+        counts = counts.reshape(-1)
+        left = left.reshape(-1)
+        right = right.reshape(-1)
+        keep = keep.reshape(-1)
+        me = jax.lax.axis_index(AXIS)
+
+        # ---- per-shard lexicographic sort of kept kmers ----
+        kw = [jnp.where(keep, keys[j], U32(EMPTY)) for j in range(W)]
+        sorted_all = jax.lax.sort(tuple(kw) + (counts, left, right), num_keys=W)
+        kw = list(sorted_all[:W])
+        counts, left, right = sorted_all[W:]
+        kvalid = kw[0] == kw[0]
+        for j in range(W):
+            kvalid &= kw[j] == U32(EMPTY)
+        kvalid = ~kvalid  # not all-EMPTY
+
+        # ---- oriented node arrays [2K] ----
+        rcw = rc_words(kw)
+
+        def il(a, b):
+            return jnp.stack([a, b], axis=1).reshape(-1)
+
+        ovw = [il(kw[j], rcw[j]) for j in range(W)]
+        o_left = il(left, 3 - right).astype(jnp.int32)
+        o_right = il(right, 3 - left).astype(jnp.int32)
+        valid = il(kvalid, kvalid)
+        gid = (me * n_local + jnp.arange(n_local)).astype(jnp.int32)
+        first_base = ((ovw[0] >> U32(2 * (r - 1))) & U32(3)).astype(jnp.int32)
+        last_base = (ovw[W - 1] & U32(3)).astype(jnp.int32)
+
+        # ---- successor candidate: shift one base left, append right ext ----
+        nxt = []
+        for j in range(W):
+            carry = (ovw[j + 1] >> U32(30)) if j + 1 < W else o_right.astype(U32)
+            nxt.append((ovw[j] << U32(2)) | (carry & U32(3)))
+        nxt[0] = nxt[0] & U32((1 << (2 * r)) - 1)
+        xrc = rc_words(nxt)
+        flip = words_lt(xrc, nxt)
+        cw = [jnp.where(flip, xrc[j], nxt[j]) for j in range(W)]
+
+        # ---- minimizer-routed lookup: vectorized lexicographic bsearch ----
+        owner = route_kmer_words(cw, k, n_shards, m)
+
+        def serve_lookup(mark, *rw):
+            rw = list(rw)
+            lo_i = jnp.zeros_like(rw[0], dtype=jnp.int32)
+            hi_i = jnp.full_like(lo_i, K)
+            for _ in range(search_steps):
+                mid = (lo_i + hi_i) >> 1
+                midc = jnp.clip(mid, 0, K - 1)
+                atm = [kw[j][midc] for j in range(W)]
+                lt = words_lt(atm, rw) & (mid < K)
+                lo_i = jnp.where(lt, mid + 1, lo_i)
+                hi_i = jnp.where(lt, hi_i, mid)
+            pos = jnp.clip(lo_i, 0, K - 1)
+            atp = [kw[j][pos] for j in range(W)]
+            hit = mark & words_eq(atp, rw) & kvalid[pos]
+            return [jnp.where(hit, (me * K + pos).astype(jnp.int32), -1)]
+
+        (j,) = rr_exchange(cw, owner, n_shards, cap, serve_lookup,
+                           [jnp.int32], valid=valid)
+        j = jnp.where(valid, j, -1)
+        exists = j >= 0
+        nxt_node = jnp.where(exists, 2 * j + flip.astype(jnp.int32), 0)
+
+        (nl_ext,) = _gather_multi([o_left], nxt_node, n_shards, n_local, cap)
+        recip = exists & (nl_ext == first_base)
+        not_self = nxt_node != gid
+        not_mirror = nxt_node != (gid ^ 1)
+        succ = jnp.where(valid & recip & not_self & not_mirror, nxt_node, NULL)
+
+        # ---- cycle cut at the canonical orientation of the min kmer ----
+        rcov = [il(rcw[j], kw[j]) for j in range(W)]  # mirror's ov words
+        clabel = words_min(ovw, rcov)
+        p = jnp.where(succ == NULL, gid, succ)
+        ml = list(clabel)
+        for _ in range(steps):
+            g = _gather_multi(ml + [p], p, n_shards, n_local, cap)
+            ml = words_min(ml, g[:W])
+            p = g[W]
+        (succ_at_p,) = _gather_multi([succ], p, n_shards, n_local, cap)
+        in_cycle = valid & (succ_at_p != NULL)
+        star = in_cycle & words_eq(ovw, ml) & (
+            (gid % 2 == 0) | ~words_eq(ovw, rcov)
+        )
+        (star_at_succ,) = _gather_multi(
+            [star.astype(jnp.int32)], jnp.where(succ == NULL, 0, succ),
+            n_shards, n_local, cap,
+        )
+        cut = (succ != NULL) & (star_at_succ > 0)
+        succ = jnp.where(cut, NULL, succ)
+        cycle_head = star
+
+        # ---- forward doubling: terminal ----
+        p = jnp.where(succ == NULL, gid, succ)
+        for _ in range(steps):
+            (p,) = _gather_multi([p], p, n_shards, n_local, cap)
+        term = p
+
+        # ---- pred via push, backward doubling: head + position ----
+        from ..parallel.exchange import push_exchange
+
+        has = succ != NULL
+        sowner = jnp.clip(succ // n_local, 0, n_shards - 1)
+        my_base = me * n_local
+
+        def apply_pred(pred, mark, flat_t, flat_f):
+            locT = jnp.clip(flat_t - my_base, 0, n_local - 1)
+            return pred.at[jnp.where(mark, locT, n_local)].set(
+                flat_f, mode="drop"
+            )
+
+        pred = push_exchange(
+            [succ, gid], sowner, has, n_shards, cap, apply_pred,
+            jnp.full((n_local,), NULL, jnp.int32),
+        )
+        ph = jnp.where(pred == NULL, gid, pred)
+        pos = (pred != NULL).astype(jnp.int32)
+        for _ in range(steps):
+            g_pos, g_ph = _gather_multi([pos, ph], ph, n_shards, n_local, cap)
+            pos = pos + g_pos
+            ph = g_ph
+        head_of = ph
+
+        heads = valid & (pred == NULL)
+        emit = heads & jnp.where(cycle_head, True, gid <= (term ^ 1))
+        (emit_at_head,) = _gather_multi(
+            [emit.astype(jnp.int32)], head_of, n_shards, n_local, cap
+        )
+        on_emitted = valid & (emit_at_head > 0)
+
+        # ---- global (head, pos) sort: local sort + block bitonic ----
+        key_head = jnp.where(on_emitted, head_of.astype(U32), U32(n2p))
+        key_pos = jnp.where(on_emitted, pos.astype(U32), U32(0))
+        counts2 = counts[jnp.arange(n_local) // 2]
+        bc = ((last_base.astype(U32) & U32(3)) << U32(16)) | (
+            jnp.clip(counts2, 0, 65535).astype(U32)
+        )
+        planes = jax.lax.sort(
+            (key_head, key_pos) + tuple(ovw) + (bc,), num_keys=2
+        )
+        for l in range(log2s):
+            for b in range(l, -1, -1):
+                perm = [(i, i ^ (1 << b)) for i in range(n_shards)]
+                partner = me ^ (1 << b)
+                ascending = ((me >> (l + 1)) & 1) == 0
+                keep_min = (me < partner) == ascending
+                theirs = [jax.lax.ppermute(x, AXIS, perm) for x in planes]
+                merged = jax.lax.sort(
+                    tuple(jnp.concatenate([a, t]) for a, t in zip(planes, theirs)),
+                    num_keys=2,
+                )
+                planes = tuple(
+                    jnp.where(keep_min, x[:n_local], x[n_local:]) for x in merged
+                )
+        return tuple(x[None] for x in planes)
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("sh"),) * 5,
+        out_specs=(P("sh"),) * (W + 3),
+    )
+    return jax.jit(fn), TraversalPlan(mesh, k, K, n_shards, n2p)
+
+
 def _device_shard_blocks(arr):
     """(global_shard_index, DEVICE-resident block) for this process's shards
     of a leading-axis-sharded array — like distributed.local_shard_items but
@@ -349,11 +589,23 @@ class ChainCarry:
 _COMP_TABLE = str.maketrans("ACGT", "TGCA")
 
 
-def _decode_kmer_str(ovh: int, ovl: int, k: int) -> str:
-    v = (np.uint64(ovh) << np.uint64(32)) | np.uint64(ovl)
-    shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
-    codes = ((v >> shifts) & np.uint64(3)).astype(np.int64)
-    return _BASES_BYTES[codes].tobytes().decode()
+def _decode_kmer_str(ov_words, k: int) -> str:
+    """Oriented k-mer string from its u32 word planes (2 pair words for
+    k <= 32, W = ceil(k/16) words for multi-word k; word 0 leads)."""
+    W = len(ov_words)
+    if W == 2 and k <= 32:
+        v = (int(ov_words[0]) << 32) | int(ov_words[1])
+        widths = [k]
+        vals = [v]
+    else:
+        r = k - 16 * (W - 1)
+        widths = [r] + [16] * (W - 1)
+        vals = [int(w) for w in ov_words]
+    out = []
+    for w, v in zip(widths, vals):
+        for i in range(w):
+            out.append((v >> (2 * (w - 1 - i))) & 3)
+    return _BASES_BYTES[np.array(out)].tobytes().decode()
 
 
 class StreamAssembler:
@@ -378,7 +630,7 @@ class StreamAssembler:
             return
         self.sink(*finish_chain(c, self.canonical))
 
-    def feed(self, head, pos, ovh, ovl, bc):
+    def feed(self, head, pos, ov_planes, bc):
         n2p = self.n2p
         head = np.asarray(head)
         sel = head < n2p
@@ -386,8 +638,7 @@ class StreamAssembler:
             return
         head = head[sel].astype(np.int64)
         pos = np.asarray(pos)[sel].astype(np.int64)
-        ovh_s = np.asarray(ovh)[sel]
-        ovl_s = np.asarray(ovl)[sel]
+        ov_s = [np.asarray(p)[sel] for p in ov_planes]
         bc_s = np.asarray(bc)[sel]
         bases = _BASES_BYTES[(bc_s >> 16) & 3]
         cnts = (bc_s & 0xFFFF).astype(np.int64)
@@ -407,7 +658,7 @@ class StreamAssembler:
             if carry is not None:
                 self._flush(carry)
             if int(pos[b]) == 0:
-                kmer_str = _decode_kmer_str(int(ovh_s[b]), int(ovl_s[b]), self.k)
+                kmer_str = _decode_kmer_str([p[b] for p in ov_s], self.k)
                 tail = bases[b + 1 : e].tobytes().decode()
                 carry = ChainCarry(h, int(pos[e - 1]) + 1, [kmer_str + tail],
                                    int(cnts[b:e].sum()), int(e - b), True)
@@ -467,9 +718,14 @@ def contigging_device(fin, k: int, mesh: Mesh, output_dir: str, out_name: str,
     from ..parallel import distributed as dist
 
     K = fin.keep.shape[-1]
-    step, plan = make_fin_traversal(mesh, k, K)
-    planes = step(fin.keys_hi, fin.keys_lo, fin.counts,
-                  fin.left_ext, fin.right_ext, fin.keep)
+    if k <= 32:
+        step, plan = make_fin_traversal(mesh, k, K)
+        planes = step(fin.keys_hi, fin.keys_lo, fin.counts,
+                      fin.left_ext, fin.right_ext, fin.keep)
+    else:
+        step, plan = make_fin_traversal_mw(mesh, k, K)
+        planes = step(fin.keys, fin.counts,
+                      fin.left_ext, fin.right_ext, fin.keep)
     # this process's shard slices, ascending, grouped into contiguous runs;
     # blocks stay DEVICE-resident — the feed loop pulls fixed-size chunks, so
     # peak host memory is O(chunk + open chain), independent of table size
@@ -507,10 +763,12 @@ def contigging_device(fin, k: int, mesh: Mesh, output_dir: str, out_name: str,
         with open(frag, "w") as f:
             asm = StreamAssembler(k, plan.n2p,
                                   lambda seq, depth: record(f, seq, depth))
+            n_planes = len(items)
             for s in run:
                 for lo in range(0, n_local, CHUNK):
                     hi = min(lo + CHUNK, n_local)
-                    asm.feed(*(np.asarray(items[i][s][lo:hi]) for i in range(5)))
+                    arrs = [np.asarray(items[i][s][lo:hi]) for i in range(n_planes)]
+                    asm.feed(arrs[0], arrs[1], arrs[2:-1], arrs[-1])
             lead, trail = asm.finish()
         partials.append((run[0], run[-1], lead, trail))
 
@@ -567,9 +825,14 @@ def build_utgs_from_fin(fin, k: int, mesh: Mesh, cap: int | None = None) -> Utgs
     """Single-controller scalable traversal: device pointer doubling + global
     bitonic (head, pos) sort, host streams one shard slice at a time."""
     K = fin.keep.shape[-1]
-    step, plan = make_fin_traversal(mesh, k, K, cap=cap)
-    planes = step(fin.keys_hi, fin.keys_lo, fin.counts,
-                  fin.left_ext, fin.right_ext, fin.keep)
+    if k <= 32:
+        step, plan = make_fin_traversal(mesh, k, K, cap=cap)
+        planes = step(fin.keys_hi, fin.keys_lo, fin.counts,
+                      fin.left_ext, fin.right_ext, fin.keep)
+    else:
+        step, plan = make_fin_traversal_mw(mesh, k, K, cap=cap)
+        planes = step(fin.keys, fin.counts,
+                      fin.left_ext, fin.right_ext, fin.keep)
     seqs, depths = [], []
 
     def sink(seq, depth):
@@ -578,7 +841,8 @@ def build_utgs_from_fin(fin, k: int, mesh: Mesh, cap: int | None = None) -> Utgs
 
     asm = StreamAssembler(k, plan.n2p, sink)
     for s in range(plan.n_shards):
-        asm.feed(*(np.asarray(x[s]) for x in planes))
+        arrs = [np.asarray(x[s]) for x in planes]
+        asm.feed(arrs[0], arrs[1], arrs[2:-1], arrs[-1])
     lead, trail = asm.finish()
     assert lead is None, "headless chain in single-controller assembly"
     if trail is not None:

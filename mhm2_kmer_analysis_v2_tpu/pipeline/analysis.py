@@ -682,7 +682,7 @@ def contigging(fin, k: int, n_shards: int, options: Options):
 
     from ..parallel import distributed as dist
 
-    use_device = k <= 32 and (
+    use_device = (
         options.traversal == "device"
         or (options.traversal == "auto" and n_shards > 1)
     )

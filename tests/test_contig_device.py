@@ -184,3 +184,71 @@ def test_contigging_device_flat_host_memory(tmp_path):
     p_small = run(30_000, "small")
     p_large = run(240_000, "large")  # 8x the table
     assert p_large < 1.5 * p_small + (4 << 20), (p_small, p_large)
+
+
+def _fin_arrays_mw(strs, counts, lefts, rights, k, n_shards, extra_cap=0):
+    """Multi-word FinalizedMW-style [n_shards, W, K] arrays placed with the
+    traversal's own routing."""
+    from mhm2_kmer_analysis_v2_tpu.ops.kmer_multiword import (
+        n_words, route_kmer_words)
+    from mhm2_kmer_analysis_v2_tpu.oracle import kmer_to_val
+
+    W = n_words(k)
+    r = k - 16 * (W - 1)
+    N = len(strs)
+    words = np.zeros((W, N), np.uint32)
+    for i, s in enumerate(strs):
+        v = kmer_to_val(s)
+        for j in range(W):
+            sh = 32 * (W - 1 - j)
+            words[j, i] = (v >> sh) & 0xFFFFFFFF
+    owner = np.asarray(route_kmer_words(
+        [jnp.asarray(words[j]) for j in range(W)], k, n_shards))
+    per = np.bincount(owner, minlength=n_shards)
+    K = int(per.max()) + 1 + extra_cap
+    f_k = np.zeros((n_shards, W, K), np.uint32) + EMPTY
+    f_c = np.zeros((n_shards, K), np.int32)
+    f_l = np.zeros((n_shards, K), np.int32)
+    f_r = np.zeros((n_shards, K), np.int32)
+    f_keep = np.zeros((n_shards, K), bool)
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    rng = np.random.default_rng(8)
+    for s in range(n_shards):
+        idx = np.nonzero(owner == s)[0]
+        slots = rng.permutation(K)[: len(idx)]
+        for j in range(W):
+            f_k[s, j, slots] = words[j, idx]
+        f_c[s, slots] = counts[idx]
+        f_l[s, slots] = [code[lefts[i]] for i in idx]
+        f_r[s, slots] = [code[rights[i]] for i in idx]
+        f_keep[s, slots] = True
+    return f_k, f_c, f_l, f_r, f_keep
+
+
+class _FinMW:
+    def __init__(self, arrs):
+        (self.keys, self.counts, self.left_ext, self.right_ext,
+         self.keep) = [jnp.asarray(a) for a in arrs]
+
+
+def test_device_traversal_multiword():
+    """Device traversal for k > 32 (W-word stacks) == the host mw builder and
+    the oracle walk, across shard counts and the MAX_K set."""
+    for k, n_shards, seed in ((33, 4, 61), (64, 8, 62), (96, 2, 63), (160, 4, 64)):
+        reads = genome_reads(120, k + 40, genome_len=500, seed=seed, err=0.01)
+        oc = oracle_count(reads, k)
+        fin = oc.finalize()
+        items = sorted(fin.items())
+        if not items:
+            continue
+        strs = [s for s, _ in items]
+        counts = np.array([c for _, (c, _, _) in items], np.int64)
+        lefts = [l for _, (_, l, _) in items]
+        rights = [r for _, (_, _, r) in items]
+        exp = utg.build_utgs_mw(strs, counts, lefts, rights, k)
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+        fi = _FinMW(_fin_arrays_mw(strs, counts, lefts, rights, k, n_shards,
+                                   extra_cap=7))
+        got = cdev.build_utgs_from_fin(fi, k, mesh)
+        assert _canon_set(got.seqs) == _canon_set(exp.seqs) == oc.utgs(), (k, n_shards)
+        assert _depth_map(got) == _depth_map(exp), (k, n_shards)
