@@ -401,19 +401,25 @@ def analyze_kmers(
     # MHM2_TPU_NO_FEED_THREAD=1 serializes the feed (A/B measurement knob for
     # the overlap win; see BASELINE.md)
     depth = 0 if os.environ.get("MHM2_TPU_NO_FEED_THREAD") else 2
-    if n_proc == 1:
-        # single process: the h2d staging itself also rides the feed thread
+    if n_proc == 1 and jax.default_backend() != "cpu":
+        # single process on a real accelerator: the h2d staging itself also
+        # rides the feed thread (overlapping the 3 MB/s tunnel transfer with
+        # device steps is the measured 10x e2e win, BASELINE.md)
         def stage_full(rb):
             n_real, pb = stage_pack(rb)
             return n_real, pb.nbytes, to_device(pb)
 
         feed = _prefetched(host_batches(), stage_full, depth)
     else:
-        # multi-process: the numpy pack overlaps on the feed thread, but
-        # make_global (a collective-ordering point) and the step launch stay
-        # on the main thread so every process interleaves its collectives
-        # identically (r2 disabled overlap entirely here; this keeps the
-        # expensive half of the staging overlapped — VERDICT r2 item 4)
+        # multi-process, and any XLA:CPU run: the numpy pack overlaps on the
+        # feed thread, but make_global (a collective-ordering point) and the
+        # step launch stay on the main thread.  Multi-process needs this so
+        # every process interleaves its collectives identically (VERDICT r2
+        # item 4).  XLA:CPU needs it because a device_put racing an in-flight
+        # collective step wedges the 8-thread all-reduce rendezvous (observed
+        # at reference scale: id-7 never joins, every thread parks on a futex;
+        # the minimal repro with main-thread transfers runs the identical
+        # shapes clean).
         def feed_gen():
             for n_real, pb in _prefetched(host_batches(), stage_pack, depth):
                 yield n_real, pb.nbytes, to_device(pb)
