@@ -57,13 +57,40 @@ def clamp_elems_to_budget(budget_bytes: int, k: int, with_filter: bool) -> int:
     return lo
 
 
-def _device_mem_budget(frac: float = 0.6) -> int:
-    """Usable per-device memory for the table state (0 = unknown).  TPU
-    runtimes expose bytes_limit; CPU/emulated backends typically do not."""
+# HBM per chip by device_kind prefix, for TPU runtimes that do not expose
+# memory_stats() (the tunneled axon plugin returns None).  Override with
+# MHM2_TPU_HBM_GB.
+_KNOWN_HBM_GB = (
+    ("TPU v5 lite", 16),  # v5e
+    ("TPU v5e", 16),
+    ("TPU v5p", 95),
+    ("TPU v4", 32),
+    ("TPU v6", 32),  # trillium
+)
+
+
+def _device_mem_budget(frac: float = 0.38) -> int:
+    """Usable per-device memory for the table STATE (0 = unknown).  frac
+    covers XLA's compile-time peak, not just the resident arrays: at
+    reference scale the count step's program allocations measured ~1.34x the
+    state on top of it (donated-input copies of extc/keys around the
+    cond/while insert protocol), i.e. peak ~2.34x state — a 93M-elem/shard
+    table (7.1 GB state) hit "Used 16.32G of 15.75G hbm" on a v5e chip.
+    0.38 keeps peak ~<0.9x HBM with margin."""
     try:
-        stats = jax.local_devices()[0].memory_stats()
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats()
         if stats and stats.get("bytes_limit"):
             return int(stats["bytes_limit"] * frac)
+        env_gb = os.environ.get("MHM2_TPU_HBM_GB")
+        if env_gb:
+            return int(float(env_gb) * 1e9 * frac)
+        if dev.platform == "tpu":
+            kind = getattr(dev, "device_kind", "") or ""
+            for prefix, gb in _KNOWN_HBM_GB:
+                if kind.startswith(prefix):
+                    return int(gb * 1e9 * frac)
+            return int(16e9 * frac)  # conservative default for unknown TPUs
     except Exception:
         pass
     return 0
