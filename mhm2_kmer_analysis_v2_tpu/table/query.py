@@ -57,7 +57,7 @@ def lookup_batch(table: ShardTable, hi, lo):
     g = jnp.where(found, found_slot, 0)
     # read entries derive their count from the five left-ext buckets; ctg
     # entries carry depth in the counts word (see shard_table layout)
-    ext_raw = table.extc.reshape(-1, 9)[g]
+    ext_raw = jnp.stack([table.extc[b * cap + g] for b in range(9)], axis=1)
     derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
     cur = table.counts[g]
     cnt = jnp.where((cur & CTG_BIT) != 0, cur & (CTG_BIT - 1), derived)
@@ -117,7 +117,7 @@ def lookup_batch_mw(table, words):
     )
     found = found_slot < cap
     g = jnp.where(found, found_slot, 0)
-    ext_raw = table.extc.reshape(-1, 9)[g]
+    ext_raw = jnp.stack([table.extc[b * cap + g] for b in range(9)], axis=1)
     derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
     cur = table.counts[g]
     cnt = jnp.where((cur & CTG_BIT) != 0, cur & (CTG_BIT - 1), derived)
@@ -169,7 +169,7 @@ def _probe_local_planes(khi, klo, counts, extc, qh, ql, mark):
     )
     found = found_slot < cap
     g = jnp.where(found, found_slot, 0)
-    ext_raw = extc.reshape(-1, 9)[g]
+    ext_raw = jnp.stack([extc[b * cap + g] for b in range(9)], axis=1)
     derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
     cur = counts[g]
     cnt = jnp.where((cur & CTG_BIT) != 0, cur & (CTG_BIT - 1), derived)
@@ -212,7 +212,7 @@ def _probe_local_planes_mw(keys_flat, counts, extc, rwords, mark, n_words: int):
     )
     found = found_slot < cap
     g = jnp.where(found, found_slot, 0)
-    ext_raw = extc.reshape(-1, 9)[g]
+    ext_raw = jnp.stack([extc[b * cap + g] for b in range(9)], axis=1)
     derived = jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]
     cur = counts[g]
     cnt = jnp.where((cur & CTG_BIT) != 0, cur & (CTG_BIT - 1), derived)

@@ -37,7 +37,10 @@ Layout (SoA, per shard, all 32-bit — no u64 on device):
       to uint16 max happens at finalize; per-add saturation with positive
       increments == final min, matching inc_with_limit at
       src/kcount/kcount_cpu.cpp:152-155.
-  extc:  [cap*9] int32 flat — slot*9 + (left A,C,G,T = 0-3 | right = 4-7 |
+  extc:  [9*cap] int32 flat, BUCKET-MAJOR (index = bucket*cap + slot) — any
+         [*, 9] view would pad the minor dim to the TPU's 128-lane tile (a
+         14x memory blowup: a 117M-slot shard's [cap, 9] reshape allocated
+         59.9 GB); bucket = (left A,C,G,T = 0-3 | right = 4-7 |
       8 = left-invalid).  Every committed record lands in exactly one of
       buckets {0-3, 8}, so sum(buckets 0-3) + bucket 8 == the k-mer's count.
   claim: [cap] int32 scratch, -1 between batches
@@ -308,8 +311,8 @@ def _probe_round(tbl, recs, full_hi_range: bool = False, step=1):
     # lands in one of the five left buckets (bucket 8 = invalid left), so
     # the count needs no scatter of its own — it is the sum of those five
     # buckets at finalize.  Invalid right ext contributes nothing.
-    lidx = jnp.where(commit, add_slot * 9 + jnp.where(left < 4, left, 8), cap * 9)
-    ridx = jnp.where(commit & (right < 4), add_slot * 9 + 4 + right, cap * 9)
+    lidx = jnp.where(commit, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
+    ridx = jnp.where(commit & (right < 4), (4 + right) * cap + add_slot, cap * 9)
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
     active = active & ~commit
@@ -537,17 +540,21 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
         # left buckets; ctg entries carry their depth in the counts word)
         cur = counts[gslot]
         cur_ctg = (cur & CTG_BIT) != 0
-        ext_raw = extc.reshape(-1, 9)[gslot]
+        # per-bucket flat gathers from the bucket-major extc (9 flat [R]
+        # gathers; a [R, 9] row gather would pad 9 -> 128 lanes on TPU)
+        ext_raw = [extc[b * cap + gslot] for b in range(9)]
         # keep int32: under x64 jnp.sum promotes, and an int64 new_cnt would
         # hit the deprecated unsafe-cast scatter into the int32 counts array
-        derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
+        derived = (
+            ext_raw[0] + ext_raw[1] + ext_raw[2] + ext_raw[3] + ext_raw[8]
+        ).astype(jnp.int32)
         cur_cnt = jnp.minimum(
             jnp.where(cur_ctg, cur & (CTG_BIT - 1), derived), UINT16_MAX
         )
-        ext_rows = jnp.minimum(ext_raw, UINT16_MAX)
+        ext_rows = [jnp.minimum(e, UINT16_MAX) for e in ext_raw]
         dmin = dmin_lut[jnp.clip(cur_cnt, 0, UINT16_MAX)]
-        cl = _call_ext(ext_rows[:, :4], dmin)
-        cr = _call_ext(ext_rows[:, 4:8], dmin)
+        cl = _call_ext(ext_rows[:4], dmin)
+        cr = _call_ext(ext_rows[4:8], dmin)
         non_uu = (cl >= 4) | (cr >= 4)
         # read entries: overwrite singletons and non-UU
         ow_read = is_match & ~cur_ctg & ((cur_cnt == 1) | non_uu)
@@ -559,16 +566,20 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
         new_cnt = jnp.where(live_ctg, ctg_depth, u_depth)
         wr_slot = jnp.where(write, slot, cap)
         counts = counts.at[wr_slot].set(new_cnt | CTG_BIT, mode="drop")
-        # reset the ext row then set the contributions; the left bucket
+        # reset the ext buckets then set the contributions; the left bucket
         # (bucket 8 for an invalid left) always gets new_cnt so the derived
         # count stays consistent for any later reader
-        base = wr_slot * 9
-        zero9 = jnp.zeros((R, 9), jnp.int32)
-        extc = extc.at[
-            jnp.where(write, base, cap * 9)[:, None] + jnp.arange(9)[None, :]
-        ].set(zero9, mode="drop")
-        lidx = jnp.where(write, base + jnp.where(u_left < 4, u_left, 8), cap * 9)
-        ridx = jnp.where(write & (u_right < 4), base + 4 + u_right, cap * 9)
+        idx9 = (
+            jnp.arange(9, dtype=jnp.int32)[:, None] * cap
+            + jnp.where(write, slot, cap * 9)[None, :]
+        )
+        extc = extc.at[idx9].set(jnp.zeros((9, R), jnp.int32), mode="drop")
+        lidx = jnp.where(
+            write, jnp.where(u_left < 4, u_left, 8) * cap + slot, cap * 9
+        )
+        ridx = jnp.where(
+            write & (u_right < 4), (4 + u_right) * cap + slot, cap * 9
+        )
         extc = extc.at[lidx].set(new_cnt, mode="drop")
         extc = extc.at[ridx].set(new_cnt, mode="drop")
 
@@ -619,20 +630,27 @@ EXT_X = 4
 EXT_F = 5
 
 
-def _call_ext(extc4: jax.Array, dmin: jax.Array) -> jax.Array:
+def _call_ext(extc4: list, dmin: jax.Array) -> jax.Array:
     """Vectorized ExtCounts::get_ext (src/kcount/kcount_cpu.cpp:173-182).
 
-    extc4: [cap, 4] saturated counts; dmin: [cap] dynamic min depth.
+    extc4: LIST of 4 flat [N] saturated count planes (one per base) — planes
+    stay 1D because any stacked [N, 4] / [4, N] array pads a tiny dim to the
+    TPU tile (128 lanes / 8 sublanes; the [cap, 9] form of a 117M-slot shard
+    allocated 59.9 GB); dmin: [N] dynamic min depth.
     Sort order: count desc, ties by higher base char (T>G>C>A) — encoded as
-    score = count*4 + base_code so argmax reproduces the tie-break.
+    score = count*4 + base_code so the max reproduces the tie-break.
     """
-    base_code = jnp.arange(4, dtype=jnp.int32)[None, :]
-    score = extc4 * 4 + base_code
-    top_score = jnp.max(score, axis=1)
+    score = [extc4[b] * 4 + b for b in range(4)]
+    top_score = jnp.maximum(
+        jnp.maximum(score[0], score[1]), jnp.maximum(score[2], score[3])
+    )
     top_base = (top_score % 4).astype(jnp.int32)
     top_cnt = top_score // 4
-    masked = jnp.where(score == top_score[:, None], -1, score)
-    runner_cnt = jnp.maximum(jnp.max(masked, axis=1), -1) // 4
+    masked = [jnp.where(s == top_score, -1, s) for s in score]
+    runner = jnp.maximum(
+        jnp.maximum(masked[0], masked[1]), jnp.maximum(masked[2], masked[3])
+    )
+    runner_cnt = jnp.maximum(runner, -1) // 4
     ext = jnp.where(
         top_cnt < dmin,
         EXT_X,
@@ -644,18 +662,23 @@ def _call_ext(extc4: jax.Array, dmin: jax.Array) -> jax.Array:
 @jax.jit
 def _finalize_jit(table: ShardTable, dmin_lut: jax.Array) -> FinalizedShard:
     occupied = (table.keys_hi != EMPTY) | (table.keys_lo != EMPTY)
-    ext_raw = table.extc.reshape(-1, 9)
+    cap = table.keys_hi.shape[0]
+    # flat per-bucket slices of the bucket-major extc: table-sized planes
+    # must stay 1D (see _call_ext docstring for the tile-padding trap)
+    ext_raw = [table.extc[b * cap:(b + 1) * cap] for b in range(9)]
     # read-entry counts = sum of the five left buckets; ctg-pass overwrites
     # carry their depth in the counts word (CTG_BIT flag)
-    derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
+    derived = (
+        ext_raw[0] + ext_raw[1] + ext_raw[2] + ext_raw[3] + ext_raw[8]
+    ).astype(jnp.int32)
     is_ctg = (table.counts & CTG_BIT) != 0
     counts = jnp.minimum(
         jnp.where(is_ctg, table.counts & (CTG_BIT - 1), derived), UINT16_MAX
     )
-    extc = jnp.minimum(ext_raw, UINT16_MAX)
+    extc = [jnp.minimum(e, UINT16_MAX) for e in ext_raw]
     dmin = dmin_lut[jnp.clip(counts, 0, UINT16_MAX)]
-    left = _call_ext(extc[:, :4], dmin)
-    right = _call_ext(extc[:, 4:8], dmin)
+    left = _call_ext(extc[:4], dmin)
+    right = _call_ext(extc[4:8], dmin)
     # purge count<2 and X/F extensions (src/kcount/kcount_cpu.cpp:554-573)
     keep = occupied & (counts >= 2) & (left < 4) & (right < 4)
     num_kept = jnp.sum(keep).astype(jnp.int64)

@@ -31,7 +31,7 @@ MAX_PROBE = st.MAX_PROBE
 class MWShardTable(NamedTuple):
     keys: jax.Array  # FLAT [W*cap] uint32 (word j's slot s at j*cap + s)
     counts: jax.Array  # [cap] int32 (ctg-pass only; read counts derived)
-    extc: jax.Array  # [cap*9] int32 (9-bucket count-fold layout)
+    extc: jax.Array  # [9*cap] int32, bucket-major (see shard_table.ShardTable)
     claim: jax.Array  # [cap] int32 (scratch kept for layout parity)
     num_dropped: jax.Array  # [] int32
 
@@ -164,8 +164,8 @@ def _probe_round_mw(tbl, recs, w0_full_range: bool, cap: int, step=1):
     add_slot = jnp.where(commit, slot, cap)
     # 9-bucket count-fold: every committed lane lands in one of the five
     # left buckets, so counts need no scatter of their own
-    lidx = jnp.where(commit, add_slot * 9 + jnp.where(left < 4, left, 8), cap * 9)
-    ridx = jnp.where(commit & (right < 4), add_slot * 9 + 4 + right, cap * 9)
+    lidx = jnp.where(commit, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
+    ridx = jnp.where(commit & (right < 4), (4 + right) * cap + add_slot, cap * 9)
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
     active = active & ~commit
@@ -354,17 +354,21 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
         # buckets; ctg entries carry their depth in the counts word)
         cur = counts[gslot]
         cur_ctg = (cur & CTG_BIT) != 0
-        ext_raw = extc.reshape(-1, 9)[gslot]
+        # per-bucket flat gathers from the bucket-major extc ([R, 9] / [9, R]
+        # stacks pad a tiny dim to the TPU tile)
+        ext_raw = [extc[b * cap + gslot] for b in range(9)]
         # keep int32: under x64 jnp.sum promotes, and an int64 new_cnt would
         # hit the deprecated unsafe-cast scatter into the int32 counts array
-        derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
+        derived = (
+            ext_raw[0] + ext_raw[1] + ext_raw[2] + ext_raw[3] + ext_raw[8]
+        ).astype(jnp.int32)
         cur_cnt = jnp.minimum(
             jnp.where(cur_ctg, cur & (CTG_BIT - 1), derived), st.UINT16_MAX
         )
-        ext_rows = jnp.minimum(ext_raw, st.UINT16_MAX)
+        ext_rows = [jnp.minimum(e, st.UINT16_MAX) for e in ext_raw]
         dmin = dmin_lut[jnp.clip(cur_cnt, 0, st.UINT16_MAX)]
-        cl = st._call_ext(ext_rows[:, :4], dmin)
-        cr = st._call_ext(ext_rows[:, 4:8], dmin)
+        cl = st._call_ext(ext_rows[:4], dmin)
+        cr = st._call_ext(ext_rows[4:8], dmin)
         non_uu = (cl >= 4) | (cr >= 4)
         ow_read = is_match & ~cur_ctg & ((cur_cnt == 1) | non_uu)
         live_ctg = is_match & cur_ctg & (cur_cnt != 0)
@@ -374,13 +378,17 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
         new_cnt = jnp.where(live_ctg, ctg_depth, u_depth)
         wr_slot = jnp.where(write, slot, cap)
         counts = counts.at[wr_slot].set(new_cnt | CTG_BIT, mode="drop")
-        base = wr_slot * 9
-        zero9 = jnp.zeros((R, 9), jnp.int32)
-        extc = extc.at[
-            jnp.where(write, base, cap * 9)[:, None] + jnp.arange(9)[None, :]
-        ].set(zero9, mode="drop")
-        lidx = jnp.where(write, base + jnp.where(u_left < 4, u_left, 8), cap * 9)
-        ridx = jnp.where(write & (u_right < 4), base + 4 + u_right, cap * 9)
+        idx9 = (
+            jnp.arange(9, dtype=jnp.int32)[:, None] * cap
+            + jnp.where(write, slot, cap * 9)[None, :]
+        )
+        extc = extc.at[idx9].set(jnp.zeros((9, R), jnp.int32), mode="drop")
+        lidx = jnp.where(
+            write, jnp.where(u_left < 4, u_left, 8) * cap + slot, cap * 9
+        )
+        ridx = jnp.where(
+            write & (u_right < 4), (4 + u_right) * cap + slot, cap * 9
+        )
         extc = extc.at[lidx].set(new_cnt, mode="drop")
         extc = extc.at[ridx].set(new_cnt, mode="drop")
 
@@ -416,19 +424,23 @@ class FinalizedMW(NamedTuple):
 def _finalize_mw_jit(table: MWShardTable, dmin_lut: jax.Array) -> FinalizedMW:
     keys2d = table.keys.reshape(table.n_words, -1)  # once per k-round: fine
     occupied = ~jnp.all(keys2d == EMPTY, axis=0)
-    ext_raw = table.extc.reshape(-1, 9)
+    cap = table.counts.shape[0]
+    # flat per-bucket slices of the bucket-major extc (no [*, 9] tile padding)
+    ext_raw = [table.extc[b * cap:(b + 1) * cap] for b in range(9)]
     # read-entry counts derive from the five left buckets; ctg-pass entries
     # (insert_ctg_batch_mw) carry their depth in the counts word
-    derived = (jnp.sum(ext_raw[:, :4], axis=1) + ext_raw[:, 8]).astype(jnp.int32)
+    derived = (
+        ext_raw[0] + ext_raw[1] + ext_raw[2] + ext_raw[3] + ext_raw[8]
+    ).astype(jnp.int32)
     is_ctg = (table.counts & st.CTG_BIT) != 0
     counts = jnp.minimum(
         jnp.where(is_ctg, table.counts & (st.CTG_BIT - 1), derived),
         st.UINT16_MAX,
     )
-    extc = jnp.minimum(ext_raw, st.UINT16_MAX)
+    extc = [jnp.minimum(e, st.UINT16_MAX) for e in ext_raw]
     dmin = dmin_lut[jnp.clip(counts, 0, st.UINT16_MAX)]
-    left = st._call_ext(extc[:, :4], dmin)
-    right = st._call_ext(extc[:, 4:8], dmin)
+    left = st._call_ext(extc[:4], dmin)
+    right = st._call_ext(extc[4:8], dmin)
     keep = occupied & (counts >= 2) & (left < 4) & (right < 4)
     num_kept = jnp.sum(keep).astype(jnp.int64)
     sum_counts = jnp.sum(jnp.where(keep, counts, 0)).astype(jnp.int64)

@@ -300,8 +300,8 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     add_slot = jnp.where(found, found_slot, cap)
     # counts are derived from the five left buckets (shard_table layout);
     # a hit lane lands in exactly one of buckets {0-3, 8}
-    lidx = jnp.where(found, add_slot * 9 + jnp.where(left < 4, left, 8), cap * 9)
-    ridx = jnp.where(found & (right < 4), add_slot * 9 + 4 + right, cap * 9)
+    lidx = jnp.where(found, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
+    ridx = jnp.where(found & (right < 4), (4 + right) * cap + add_slot, cap * 9)
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
 
@@ -399,8 +399,8 @@ def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
     phase1_exhausted = active
     found = found_slot < cap
     add_slot = jnp.where(found, found_slot, cap)
-    lidx = jnp.where(found, add_slot * 9 + jnp.where(left < 4, left, 8), cap * 9)
-    ridx = jnp.where(found & (right < 4), add_slot * 9 + 4 + right, cap * 9)
+    lidx = jnp.where(found, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
+    ridx = jnp.where(found & (right < 4), (4 + right) * cap + add_slot, cap * 9)
     extc = extc.at[lidx].add(cnt, mode="drop")
     extc = extc.at[ridx].add(cnt, mode="drop")
 

@@ -27,3 +27,18 @@ def pytest_sessionstart(session):
         f"tests need 8 virtual CPU devices, got {n} on {jax.default_backend()!r};"
         " the platform/device-count forcing in conftest.py failed"
     )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between modules: a full 196-test run keeps
+    every jitted program's LLVM JIT code alive in-process and XLA:CPU
+    eventually segfaults inside backend_compile_and_load (deterministically at
+    ~190 in-process compiles; the same test passes standalone and in any
+    subset).  Clearing per module bounds the resident executable count; the
+    recompiles it causes are cheap relative to the suite."""
+    yield
+    jax.clear_caches()

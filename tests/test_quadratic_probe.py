@@ -42,7 +42,7 @@ def _check_table(table, exp):
     khi = np.asarray(table.keys_hi).astype(np.uint64)
     klo = np.asarray(table.keys_lo).astype(np.uint64)
     occ = (khi != 0xFFFFFFFF) | (klo != 0xFFFFFFFF)
-    extc9 = np.asarray(table.extc).reshape(-1, 9)[occ]
+    extc9 = np.asarray(table.extc).reshape(9, -1).T[occ]  # bucket-major
     got = {}
     for h, l, e in zip(khi[occ], klo[occ], extc9):
         got[(int(h), int(l))] = (int(e[:4].sum() + e[8]), list(map(int, e)))
@@ -114,7 +114,7 @@ def test_quadratic_qf_mode_counts():
     khi = np.asarray(table.keys_hi).astype(np.uint64)
     klo = np.asarray(table.keys_lo).astype(np.uint64)
     occ = (khi != 0xFFFFFFFF) | (klo != 0xFFFFFFFF)
-    extc9 = np.asarray(table.extc).reshape(-1, 9)[occ]
+    extc9 = np.asarray(table.extc).reshape(9, -1).T[occ]  # bucket-major
     got = {
         (int(h), int(l)): int(e[:4].sum() + e[8])
         for h, l, e in zip(khi[occ], klo[occ], extc9)
@@ -142,7 +142,7 @@ def test_quadratic_mw_high_load():
     cap = table.capacity
     keys = np.asarray(table.keys).reshape(3, cap)
     occ = ~np.all(keys == 0xFFFFFFFF, axis=0)
-    extc9 = np.asarray(table.extc).reshape(-1, 9)[occ]
+    extc9 = np.asarray(table.extc).reshape(9, -1).T[occ]  # bucket-major
     got = {}
     for w0, w1, w2, e in zip(keys[0][occ], keys[1][occ], keys[2][occ], extc9):
         got[(int(w0), int(w1), int(w2))] = int(e[:4].sum() + e[8])

@@ -37,7 +37,7 @@ def _table_dict(table):
     keys = (hi[occ] << np.uint64(32)) | lo[occ]
     # read-path counts are derived from the five left buckets (bucket 8 =
     # invalid left); the counts word is only written by the ctg pass
-    extc9 = np.asarray(table.extc).reshape(-1, 9)[occ]
+    extc9 = np.asarray(table.extc).reshape(9, -1).T[occ]  # bucket-major
     counts = extc9[:, :4].sum(axis=1) + extc9[:, 8]
     extc = extc9[:, :8]
     return {
@@ -115,13 +115,15 @@ def test_finalize_matches_oracle():
 def test_ext_call_tie_break():
     """Equal top counts -> 'F' only if runner >= dmin; char tie-break T>G>C>A
     (src/kcount/kcount_cpu.cpp:135-145)."""
-    extc4 = jnp.asarray([
+    rows = np.asarray([
         [5, 0, 0, 0],   # clear A
         [0, 3, 3, 0],   # C/G tie at 3, dmin 2 -> F
         [1, 0, 0, 1],   # A/T tie at 1 with dmin 2 -> X
         [0, 0, 0, 0],   # all zero -> X
         [2, 2, 0, 0],   # A/C tie, dmin 2 -> F
-    ], dtype=jnp.int32)
+    ], dtype=np.int32)
+    # _call_ext takes a LIST of per-base planes (bucket-major layout)
+    extc4 = [jnp.asarray(rows[:, b]) for b in range(4)]
     dmin = jnp.asarray([2, 2, 2, 2, 2], dtype=jnp.int32)
     ext = np.asarray(shard_table._call_ext(extc4, dmin))
     assert list(ext) == [0, shard_table.EXT_F, shard_table.EXT_X,
@@ -129,7 +131,8 @@ def test_ext_call_tie_break():
 
     # top==runner at dmin=1 -> F (runner >= dmin)
     ext2 = np.asarray(shard_table._call_ext(
-        jnp.asarray([[1, 0, 0, 1]], dtype=jnp.int32), jnp.asarray([1], dtype=jnp.int32)))
+        [jnp.asarray([v], dtype=jnp.int32) for v in (1, 0, 0, 1)],
+        jnp.asarray([1], dtype=jnp.int32)))
     assert list(ext2) == [shard_table.EXT_F]
 
 
