@@ -212,8 +212,13 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
 
 
 @_memo
-def make_finalize(mesh: Mesh, dmin_thres: int = 2):
-    """Build the jitted sharded finalize: per-shard ext calling + purge."""
+def make_finalize(mesh: Mesh, dmin_thres: int = 2, donate: bool = False):
+    """Build the jitted sharded finalize: per-shard ext calling + purge.
+
+    donate=True donates the table state (callers must read every state
+    scalar/probe-stat BEFORE finalizing): at reference scale the state is
+    ~6 GB/chip and finalize's own outputs+temps do not fit HBM alongside an
+    undonated copy (measured RESOURCE_EXHAUSTED on a 16 GB v5e)."""
     lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
 
     def per_device(state: ShardedState, lut_rep):
@@ -237,7 +242,8 @@ def make_finalize(mesh: Mesh, dmin_thres: int = 2):
             mesh=mesh,
             in_specs=(_STATE_SPEC, P(None)),
             out_specs=fin_spec,
-        )
+        ),
+        donate_argnums=(0,) if donate else (),
     )
 
     def finalize_fn(state):
@@ -247,10 +253,12 @@ def make_finalize(mesh: Mesh, dmin_thres: int = 2):
 
 
 @_memo
-def make_compact_fin(mesh: Mesh, K: int):
+def make_compact_fin(mesh: Mesh, K: int, donate: bool = False):
     """Jitted sharded wrapper for shard_table.compact_fin: [n_shards, cap]
     finalized arrays -> [n_shards, K] kept-only arrays (per-shard, no
-    collectives)."""
+    collectives).  donate=True frees the full-capacity finalized arrays as
+    they are consumed (they cannot alias the smaller outputs, but early
+    free halves peak HBM during compaction)."""
     fin_spec = shard_table.FinalizedShard(
         keys_hi=P("sh", None),
         keys_lo=P("sh", None),
@@ -270,11 +278,11 @@ def make_compact_fin(mesh: Mesh, K: int):
 
     return jax.jit(jax.shard_map(
         per_device, mesh=mesh, in_specs=(fin_spec,), out_specs=fin_spec,
-    ))
+    ), donate_argnums=(0,) if donate else ())
 
 
 @_memo
-def make_compact_fin_mw(mesh: Mesh, K: int):
+def make_compact_fin_mw(mesh: Mesh, K: int, donate: bool = False):
     """Multi-word variant of make_compact_fin."""
     fin_spec = stmw.FinalizedMW(
         keys=P("sh", None, None),
@@ -294,7 +302,7 @@ def make_compact_fin_mw(mesh: Mesh, K: int):
 
     return jax.jit(jax.shard_map(
         per_device, mesh=mesh, in_specs=(fin_spec,), out_specs=fin_spec,
-    ))
+    ), donate_argnums=(0,) if donate else ())
 
 
 def unpack_batch(code2, nmask, badq_bits, max_len: int):
@@ -1164,7 +1172,8 @@ def make_ctg_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, dmin_thres: int =
 
 
 @_memo
-def make_finalize_mw(mesh: Mesh, dmin_thres: int = 2):
+def make_finalize_mw(mesh: Mesh, dmin_thres: int = 2, donate: bool = False):
+    """Multi-word finalize; donate as in make_finalize."""
     lut = jnp.asarray(shard_table._dmin_lut(dmin_thres))
 
     def per_device(state: MWShardedState, lut_rep):
@@ -1187,7 +1196,8 @@ def make_finalize_mw(mesh: Mesh, dmin_thres: int = 2):
             mesh=mesh,
             in_specs=(_MW_STATE_SPEC, P(None)),
             out_specs=fin_spec,
-        )
+        ),
+        donate_argnums=(0,) if donate else (),
     )
 
     def finalize_fn(state):

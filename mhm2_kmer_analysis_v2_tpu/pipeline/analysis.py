@@ -563,28 +563,12 @@ def analyze_kmers(
         n_singleton = int(dist.fetch(state.f_stored).sum())
         slog_verbose("Singleton filter stored ", n_singleton, " first occurrences")
         state = state.table  # finalize the main table only
-    if multiword:
-        finalize = cs.make_finalize_mw(mesh, dmin_thres=options.dmin_thres)
-    else:
-        finalize = cs.make_finalize(mesh, dmin_thres=options.dmin_thres)
-    fin = finalize(state)
-    # compact the finalized table on device before ANY host fetch: d2h then
-    # moves ~12 B per kept k-mer, not ~21 B per slot of capacity (the bulk
-    # compact-table D2H of gpu_hash_table.cpp:736-784) — dominant e2e cost
-    # through a slow host link otherwise
-    kept_max = int(dist.allmax(int(dist.fetch(fin.num_kept).max())))
-    K = max(1 << 16, -(-kept_max // (1 << 16)) * (1 << 16))
-    if K < fin.keep.shape[-1]:
-        compact = (cs.make_compact_fin_mw if multiword else cs.make_compact_fin)(mesh, K)
-        fin = compact(fin)
+    # every state read happens BEFORE finalize: the state is donated into it
+    # (at reference scale ~6 GB/chip of table arrays must be reusable as
+    # finalize's outputs/temps or a 16 GB chip RESOURCE_EXHAUSTs)
     num_dropped = int(dist.fetch(state.num_dropped).sum())
     num_overflow = int(dist.fetch(state.overflow).sum())
     num_spill = int(dist.fetch(state.spill_rounds).max())
-    if profiling:
-        jax.profiler.stop_trace()
-    stage_timers.analyze_kmers.stop()
-    comm_stats.end_stage()
-
     # probe-length / load-factor report (flush_inserts, kcount_cpu.cpp:496-521)
     # — always-on for every table family and process count: the reduction runs
     # on device and pulls only a few scalars per shard (the r2 version pulled
@@ -598,6 +582,29 @@ def analyze_kmers(
         from ..table.shard_table import probe_stats_device
 
         pstats = probe_stats_device(state.keys_hi, state.keys_lo)
+    pstats = {kk: np.asarray(v) for kk, v in pstats.items()}  # before donation
+    if multiword:
+        finalize = cs.make_finalize_mw(mesh, dmin_thres=options.dmin_thres,
+                                       donate=True)
+    else:
+        finalize = cs.make_finalize(mesh, dmin_thres=options.dmin_thres,
+                                    donate=True)
+    fin = finalize(state)
+    del state
+    # compact the finalized table on device before ANY host fetch: d2h then
+    # moves ~12 B per kept k-mer, not ~21 B per slot of capacity (the bulk
+    # compact-table D2H of gpu_hash_table.cpp:736-784) — dominant e2e cost
+    # through a slow host link otherwise
+    kept_max = int(dist.allmax(int(dist.fetch(fin.num_kept).max())))
+    K = max(1 << 16, -(-kept_max // (1 << 16)) * (1 << 16))
+    if K < fin.keep.shape[-1]:
+        compact = (cs.make_compact_fin_mw if multiword else cs.make_compact_fin)(
+            mesh, K, donate=True)
+        fin = compact(fin)
+    if profiling:
+        jax.profiler.stop_trace()
+    stage_timers.analyze_kmers.stop()
+    comm_stats.end_stage()
     occ = pstats["occupied"]
     if occ.sum() > 0:
         wavg = float((pstats["avg_probe"] * occ).sum() / occ.sum())
