@@ -39,9 +39,28 @@ for _b in b"ACGT":
 _BASES = np.frombuffer(b"ACGT", np.uint8)
 
 
+def words_to_base_matrix(words: np.ndarray, k: int) -> np.ndarray:
+    """[U, W64] u64 word matrix (finalize_arrays' k>32 layout: word 0 = first
+    k-32*(W64-1) bases) -> [U, k] uint8 ASCII base matrix, row order
+    preserved (both are lexicographic k-mer order)."""
+    U, W64 = words.shape
+    r0 = k - 32 * (W64 - 1)
+    widths = [r0] + [32] * (W64 - 1)
+    mat = np.empty((U, k), np.uint8)
+    col = 0
+    for j, w in enumerate(widths):
+        word = words[:, j]
+        for i in range(w):
+            mat[:, col + i] = _BASES[
+                ((word >> np.uint64(2 * (w - 1 - i))) & np.uint64(3)).astype(np.int64)
+            ]
+        col += w
+    return mat
+
+
 class FastOracleCounter:
-    """Drop-in OracleCounter analogue for large inputs (reads only; for
-    ctg-kmer carryover semantics use the scalar oracle)."""
+    """Drop-in OracleCounter analogue for large inputs, including the
+    ctg-kmer carryover pass (add_ctg_seqs) for multi-k round replay."""
 
     def __init__(self, k: int, qual_offset: int = 33, dmin_thres: int = 2):
         assert k <= 160, "fast oracle covers the reference MAX_K set (<=160)"
@@ -56,6 +75,12 @@ class FastOracleCounter:
         self._vals: list[np.ndarray] = []  # k<=32: [n]; else [W64, n] stacks
         self._lext: list[np.ndarray] = []  # 0..3 = ACGT tally, 4 = none
         self._rext: list[np.ndarray] = []
+        # ctg-kmer carryover occurrences (add_ctg_seqs): canonical vals,
+        # oriented ext codes (always 0..3 inside a contig), int depths
+        self._ctg_vals: list[np.ndarray] = []
+        self._ctg_l: list[np.ndarray] = []
+        self._ctg_r: list[np.ndarray] = []
+        self._ctg_d: list[np.ndarray] = []
         self._finalized = None
 
     # -- ingest ----------------------------------------------------------
@@ -85,11 +110,28 @@ class FastOracleCounter:
         idx = starts + (np.arange(len(starts)) - np.repeat(
             np.cumsum(np.concatenate([[0], n_pos[:-1]])), n_pos))
 
-        # O(log k) window pyramids over the flat base array (the same
-        # doubling trick as the device path, ops/kmer_ops.py): fw[m][p] =
-        # 2-bit pack of bases [p, p+m); rc[m][p] = pack of their revcomp.
-        # Window values at read boundaries mix neighboring reads, but idx
-        # only selects interior positions so those lanes are never read.
+        canon, flip = self._canon_flip(flat, idx)
+
+        le = np.where(ext_ok[idx - 1], _KCODE[flat[idx - 1]], 4).astype(np.uint8)
+        re_ = np.where(ext_ok[idx + k], _KCODE[flat[idx + k]], 4).astype(np.uint8)
+        # flipped k-mers swap and complement their extensions
+        fle = np.where(re_ == 4, 4, 3 - re_).astype(np.uint8)
+        fre = np.where(le == 4, 4, 3 - le).astype(np.uint8)
+        self._vals.append(canon)
+        self._lext.append(np.where(flip, fle, le))
+        self._rext.append(np.where(flip, fre, re_))
+        self._finalized = None
+
+    def _canon_flip(self, flat: np.ndarray, idx: np.ndarray):
+        """Canonical k-mer value(s) + flip flag for each position `idx` of the
+        flat base-byte array.
+
+        O(log k) window pyramids over the flat base array (the same doubling
+        trick as the device path, ops/kmer_ops.py): fw[m][p] = 2-bit pack of
+        bases [p, p+m); rc[m][p] = pack of their revcomp.  Window values at
+        sequence boundaries mix neighboring sequences, but idx only selects
+        interior positions so those lanes are never read."""
+        k = self.k
         codes = _KCODE[flat].astype(np.uint64)
         fw = {1: codes}
         rcw = {1: np.uint64(3) ^ codes}
@@ -156,15 +198,46 @@ class FastOracleCounter:
             canon = np.stack(
                 [np.where(flip, rw, vw) for vw, rw in zip(v_w, r_w)]
             )
+        return canon, flip
 
-        le = np.where(ext_ok[idx - 1], _KCODE[flat[idx - 1]], 4).astype(np.uint8)
-        re_ = np.where(ext_ok[idx + k], _KCODE[flat[idx + k]], 4).astype(np.uint8)
-        # flipped k-mers swap and complement their extensions
-        fle = np.where(re_ == 4, 4, 3 - re_).astype(np.uint8)
-        fre = np.where(le == 4, 4, 3 - le).astype(np.uint8)
-        self._vals.append(canon)
-        self._lext.append(np.where(flip, fle, le))
-        self._rext.append(np.where(flip, fre, re_))
+    def add_ctg_seqs(self, seqs: list, depths: list):
+        """Vectorized contig-kmer carryover (oracle.add_ctg_seq is the scalar
+        spec, insert_supermer_from_ctg src/kcount/kcount_cpu.cpp:357-407):
+        records every counted contig position (1..L-k-1, ACGT-only contigs)
+        with its truncated-int depth; the from-ctg merge rules apply at
+        finalize via the same occurrence reduction the device pass uses
+        (shard_table.insert_ctg_batch: per unique k-mer, depth = min over
+        occurrences, any extension disagreement purges via depth 0 — proven
+        equal to the scalar occurrence-by-occurrence loop for depth >= 2,
+        which contig mean depths always satisfy since finalize keeps only
+        count >= 2 k-mers)."""
+        k = self.k
+        if not seqs:
+            return
+        flat = np.frombuffer("".join(seqs).encode(), np.uint8)
+        lens = np.fromiter((len(s) for s in seqs), np.int64, count=len(seqs))
+        off = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        n_pos = np.maximum(lens - k - 1, 0)
+        starts = np.repeat(off[:-1] + 1, n_pos)
+        if len(starts) == 0:
+            return
+        idx = starts + (np.arange(len(starts)) - np.repeat(
+            np.cumsum(np.concatenate([[0], n_pos[:-1]])), n_pos))
+        canon, flip = self._canon_flip(flat, idx)
+        le = _KCODE[flat[idx - 1]].astype(np.uint8)
+        re_ = _KCODE[flat[idx + k]].astype(np.uint8)
+        l_o = np.where(flip, 3 - re_, le).astype(np.uint8)
+        r_o = np.where(flip, 3 - le, re_).astype(np.uint8)
+        # float depths quantize exactly as the pipeline feed does
+        # (analysis.py ctg pass: max(1, min(int(round(d)), 65535)); zero
+        # depth -> 1 per SeqBlockInserter::process_seq, kcount.cpp:75)
+        di = np.clip(np.round(np.asarray(depths, np.float64)), 1, UINT16_MAX)
+        d = np.repeat(di.astype(np.int64), n_pos)
+        self._ctg_vals.append(canon)
+        self._ctg_l.append(l_o)
+        self._ctg_r.append(r_o)
+        self._ctg_d.append(d)
         self._finalized = None
 
     def add_fastq(self, fname: str, chunk_reads: int = 200_000):
@@ -248,6 +321,47 @@ class FastOracleCounter:
         out[top_c < dmin] = ord("X")
         return out
 
+    def _ctg_reduce(self):
+        """Reduce ctg-kmer occurrences per unique canonical k-mer: depth = min
+        over occurrences, any (L, R) extension disagreement -> depth 0 (the
+        purge marker) — the insert_ctg_batch occurrence reduction."""
+        l = np.concatenate(self._ctg_l)
+        r = np.concatenate(self._ctg_r)
+        d = np.concatenate(self._ctg_d)
+        if self.k <= 32:
+            vals = np.concatenate(self._ctg_vals)
+            order = np.argsort(vals, kind="stable")
+            sv = vals[order]
+            newseg = np.ones(len(sv), bool)
+            np.not_equal(sv[1:], sv[:-1], out=newseg[1:])
+            uniq = sv[newseg]
+        else:
+            W64 = self.n_words64
+            words = np.concatenate(self._ctg_vals, axis=1)
+            order = np.lexsort(tuple(words[::-1]))
+            sw = words[:, order]
+            newseg = np.ones(sw.shape[1], bool)
+            if sw.shape[1]:
+                newseg[1:] = False
+            for j in range(W64):
+                newseg[1:] |= sw[j, 1:] != sw[j, :-1]
+            uniq = sw[:, newseg].T.copy()
+        gs = np.nonzero(newseg)[0]
+        sl, sr, sd = l[order], r[order], d[order]
+        ep = sl.astype(np.int64) * 4 + sr
+        ud = np.minimum.reduceat(sd, gs) if len(gs) else sd[:0]
+        emin = np.minimum.reduceat(ep, gs) if len(gs) else ep[:0]
+        emax = np.maximum.reduceat(ep, gs) if len(gs) else ep[:0]
+        ud = np.where(emin != emax, 0, ud)
+        return uniq, sl[newseg], sr[newseg], ud
+
+    @staticmethod
+    def _void_rows(mat: np.ndarray) -> np.ndarray:
+        """[N, W64] u64 rows -> void keys whose byte order equals the numeric
+        lexicographic row order (big-endian words)."""
+        be = np.ascontiguousarray(mat.astype(">u8"))
+        return be.view(np.dtype((np.void, 8 * mat.shape[1]))).ravel()
+
     def finalize_arrays(self):
         """(sorted canonical vals, counts, left char bytes, right char
         bytes) of surviving k-mers — the purge rules of finalize().
@@ -258,6 +372,57 @@ class FastOracleCounter:
         uniq, counts, lcnt, rcnt = self._reduce()
         lch = self._call_ext(lcnt, counts)
         rch = self._call_ext(rcnt, counts)
+        if self._ctg_vals:
+            cu, cl, cr, cd = self._ctg_reduce()
+            Uc = len(cd)
+            # a ctg entry's tallies are {count=d, left=[d@L], right=[d@R]}
+            # (oracle.add_ctg_seq:325-333); call its exts through the same
+            # dmin rules so dmin_thres > 2 configurations stay exact
+            ccnt = np.zeros((Uc, 4), np.int64)
+            ccnt[np.arange(Uc), cl] = np.minimum(cd, UINT16_MAX)
+            clch = self._call_ext(ccnt, cd)
+            ccnt[:] = 0
+            ccnt[np.arange(Uc), cr] = np.minimum(cd, UINT16_MAX)
+            crch = self._call_ext(ccnt, cd)
+            # locate ctg kmers in the read table
+            if uniq.ndim == 1:
+                j = np.searchsorted(uniq, cu)
+                jc = np.minimum(j, max(len(uniq) - 1, 0))
+                present = (j < len(uniq)) & (uniq[jc] == cu) if len(uniq) \
+                    else np.zeros(Uc, bool)
+            else:
+                uv = self._void_rows(uniq)
+                cv = self._void_rows(cu)
+                j = np.searchsorted(uv, cv)
+                jc = np.minimum(j, max(len(uv) - 1, 0))
+                present = (j < len(uv)) & (uv[jc] == cv) if len(uv) \
+                    else np.zeros(Uc, bool)
+            counts = counts.copy()
+            lch = lch.copy()
+            rch = rch.copy()
+            # overwrite: read singletons and non-UU entries; UU read entries
+            # win (kcount_cpu.cpp:357-407 via oracle.add_ctg_seq)
+            is_xf = (
+                (lch == ord("X")) | (lch == ord("F"))
+                | (rch == ord("X")) | (rch == ord("F"))
+            )
+            ow = present & ((counts[jc] == 1) | is_xf[jc])
+            counts[jc[ow]] = cd[ow]
+            lch[jc[ow]] = clch[ow]
+            rch[jc[ow]] = crch[ow]
+            ab = ~present
+            if ab.any():
+                counts = np.concatenate([counts, cd[ab]])
+                lch = np.concatenate([lch, clch[ab]])
+                rch = np.concatenate([rch, crch[ab]])
+                if uniq.ndim == 1:
+                    uniq = np.concatenate([uniq, cu[ab]])
+                    order = np.argsort(uniq, kind="stable")
+                else:
+                    uniq = np.concatenate([uniq, cu[ab]], axis=0)
+                    order = np.argsort(self._void_rows(uniq), kind="stable")
+                uniq, counts = uniq[order], counts[order]
+                lch, rch = lch[order], rch[order]
         keep = (
             (counts >= 2)
             & (lch != ord("X")) & (lch != ord("F"))

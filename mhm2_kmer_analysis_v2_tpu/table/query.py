@@ -332,11 +332,10 @@ def get_kmer_counts_sharded(state, kmers: list, k: int, n_shards: int) -> list:
     state = getattr(state, "table", state)
     multiword = not hasattr(state, "keys_hi")
     if jax.process_count() > 1:
-        if multiword:
-            raise NotImplementedError(
-                "multi-process point queries support k <= 32 (u32-pair wire); "
-                "route mw queries through dump/compact instead"
-            )
+        # k <= 32 ships u32 pairs; k > 32 ships W canonical word planes routed
+        # by the multiword minimizer (same wire the mw traversal lookup rides,
+        # contig/device.py) — the reference's get works from any rank at every
+        # templated k (src/kcount/kmer_dht.cpp:216-245, MAX_K to 160).
         vals = [canonical_val(kmer_to_val(s), k)[0] for s in kmers]
         return _collective_query(state, vals, k, n_shards)
     routed: dict = {}

@@ -23,6 +23,8 @@ import gzip
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -71,12 +73,88 @@ def _run_scalars(run_dir: str, k: int):
     return int(rec["Unique kmers"]), int(rec["Total kmers"])
 
 
+def _load_fasta(path: str) -> list:
+    """(seq, depth_float) pairs from a uutigs-<k>.fasta."""
+    out = []
+    depth = 0.0
+    seq_parts: list = []
+    with open(path) as f:
+        for ln in f:
+            if ln.startswith(">"):
+                if seq_parts:
+                    out.append(("".join(seq_parts), depth))
+                    seq_parts = []
+                depth = float(ln.split()[1])
+            else:
+                seq_parts.append(ln.strip())
+    if seq_parts:
+        out.append(("".join(seq_parts), depth))
+    return out
+
+
+def _prev_round_k(run_dir: str, k: int):
+    """The k of the round preceding `k` in the run's kmer_lens, or None."""
+    import json
+
+    cfg = os.path.join(run_dir, "mhm2.config")
+    if not os.path.exists(cfg):
+        return None, False
+    d = json.load(open(cfg))
+    klens = d.get("kmer_lens", [])
+    use_ctg = bool(d.get("ctg_kmers", False))
+    if k in klens and klens.index(k) > 0:
+        return klens[klens.index(k) - 1], use_ctg
+    return None, use_ctg
+
+
+def _check_contigs(run_dir: str, k: int, vals, counts, lch, rch) -> int:
+    """Rebuild UU-tigs from the fast oracle's finalized arrays with the host
+    pointer-doubling builder and compare the (canonical seq, depth) multiset
+    against the run's uutigs-<k>.fasta (VERDICT r3 item 7: traversal parity
+    at scale, exact — both engines emit min(seq, revcomp))."""
+    from mhm2_kmer_analysis_v2_tpu.contig.utg import build_utgs, build_utgs_mw
+    from mhm2_kmer_analysis_v2_tpu.oracle_fast import words_to_base_matrix
+
+    path = os.path.join(run_dir, f"uutigs-{k}.fasta")
+    if not os.path.exists(path):
+        print("contigs: uutigs fasta not found (skipped)")
+        return 0
+    lut = {ord("A"): 0, ord("C"): 1, ord("G"): 2, ord("T"): 3}
+    if vals.ndim == 1:
+        lcode = np.array([lut[b] for b in lch], np.int64)
+        rcode = np.array([lut[b] for b in rch], np.int64)
+        utgs = build_utgs(vals, counts, lcode, rcode, k)
+    else:
+        mat = words_to_base_matrix(vals, k)
+        utgs = build_utgs_mw(mat, counts, np.asarray(lch), np.asarray(rch), k)
+    from collections import Counter
+
+    want = Counter((s, f"{d:.3f}") for s, d in zip(utgs.seqs, utgs.depths))
+    got = Counter((s, f"{d:.3f}") for s, d in _load_fasta(path))
+    if want == got:
+        print(f"contigs: {sum(got.values())} uutigs match the oracle-rebuilt "
+              "traversal (seq+depth multiset) -> OK")
+        return 0
+    only_run = got - want
+    only_oracle = want - got
+    print(f"contigs: MISMATCH — run has {sum(only_run.values())} uutigs the "
+          f"oracle rebuild lacks; oracle has {sum(only_oracle.values())} the "
+          "run lacks; examples:")
+    for s, d in list(only_run)[:2]:
+        print(f"  run-only: depth={d} len={len(s)} {s[:60]}...")
+    for s, d in list(only_oracle)[:2]:
+        print(f"  oracle-only: depth={d} len={len(s)} {s[:60]}...")
+    return 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("-k", type=int, default=21)
     ap.add_argument("--qual-offset", type=int, default=33)
     ap.add_argument("--dmin-thres", type=int, default=2)
+    ap.add_argument("--no-contigs", action="store_true",
+                    help="skip the uutig traversal-parity check")
     args = ap.parse_args()
 
     from mhm2_kmer_analysis_v2_tpu.oracle import val_to_kmer
@@ -91,9 +169,23 @@ def main():
     for fn in merged:
         print(f"reading {fn} ...")
         fo.add_fastq(fn)
+    # multi-k --ctg-kmers rounds seed from the previous round's contigs;
+    # replay them (oracle.add_ctg_seq semantics, vectorized) so every round
+    # of a multi-k run verifies, not just the first (VERDICT r3 item 2)
+    prev_k, use_ctg = _prev_round_k(args.run_dir, args.k)
+    if use_ctg and prev_k is not None:
+        prev_fa = os.path.join(args.run_dir, f"uutigs-{prev_k}.fasta")
+        if not os.path.exists(prev_fa):
+            sys.exit(f"round k={args.k} used --ctg-kmers but {prev_fa} is missing")
+        ctgs = _load_fasta(prev_fa)
+        print(f"replaying {len(ctgs)} ctg contigs from round k={prev_k} ...")
+        fo.add_ctg_seqs([s for s, _ in ctgs], [d for _, d in ctgs])
     vals, counts, lch, rch = fo.finalize_arrays()
-    if vals.ndim == 2:  # k > 32: (hi, lo) word pairs
+    vals_words = vals  # k > 32: the [U, W64] word matrix (contig check input)
+    if vals.ndim == 2:
         vals = (vals[:, 0].astype(object) << 64) | vals[:, 1].astype(object)
+        for j in range(2, vals_words.shape[1]):
+            vals = (vals << 64) | vals_words[:, j].astype(object)
     uniq, total = len(vals), int(counts.sum())
     print(f"fast oracle: unique={uniq} total_count_sum={total}")
 
@@ -143,6 +235,10 @@ def main():
               f"-> {'OK' if ok else 'MISMATCH'}")
     else:
         print("dump: not found (skipped)")
+
+    if not args.no_contigs:
+        failures += _check_contigs(args.run_dir, args.k, vals_words, counts,
+                                   lch, rch)
 
     if failures:
         sys.exit(f"FAIL: {failures} comparison(s) mismatched")

