@@ -51,9 +51,24 @@ def sorted_dest(target, valid, n_shards: int, cap: int, max_rounds: int = 0):
                into their overflow accounting)
     """
     n = target.shape[0]
-    key = jnp.where(valid, target.astype(jnp.int32), n_shards)
-    order = jnp.argsort(key)
-    tgt = key[order]
+    bits = max(1, (n - 1).bit_length())
+    if (n_shards + 1) < (1 << (32 - bits)):
+        # single-plane u32 sort: destination in the high bits, lane index in
+        # the low bits — ~2x cheaper than argsort's (key, iota) pair sort and
+        # stable by construction (ties resolve by lane).  Measured: the
+        # argsort was ~85 ms/batch at 618K lanes on the CPU mesh, rivaling
+        # the insert itself (scripts/exp_exchange.py).
+        lane = jax.lax.iota(U32, n)
+        dest = jnp.where(valid, target.astype(U32), U32(n_shards))
+        skey = jax.lax.sort(
+            (dest << U32(bits)) | lane
+        )
+        order = (skey & U32((1 << bits) - 1)).astype(jnp.int32)
+        tgt = (skey >> U32(bits)).astype(jnp.int32)
+    else:
+        key = jnp.where(valid, target.astype(jnp.int32), n_shards)
+        order = jnp.argsort(key)
+        tgt = key[order]
     bounds = jnp.searchsorted(tgt, jnp.arange(n_shards + 1, dtype=tgt.dtype))
     col = jnp.arange(n, dtype=jnp.int32) - bounds[
         jnp.clip(tgt, 0, n_shards - 1)

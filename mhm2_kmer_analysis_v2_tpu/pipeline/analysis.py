@@ -328,11 +328,18 @@ def analyze_kmers(
     batch = max(n_shards, batch - batch % n_shards)
     max_len = dist.allmax(max(pr.max_read_len, k + 2))
     positions_per_device = (batch // n_shards) * max_len
-    # exchange capacity: worst-case skew headroom over the mean (the
+    # exchange capacity: sized just above the per-destination MEAN (the
     # fixed-capacity analogue of --max-kmer-store sizing, kmer_dht.cpp:141-144);
-    # an explicit --max-kmer-store (MB/rank) caps the per-destination buffer
+    # an explicit --max-kmer-store (MB/rank) caps the per-destination buffer.
+    # The receiver processes n_shards*cap lanes per round, so cap headroom
+    # multiplies insert work directly: the old 4x-mean sizing made the n=2
+    # step 2.08x the insert-only cost vs 1.19x at 1.25x-mean, with zero spill
+    # rounds either way on route_hash-balanced destinations
+    # (scripts/exp_exchange.py; skew beyond the margin spills losslessly).
     mean = positions_per_device // max(n_shards, 1) + 1
-    exchange_cap = min(positions_per_device, 4 * mean + 4096) if n_shards > 1 else 1
+    exchange_cap = (
+        min(positions_per_device, mean + mean // 4 + 1024) if n_shards > 1 else 1
+    )
     if options.max_kmer_store_mb > 0 and n_shards > 1:
         record_bytes = 12  # hi + lo + meta words
         cap_from_store = options.max_kmer_store_mb * (1 << 20) // (record_bytes * n_shards)
@@ -529,9 +536,11 @@ def analyze_kmers(
         # of the reference's 3 MB seq blocks (KCOUNT_SEQ_BLOCK_SIZE)
         WC = max(max_len, 512)
         # the ctg pass exchanges per-k-mer records: size its own capacity
+        # near the mean like the read pass (spill rounds absorb skew)
         ctg_positions = (batch // n_shards) * WC
+        ctg_mean = ctg_positions // n_shards + 1
         ctg_cap = (
-            min(ctg_positions, 4 * (ctg_positions // n_shards + 1) + 4096)
+            min(ctg_positions, ctg_mean + ctg_mean // 4 + 1024)
             if n_shards > 1 else 1
         )
         ctg_kw = dict(k=k, exchange_cap=ctg_cap, dmin_thres=options.dmin_thres,

@@ -307,14 +307,17 @@ def _probe_round(tbl, recs, full_hi_range: bool = False, step=1):
     thi = keys_hi[gslot]
     commit = active & (thi == hi) & (tlo == lo)
     add_slot = jnp.where(commit, slot, cap)
-    # extension tallies: two flat scatter-adds.  A committed lane always
-    # lands in one of the five left buckets (bucket 8 = invalid left), so
-    # the count needs no scatter of its own — it is the sum of those five
-    # buckets at finalize.  Invalid right ext contributes nothing.
+    # extension tallies: ONE flat scatter-add over the concatenated left +
+    # right bucket indices (table-op cost on the target chip is flat in lane
+    # width, so one 2R-lane scatter beats two R-lane scatters).  A committed
+    # lane always lands in one of the five left buckets (bucket 8 = invalid
+    # left), so the count needs no scatter of its own — it is the sum of
+    # those five buckets at finalize.  Invalid right ext contributes nothing.
     lidx = jnp.where(commit, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
     ridx = jnp.where(commit & (right < 4), (4 + right) * cap + add_slot, cap * 9)
-    extc = extc.at[lidx].add(cnt, mode="drop")
-    extc = extc.at[ridx].add(cnt, mode="drop")
+    extc = extc.at[jnp.concatenate([lidx, ridx])].add(
+        jnp.concatenate([cnt, cnt]), mode="drop"
+    )
     active = active & ~commit
     slot = _advance(slot, active, step, cap)
     return (keys_hi, keys_lo, counts, extc, claim), active, slot
@@ -323,6 +326,99 @@ def _probe_round(tbl, recs, full_hi_range: bool = False, step=1):
 # used by the multi-word table's (simpler) insert structure
 _FULL_ROUNDS = 1
 _COMPACT_FRACTION = 8
+
+# Windowed probing (the long-chain while_loop): candidates per round.  At
+# high load the insert cost is the while_loop TRIP COUNT times ~7 table ops,
+# and on the target chip a table op costs the same at any lane width
+# (measured: a batch at 0.77 load ran 44x slower than at 0.20 — ~49 rounds x
+# 7 ops x ~18 ms; scripts/exp_gap.py).  Gathering W candidate slots per lane
+# in ONE flat gather covers W probe steps per round, cutting rounds ~W-fold
+# for the same per-round op count.
+PROBE_WINDOW = 16
+
+
+def _probe_tri(cap: int):
+    """Probe-schedule offsets T_0..T_99 (triangular for quadratic caps,
+    identity for the linear schedule) as a device constant."""
+    i = np.arange(MAX_PROBE, dtype=np.int64)
+    tri = (i * (i + 1) // 2) % cap if cap >= QUAD_MIN_CAP else i
+    return jnp.asarray(tri.astype(np.int32))
+
+
+def _window_round(tbl, recs, tri, full_hi_range: bool, W: int):
+    """One windowed probe round over the active lanes.
+
+    recs = (hi, lo, left, right, cnt, active, pidx, home); pidx is each
+    lane's current probe INDEX (0 = home).  Gathers the W candidate slots at
+    probe indices pidx..pidx+W-1 in one flat gather per key plane, jumps to
+    the first match-or-empty candidate, and runs the claim-free two-phase
+    write there (see _probe_round).  Correctness relies on the open-
+    addressing invariant that slots only transition EMPTY -> occupied: a
+    key's stored position always precedes any empty slot on its probe path,
+    so committing at the FIRST interesting candidate can never insert a
+    duplicate ahead of an existing entry.  All candidate gathers in a round
+    read the pre-round snapshot; a slot seen empty is contested through the
+    lo-write election exactly like the single-step protocol.
+
+    Returns (tbl', active', pidx').  Lanes that lose a write election stay
+    at the contested probe index (the slot is now occupied, so the next
+    round's window moves past it); lanes with no interesting candidate
+    advance by W; lanes past MAX_PROBE go inactive (caller counts them as
+    dropped via its own bookkeeping of never-committed lanes).
+    """
+    keys_hi, keys_lo, counts, extc, claim = tbl
+    hi, lo, left, right, cnt, active, pidx, home = recs
+    cap = keys_hi.shape[0]
+    R = hi.shape[0]
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    cand_p = pidx[:, None] + iota_w[None, :]
+    cand_ok = active[:, None] & (cand_p < MAX_PROBE)
+    cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
+    cslot = (home[:, None] + tri[cp]) % cap
+    flat = jnp.where(cand_ok, cslot, 0).reshape(-1)
+    chi = keys_hi[flat].reshape(R, W)
+    is_match = cand_ok & (chi == hi[:, None])
+    if full_hi_range:
+        clo = keys_lo[flat].reshape(R, W)
+        is_empty = cand_ok & (chi == EMPTY) & (clo == EMPTY)
+        is_match = is_match & (clo == lo[:, None])
+    else:
+        # k <= 31: a stored hi can never equal EMPTY, and hi alone does not
+        # identify the key — fetch lo for the match check
+        clo = keys_lo[flat].reshape(R, W)
+        is_empty = cand_ok & (chi == EMPTY)
+        is_match = is_match & (clo == lo[:, None])
+    interesting = is_match | is_empty
+    has = jnp.any(interesting, axis=1)
+    first = jnp.argmax(interesting, axis=1).astype(jnp.int32)
+    take = jnp.arange(R, dtype=jnp.int32) * W + jnp.where(has, first, 0)
+    tgt_slot = cslot.reshape(-1)[take]
+    tgt_p = cand_p.reshape(-1)[take]
+    tgt_empty = is_empty.reshape(-1)[take] & has
+    # two-phase write at the target slot (empty targets only; match targets
+    # ride the verify gather straight to commit)
+    e_slot = jnp.where(tgt_empty, tgt_slot, cap)
+    keys_lo = keys_lo.at[e_slot].set(lo, mode="drop")
+    gslot = jnp.where(has, tgt_slot, 0)
+    tlo = keys_lo[gslot]
+    won_lo = tgt_empty & (tlo == lo)
+    w_slot = jnp.where(won_lo, tgt_slot, cap)
+    keys_hi = keys_hi.at[w_slot].set(hi, mode="drop")
+    thi = keys_hi[gslot]
+    commit = has & (thi == hi) & (tlo == lo)
+    add_slot = jnp.where(commit, tgt_slot, cap)
+    lidx = jnp.where(commit, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
+    ridx = jnp.where(commit & (right < 4), (4 + right) * cap + add_slot, cap * 9)
+    extc = extc.at[jnp.concatenate([lidx, ridx])].add(
+        jnp.concatenate([cnt, cnt]), mode="drop"
+    )
+    pidx = jnp.where(has, tgt_p, pidx + W)
+    survive = active & ~commit
+    active = survive & (pidx < MAX_PROBE)
+    # lanes whose whole schedule is exhausted without a commit are the
+    # reference's dropped-kmer case (probe cap KCOUNT_HT_MAX_PROBE)
+    n_exhausted = jnp.sum(survive & (pidx >= MAX_PROBE)).astype(jnp.int32)
+    return (keys_hi, keys_lo, counts, extc, claim), active, pidx, n_exhausted
 
 
 def _compact_sort(arrs, active, S):
@@ -379,35 +475,44 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
         tbl, (hi, lo, left, right, cnt, lane, active, slot0), full_hi_range, step=1
     )
 
-    # tier-1 compaction + one sweep
+    # tier-1 compaction + one sweep (slot0 rides along: the windowed tier-2
+    # probes from each lane's HOME slot + probe index)
     S1 = min(max(R // 8, 4096), R)
-    (s_hi, s_lo, s_l, s_r, s_c, s_sl), act1, rank1, idx1, n_left1 = _compact_sort(
-        [hi, lo, left, right, cnt, slot], active, S1
+    (s_hi, s_lo, s_l, s_r, s_c, s_sl, s_h0), act1, rank1, idx1, n_left1 = _compact_sort(
+        [hi, lo, left, right, cnt, slot, slot0], active, S1
     )
     tbl, act1b, s_sl = _probe_round(
         tbl, (s_hi, s_lo, s_l, s_r, s_c, rank1, act1, s_sl), full_hi_range, step=2
     )
 
-    # tier-2 compaction + while_loop for the long probe chains
+    # tier-2 compaction + WINDOWED while_loop for the long probe chains:
+    # each round covers PROBE_WINDOW probe steps in one candidate gather
+    # (~W-fold fewer rounds; on the target chip table-op cost is flat in
+    # lane width, so round count is the cost — see _window_round)
     S2 = min(max(R // 64, 1024), S1)
-    (t_hi, t_lo, t_l, t_r, t_c, t_sl), act2, rank2, idx2, n_left2 = _compact_sort(
-        [s_hi, s_lo, s_l, s_r, s_c, s_sl], act1b, S2
+    (t_hi, t_lo, t_l, t_r, t_c, t_h0), act2, rank2, idx2, n_left2 = _compact_sort(
+        [s_hi, s_lo, s_l, s_r, s_c, s_h0], act1b, S2
     )
+    tri = _probe_tri(cap)
     zero_v = (slot0[0] & 0).astype(jnp.int32)
 
     def cond(state):
-        return jnp.any(state[1]) & (state[3] < MAX_PROBE - 2)
+        return jnp.any(state[1]) & (state[3] < MAX_PROBE)
 
     def body(state):
-        tbl, act, sl, it = state
-        # entrants sit at probe position 2 (advanced by steps 1 then 2)
-        tbl, act, sl = _probe_round(
-            tbl, (t_hi, t_lo, t_l, t_r, t_c, rank2, act, sl), full_hi_range,
-            step=it + 3,
+        tbl, act, pidx, it, drops = state
+        # entrants sit at probe index 2 (advanced by sweeps 1 and 2)
+        tbl, act, pidx, nex = _window_round(
+            tbl, (t_hi, t_lo, t_l, t_r, t_c, act, pidx, t_h0), tri,
+            full_hi_range, PROBE_WINDOW,
         )
-        return tbl, act, sl, it + 1
+        return tbl, act, pidx, it + 1, drops + nex
 
-    tbl, t_left, _, _ = jax.lax.while_loop(cond, body, (tbl, act2, t_sl, zero_v))
+    # initial pidx derived from traced data so the carry's varying-axis
+    # annotation matches the body outputs under shard_map
+    tbl, t_left, _, _, w_drops = jax.lax.while_loop(
+        cond, body, (tbl, act2, t_h0 * 0 + 2, zero_v, zero_v)
+    )
 
     # lanes that overflowed either compaction tier redo from their home slot
     # at full width — lossless, and free (lax.cond) when no overflow occurred.
@@ -423,18 +528,18 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
         fba = fba | jnp.zeros((R,), bool).at[jnp.where(fb2, idx1, R)].set(True, mode="drop")
 
         def fb_body(state):
-            tbl, act, sl, it = state
-            # fallback lanes restart at probe position 1 (the sweep-1 slot)
-            tbl, act, sl = _probe_round(
-                tbl, (hi, lo, left, right, cnt, lane, act, sl), full_hi_range,
-                step=it + 2,
+            tbl, act, pidx, it, drops = state
+            # fallback lanes rewalk from probe index 1 (home was sweep 1)
+            tbl, act, pidx, nex = _window_round(
+                tbl, (hi, lo, left, right, cnt, act, pidx, slot0), tri,
+                full_hi_range, PROBE_WINDOW,
             )
-            return tbl, act, sl, it + 1
+            return tbl, act, pidx, it + 1, drops + nex
 
-        # fallback lanes never committed, so their slot chain position is in
-        # `slot`/compacted copies; restart from the sweep-1 continuation slot
-        tbl_out, rem, _, _ = jax.lax.while_loop(cond, fb_body, (tbl_in, fba, slot, zero_v))
-        return tbl_out, jnp.sum(rem).astype(jnp.int32)
+        tbl_out, rem, _, _, fdrops = jax.lax.while_loop(
+            cond, fb_body, (tbl_in, fba, slot0 * 0 + 1, zero_v, zero_v),
+        )
+        return tbl_out, jnp.sum(rem).astype(jnp.int32) + fdrops
 
     def nofb(tbl_in):
         # zero derived from traced data so both cond branches have identical
@@ -444,7 +549,7 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
     tbl, fb_left = jax.lax.cond(overflow, fb, nofb, tbl)
 
     # only probe-cap exhaustion remains (the reference's dropped-kmer case)
-    dropped = jnp.sum(t_left).astype(jnp.int32) + fb_left
+    dropped = jnp.sum(t_left).astype(jnp.int32) + w_drops + fb_left
     keys_hi, keys_lo, counts, extc, claim = tbl
     return ShardTable(
         keys_hi=keys_hi,
@@ -515,19 +620,41 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
     zero_v = (slot[0] & 0).astype(jnp.int32)
     tbl = (table.keys_hi, table.keys_lo, table.counts, table.extc, table.claim)
 
+    tri = _probe_tri(cap)
+    home = slot
+    iota_w = jnp.arange(PROBE_WINDOW, dtype=jnp.int32)
+    take0 = jnp.arange(R, dtype=jnp.int32) * PROBE_WINDOW
+
     def cond(state):
-        _, active, _, it = state
+        _, active, _, it, _ = state
         return jnp.any(active) & (it < MAX_PROBE)
 
     def body(state):
-        tbl, active, slot, it = state
+        tbl, active, pidx, it, drops = state
         keys_hi, keys_lo, counts, extc, claim = tbl
-        gslot = jnp.where(active, slot, 0)
-        thi = keys_hi[gslot]
-        tlo = keys_lo[gslot]
-        is_match = active & (thi == u_hi) & (tlo == u_lo)
-        is_empty = active & (thi == EMPTY) & (tlo == EMPTY)
-        # claim empties (unique keys -> winners are conflict-free)
+        # windowed target find (see _window_round): first match-or-empty
+        # candidate among the next PROBE_WINDOW probe positions
+        cand_p = pidx[:, None] + iota_w[None, :]
+        cand_ok = active[:, None] & (cand_p < MAX_PROBE)
+        cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
+        cslot_w = (home[:, None] + tri[cp]) % cap
+        flatc = jnp.where(cand_ok, cslot_w, 0).reshape(-1)
+        chi = keys_hi[flatc].reshape(R, PROBE_WINDOW)
+        clo = keys_lo[flatc].reshape(R, PROBE_WINDOW)
+        mw_ = cand_ok & (chi == u_hi[:, None]) & (clo == u_lo[:, None])
+        ew_ = cand_ok & (chi == EMPTY) & (clo == EMPTY)
+        interesting = mw_ | ew_
+        has = jnp.any(interesting, axis=1)
+        firstc = jnp.argmax(interesting, axis=1).astype(jnp.int32)
+        take = take0 + jnp.where(has, firstc, 0)
+        slot = cslot_w.reshape(-1)[take]
+        tgt_p = cand_p.reshape(-1)[take]
+        is_match = mw_.reshape(-1)[take] & has
+        is_empty = ew_.reshape(-1)[take] & has
+        gslot = jnp.where(has, slot, 0)
+        # claim election at empty targets (within-batch keys are unique, but
+        # DIFFERENT keys can target one slot; losers retry from the same
+        # probe index — the slot is occupied next round, so they move on)
         cslot = jnp.where(is_empty, slot, cap)
         claim = claim.at[cslot].set(lane, mode="drop")
         won = is_empty & (claim[gslot] == lane)
@@ -585,12 +712,16 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
 
         resolved = is_match | won
         active = active & ~resolved
-        slot = _advance(slot, active, it + 1, cap)
-        return (keys_hi, keys_lo, counts, extc, claim), active, slot, it + 1
+        pidx = jnp.where(has, tgt_p, pidx + PROBE_WINDOW)
+        drops = drops + jnp.sum(active & (pidx >= MAX_PROBE)).astype(jnp.int32)
+        active = active & (pidx < MAX_PROBE)
+        return (keys_hi, keys_lo, counts, extc, claim), active, pidx, it + 1, drops
 
-    tbl, left_over, _, _ = jax.lax.while_loop(cond, body, (tbl, active, slot, zero_v))
+    tbl, left_over, _, _, w_drops = jax.lax.while_loop(
+        cond, body, (tbl, active, slot * 0, zero_v, zero_v)
+    )
     keys_hi, keys_lo, counts, extc, claim = tbl
-    dropped = jnp.sum(left_over).astype(jnp.int32)
+    dropped = jnp.sum(left_over).astype(jnp.int32) + w_drops
     return ShardTable(
         keys_hi=keys_hi,
         keys_lo=keys_lo,

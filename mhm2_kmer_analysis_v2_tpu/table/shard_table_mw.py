@@ -166,11 +166,71 @@ def _probe_round_mw(tbl, recs, w0_full_range: bool, cap: int, step=1):
     # left buckets, so counts need no scatter of their own
     lidx = jnp.where(commit, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
     ridx = jnp.where(commit & (right < 4), (4 + right) * cap + add_slot, cap * 9)
-    extc = extc.at[lidx].add(cnt, mode="drop")
-    extc = extc.at[ridx].add(cnt, mode="drop")
+    # one concatenated scatter-add (op cost is flat in lane width)
+    extc = extc.at[jnp.concatenate([lidx, ridx])].add(
+        jnp.concatenate([cnt, cnt]), mode="drop"
+    )
     active = active & ~commit
     slot = st._advance(slot, active, step, cap)
     return (keys, counts, extc, claim), active, slot
+
+
+def _window_round_mw(tbl, recs, tri, w0_full_range: bool, cap: int, W: int):
+    """Windowed probe round for the multi-word table (port of
+    st._window_round; see there for the first-interesting-candidate
+    correctness argument).  Gathers all Wn words of the W candidate slots
+    per active lane (Wn flat gathers of W*R lanes — table-op cost is flat in
+    lane width on the target chip, so rounds, not lanes, are the cost)."""
+    keys, counts, extc, claim = tbl
+    words, left, right, cnt, active, pidx, home = recs
+    Wn, R = words.shape
+    INVALID = Wn * cap
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    cand_p = pidx[:, None] + iota_w[None, :]
+    cand_ok = active[:, None] & (cand_p < MAX_PROBE)
+    cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
+    cslot = (home[:, None] + tri[cp]) % cap
+    flat = jnp.where(cand_ok, cslot, 0).reshape(-1)
+    cw = [keys[j * cap + flat].reshape(R, W) for j in range(Wn)]
+    is_match = cand_ok
+    for j in range(Wn):
+        is_match = is_match & (cw[j] == words[j][:, None])
+    if w0_full_range:
+        is_empty = cand_ok
+        for j in range(Wn):
+            is_empty = is_empty & (cw[j] == EMPTY)
+    else:
+        is_empty = cand_ok & (cw[0] == EMPTY)
+    interesting = is_match | is_empty
+    has = jnp.any(interesting, axis=1)
+    first = jnp.argmax(interesting, axis=1).astype(jnp.int32)
+    take = jnp.arange(R, dtype=jnp.int32) * W + jnp.where(has, first, 0)
+    tgt_slot = cslot.reshape(-1)[take]
+    tgt_p = cand_p.reshape(-1)[take]
+    tgt_empty = is_empty.reshape(-1)[take] & has
+    # two-phase write with word 0 as the election word (see _probe_round_mw)
+    e_slot = jnp.where(tgt_empty, tgt_slot, INVALID)
+    keys = keys.at[e_slot].set(words[0], mode="drop")
+    gslot = jnp.where(has, tgt_slot, 0)
+    tw0 = keys[gslot]
+    won0 = tgt_empty & (tw0 == words[0])
+    w_slot = jnp.where(won0, tgt_slot, INVALID)
+    commit = has & (tw0 == words[0])
+    for j in range(1, Wn):
+        keys = keys.at[j * cap + w_slot].set(words[j], mode="drop")
+    for j in range(1, Wn):
+        commit = commit & (keys[j * cap + gslot] == words[j])
+    add_slot = jnp.where(commit, tgt_slot, cap)
+    lidx = jnp.where(commit, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
+    ridx = jnp.where(commit & (right < 4), (4 + right) * cap + add_slot, cap * 9)
+    extc = extc.at[jnp.concatenate([lidx, ridx])].add(
+        jnp.concatenate([cnt, cnt]), mode="drop"
+    )
+    pidx = jnp.where(has, tgt_p, pidx + W)
+    survive = active & ~commit
+    active = survive & (pidx < MAX_PROBE)
+    n_exhausted = jnp.sum(survive & (pidx >= MAX_PROBE)).astype(jnp.int32)
+    return (keys, counts, extc, claim), active, pidx, n_exhausted
 
 
 @functools.partial(jax.jit, static_argnames=("w0_full_range",))
@@ -200,43 +260,48 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
         step=1,
     )
 
-    # tier-1 compaction + one sweep
+    # tier-1 compaction + one sweep (slot0 rides along for the windowed
+    # tier-2, which probes from home + probe index)
     S1 = min(max(R // 8, 4096), R)
     arrs1, act1, rank1, idx1, n_left1 = st._compact_sort(
-        [*words, left, right, cnt, slot], active, S1
+        [*words, left, right, cnt, slot, slot0], active, S1
     )
     s_w = jnp.stack(arrs1[:Wn], axis=0)
-    s_l, s_r, s_c, s_sl = arrs1[Wn:]
+    s_l, s_r, s_c, s_sl, s_h0 = arrs1[Wn:]
     tbl, act1b, s_sl = _probe_round_mw(
         tbl, (s_w, s_l, s_r, s_c, rank1, act1, s_sl), w0_full_range, cap, step=2
     )
 
-    # tier-2 compaction + while_loop for the long probe chains
+    # tier-2 compaction + WINDOWED while_loop for the long probe chains
+    # (PROBE_WINDOW candidates per round; see st._window_round)
     S2 = min(max(R // 64, 1024), S1)
     arrs2, act2, rank2, idx2, n_left2 = st._compact_sort(
-        [*s_w, s_l, s_r, s_c, s_sl], act1b, S2
+        [*s_w, s_l, s_r, s_c, s_h0], act1b, S2
     )
     t_w = jnp.stack(arrs2[:Wn], axis=0)
-    t_l, t_r, t_c, t_sl = arrs2[Wn:]
+    t_l, t_r, t_c, t_h0 = arrs2[Wn:]
+    tri = st._probe_tri(cap)
     zero_v = (slot0[0] & 0).astype(jnp.int32)
 
     def cond(state):
-        return jnp.any(state[1]) & (state[3] < MAX_PROBE - 2)
+        return jnp.any(state[1]) & (state[3] < MAX_PROBE)
 
     def body(state):
-        tbl, act, sl, it = state
-        # entrants sit at probe position 2 (advanced by steps 1 then 2)
-        tbl, act, sl = _probe_round_mw(
-            tbl, (t_w, t_l, t_r, t_c, rank2, act, sl), w0_full_range, cap,
-            step=it + 3,
+        tbl, act, pidx, it, drops = state
+        # entrants sit at probe index 2 (advanced by sweeps 1 and 2)
+        tbl, act, pidx, nex = _window_round_mw(
+            tbl, (t_w, t_l, t_r, t_c, act, pidx, t_h0), tri,
+            w0_full_range, cap, st.PROBE_WINDOW,
         )
-        return tbl, act, sl, it + 1
+        return tbl, act, pidx, it + 1, drops + nex
 
-    tbl, t_left, _, _ = jax.lax.while_loop(cond, body, (tbl, act2, t_sl, zero_v))
+    tbl, t_left, _, _, w_drops = jax.lax.while_loop(
+        cond, body, (tbl, act2, t_h0 * 0 + 2, zero_v, zero_v)
+    )
 
-    # lanes that overflowed either compaction tier redo from their sweep-1
-    # continuation slot at full width — lossless, free (lax.cond) when not
-    # taken; restart cannot re-commit already-committed lanes (not in set)
+    # lanes that overflowed either compaction tier redo from probe index 1
+    # at full width — lossless, free (lax.cond) when not taken; restart
+    # cannot re-commit already-committed lanes (not in set)
     overflow = (n_left1 > S1) | (n_left2 > S2)
 
     def fb(tbl_in):
@@ -247,23 +312,24 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
         fba = fba | jnp.zeros((R,), bool).at[jnp.where(fb2, idx1, R)].set(True, mode="drop")
 
         def fb_body(state):
-            tbl, act, sl, it = state
-            # fallback lanes restart at probe position 1 (the sweep-1 slot)
-            tbl, act, sl = _probe_round_mw(
-                tbl, (words, left, right, cnt, lane, act, sl), w0_full_range, cap,
-                step=it + 2,
+            tbl, act, pidx, it, drops = state
+            tbl, act, pidx, nex = _window_round_mw(
+                tbl, (words, left, right, cnt, act, pidx, slot0), tri,
+                w0_full_range, cap, st.PROBE_WINDOW,
             )
-            return tbl, act, sl, it + 1
+            return tbl, act, pidx, it + 1, drops + nex
 
-        tbl_out, rem, _, _ = jax.lax.while_loop(cond, fb_body, (tbl_in, fba, slot, zero_v))
-        return tbl_out, jnp.sum(rem).astype(jnp.int32)
+        tbl_out, rem, _, _, fdrops = jax.lax.while_loop(
+            cond, fb_body, (tbl_in, fba, slot0 * 0 + 1, zero_v, zero_v)
+        )
+        return tbl_out, jnp.sum(rem).astype(jnp.int32) + fdrops
 
     def nofb(tbl_in):
         return tbl_in, n_left1 * 0
 
     tbl, fb_left = jax.lax.cond(overflow, fb, nofb, tbl)
 
-    dropped = jnp.sum(t_left).astype(jnp.int32) + fb_left
+    dropped = jnp.sum(t_left).astype(jnp.int32) + w_drops + fb_left
     keys, counts, extc, claim = tbl
     return MWShardTable(
         keys=keys,
@@ -327,21 +393,41 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
     tbl = (table.keys, table.counts, table.extc, table.claim)
     CTG_BIT = st.CTG_BIT
 
+    tri = st._probe_tri(cap)
+    home = slot
+    iota_w = jnp.arange(st.PROBE_WINDOW, dtype=jnp.int32)
+    take0 = jnp.arange(R, dtype=jnp.int32) * st.PROBE_WINDOW
+
     def cond(state):
-        _, active, _, it = state
+        _, active, _, it, _ = state
         return jnp.any(active) & (it < MAX_PROBE)
 
     def body(state):
-        tbl, active, slot, it = state
+        tbl, active, pidx, it, drops = state
         keys, counts, extc, claim = tbl
-        gslot = jnp.where(active, slot, 0)
-        tw = [keys[j * cap + gslot] for j in range(Wn)]
-        is_match = active
-        is_empty = active
+        # windowed target find over all Wn words (see st._window_round)
+        cand_p = pidx[:, None] + iota_w[None, :]
+        cand_ok = active[:, None] & (cand_p < MAX_PROBE)
+        cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
+        cslot_w = (home[:, None] + tri[cp]) % cap
+        flatc = jnp.where(cand_ok, cslot_w, 0).reshape(-1)
+        mw_ = cand_ok
+        ew_ = cand_ok
         for j in range(Wn):
-            is_match &= tw[j] == u_w[j]
-            is_empty &= tw[j] == EMPTY
-        # claim empties (unique keys -> winners are conflict-free)
+            cw = keys[j * cap + flatc].reshape(R, st.PROBE_WINDOW)
+            mw_ = mw_ & (cw == u_w[j][:, None])
+            ew_ = ew_ & (cw == EMPTY)
+        interesting = mw_ | ew_
+        has = jnp.any(interesting, axis=1)
+        firstc = jnp.argmax(interesting, axis=1).astype(jnp.int32)
+        take = take0 + jnp.where(has, firstc, 0)
+        slot = cslot_w.reshape(-1)[take]
+        tgt_p = cand_p.reshape(-1)[take]
+        is_match = mw_.reshape(-1)[take] & has
+        is_empty = ew_.reshape(-1)[take] & has
+        gslot = jnp.where(has, slot, 0)
+        # claim election at empty targets (within-batch keys unique; losers
+        # of cross-key contention retry from the same probe index)
         cslot = jnp.where(is_empty, slot, cap)
         claim = claim.at[cslot].set(lane, mode="drop")
         won = is_empty & (claim[gslot] == lane)
@@ -394,12 +480,16 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
 
         resolved = is_match | won
         active = active & ~resolved
-        slot = st._advance(slot, active, it + 1, cap)
-        return (keys, counts, extc, claim), active, slot, it + 1
+        pidx = jnp.where(has, tgt_p, pidx + st.PROBE_WINDOW)
+        drops = drops + jnp.sum(active & (pidx >= MAX_PROBE)).astype(jnp.int32)
+        active = active & (pidx < MAX_PROBE)
+        return (keys, counts, extc, claim), active, pidx, it + 1, drops
 
-    tbl, left_over, _, _ = jax.lax.while_loop(cond, body, (tbl, active, slot, zero_v))
+    tbl, left_over, _, _, w_drops = jax.lax.while_loop(
+        cond, body, (tbl, active, slot * 0, zero_v, zero_v)
+    )
     keys, counts, extc, claim = tbl
-    dropped = jnp.sum(left_over).astype(jnp.int32)
+    dropped = jnp.sum(left_over).astype(jnp.int32) + w_drops
     return MWShardTable(
         keys=keys,
         counts=counts,

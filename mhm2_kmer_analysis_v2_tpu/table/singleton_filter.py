@@ -272,26 +272,45 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     absent = jnp.zeros((R,), bool) & valid
     found_slot = jnp.full((R,), cap, jnp.int32) + zero_v
 
+    # windowed lookup (PROBE_WINDOW candidates per round, one flat gather per
+    # key plane): the main-table probe must follow the insert path's
+    # schedule, and at load the round count — not lane width — is the cost
+    # (see st._window_round)
+    tri = st._probe_tri(cap)
+    W = st.PROBE_WINDOW
+    home = slot
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    lane_take0 = jnp.arange(R, dtype=jnp.int32) * W
+
     def body1b(state):
-        active, absent, slot, found_slot, it = state
-        gslot = jnp.where(active, slot, 0)
-        thi = keys_hi[gslot]
-        tlo = keys_lo[gslot]
-        hit = active & (thi == hi) & (tlo == lo)
-        empty = active & (thi == EMPTY) & (tlo == EMPTY)
-        found_slot = jnp.where(hit, slot, found_slot)
-        absent = absent | empty
-        active = active & ~hit & ~empty
-        # main-table probe must follow the insert path's schedule
-        slot = st._advance(slot, active, it + 1, cap)
-        return active, absent, slot, found_slot, it + 1
+        active, absent, pidx, found_slot, it = state
+        cand_p = pidx[:, None] + iota_w[None, :]
+        cand_ok = active[:, None] & (cand_p < MAX_PROBE)
+        cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
+        cslot = (home[:, None] + tri[cp]) % cap
+        flat = jnp.where(cand_ok, cslot, 0).reshape(-1)
+        chi = keys_hi[flat].reshape(R, W)
+        clo = keys_lo[flat].reshape(R, W)
+        m = cand_ok & (chi == hi[:, None]) & (clo == lo[:, None])
+        e = cand_ok & (chi == EMPTY) & (clo == EMPTY)
+        interesting = m | e
+        has = jnp.any(interesting, axis=1)
+        first = jnp.argmax(interesting, axis=1).astype(jnp.int32)
+        take = lane_take0 + jnp.where(has, first, 0)
+        t_slot = cslot.reshape(-1)[take]
+        t_is_m = m.reshape(-1)[take] & has
+        found_slot = jnp.where(t_is_m, t_slot, found_slot)
+        absent = absent | (interesting.reshape(-1)[take] & has & ~t_is_m)
+        active = active & ~has
+        pidx = pidx + W
+        return active, absent, pidx, found_slot, it + 1
 
     def cond1b(state):
         active, _, _, _, it = state
-        return jnp.any(active) & (it < MAX_PROBE)
+        return jnp.any(active) & (it < -(-MAX_PROBE // W))
 
     active, absent, _, found_slot, _ = jax.lax.while_loop(
-        cond1b, body1b, (active, absent, slot, found_slot, zero_v)
+        cond1b, body1b, (active, absent, slot * 0, found_slot, zero_v)
     )
     # lanes that exhausted the lookup probe join the main-table fallback (the
     # full insert counts them as dropped properly instead of losing them)
@@ -302,8 +321,9 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     # a hit lane lands in exactly one of buckets {0-3, 8}
     lidx = jnp.where(found, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
     ridx = jnp.where(found & (right < 4), (4 + right) * cap + add_slot, cap * 9)
-    extc = extc.at[lidx].add(cnt, mode="drop")
-    extc = extc.at[ridx].add(cnt, mode="drop")
+    extc = extc.at[jnp.concatenate([lidx, ridx])].add(
+        jnp.concatenate([cnt, cnt]), mode="drop"
+    )
 
     # ---- phase 2: filter lookup-then-claim for absent lanes --------------
     # Each attempt: (a) probe the chain up to the first EMPTY, recording a
@@ -374,35 +394,53 @@ def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
     absent = jnp.zeros((R,), bool) & valid
     found_slot = jnp.full((R,), cap, jnp.int32) + zero_v
 
+    # windowed lookup (see the single-word insert_batch_qf phase 1)
+    tri = st._probe_tri(cap)
+    W = st.PROBE_WINDOW
+    home = slot
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    lane_take0 = jnp.arange(R, dtype=jnp.int32) * W
+
     def body1b(state):
-        active, absent, slot, found_slot, it = state
-        gslot = jnp.where(active, slot, 0)
-        hit = active
-        empty = active
+        active, absent, pidx, found_slot, it = state
+        cand_p = pidx[:, None] + iota_w[None, :]
+        cand_ok = active[:, None] & (cand_p < MAX_PROBE)
+        cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
+        cslot = (home[:, None] + tri[cp]) % cap
+        flat = jnp.where(cand_ok, cslot, 0).reshape(-1)
+        m = cand_ok
+        e = cand_ok
         for j in range(Wn):
-            tw = keys[j * cap + gslot]
-            hit = hit & (tw == words[j])
-            empty = empty & (tw == stmw.EMPTY)
-        found_slot = jnp.where(hit, slot, found_slot)
-        absent = absent | empty
-        active = active & ~hit & ~empty
-        slot = st._advance(slot, active, it + 1, cap)
-        return active, absent, slot, found_slot, it + 1
+            cw = keys[j * cap + flat].reshape(R, W)
+            m = m & (cw == words[j][:, None])
+            e = e & (cw == stmw.EMPTY)
+        interesting = m | e
+        has = jnp.any(interesting, axis=1)
+        first = jnp.argmax(interesting, axis=1).astype(jnp.int32)
+        take = lane_take0 + jnp.where(has, first, 0)
+        t_slot = cslot.reshape(-1)[take]
+        t_is_m = m.reshape(-1)[take] & has
+        found_slot = jnp.where(t_is_m, t_slot, found_slot)
+        absent = absent | (interesting.reshape(-1)[take] & has & ~t_is_m)
+        active = active & ~has
+        pidx = pidx + W
+        return active, absent, pidx, found_slot, it + 1
 
     def cond1b(state):
         active, _, _, _, it = state
-        return jnp.any(active) & (it < MAX_PROBE)
+        return jnp.any(active) & (it < -(-MAX_PROBE // W))
 
     active, absent, _, found_slot, _ = jax.lax.while_loop(
-        cond1b, body1b, (active, absent, slot, found_slot, zero_v)
+        cond1b, body1b, (active, absent, slot * 0, found_slot, zero_v)
     )
     phase1_exhausted = active
     found = found_slot < cap
     add_slot = jnp.where(found, found_slot, cap)
     lidx = jnp.where(found, jnp.where(left < 4, left, 8) * cap + add_slot, cap * 9)
     ridx = jnp.where(found & (right < 4), (4 + right) * cap + add_slot, cap * 9)
-    extc = extc.at[lidx].add(cnt, mode="drop")
-    extc = extc.at[ridx].add(cnt, mode="drop")
+    extc = extc.at[jnp.concatenate([lidx, ridx])].add(
+        jnp.concatenate([cnt, cnt]), mode="drop"
+    )
 
     # ---- phase 2: shared filter lookup-then-claim -------------------------
     fps = _fingerprint_mw(words)

@@ -56,7 +56,8 @@ def main():
         mesh = Mesh(np.array(devs[:n]), ("sh",))
         B = args.reads_per_device * n
         L = args.read_len
-        cap = (args.reads_per_device * L // n) * 4 + 4096
+        mean = args.reads_per_device * L // n
+        cap = mean + mean // 4 + 1024  # 1.25x-mean, like the pipeline
         if args.supermers and n > 1:
             sm_cap = max((args.reads_per_device * L) // (n * 3) + 1024, 1024)
             step = cs.make_count_step_supermer(mesh, k=args.k, exchange_cap=sm_cap)

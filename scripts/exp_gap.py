@@ -82,8 +82,8 @@ def main():
     # prefill: R random canonical keys per scan step (k=21: hi 10 bits)
     R_fill = batch_reads * read_len
 
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("steps",))
-    def prefill(table, key, steps: int):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def prefill_chunk(table, key):
         def body(carry, _):
             table, key = carry
             key, k1, k2 = jax.random.split(key, 3)
@@ -94,7 +94,16 @@ def main():
                 table, hi, lo, z, z, jnp.ones((R_fill,), jnp.int32),
                 jnp.ones((R_fill,), bool), full_hi_range=False)
             return (table, key), 0
-        (table, _), _ = jax.lax.scan(body, (table, key), None, length=steps)
+        (table, _), _ = jax.lax.scan(body, (table, key), None, length=4)
+        return table
+
+    def prefill(table, key, steps: int):
+        # chunked dispatches (a single 50+-step fused scan crashed the
+        # tunneled TPU worker); 4 inserts per dispatch, donated carry
+        import jax as _jax
+        for i in range(-(-steps // 4)):
+            key, sub = _jax.random.split(key)
+            table = prefill_chunk(table, sub)
         return table
 
     def fresh(cap_elems):

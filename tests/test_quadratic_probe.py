@@ -178,3 +178,39 @@ def test_ctg_pass_quadratic_schedule():
     # every ctg key must be findable via the query path
     found, counts, _ = lookup_batch(table, jnp.asarray(chi), jnp.asarray(clo))
     assert bool(np.all(np.asarray(found)))
+
+
+def test_windowed_probe_saturation_accounting():
+    """The windowed while_loop (PROBE_WINDOW candidates per round) at table
+    saturation: no duplicate keys may ever be stored (the first-interesting-
+    candidate jump must never insert ahead of an existing entry), every
+    stored key must be one that was inserted, and each valid lane either
+    commits exactly one left-bucket increment or is counted dropped."""
+    rng = np.random.default_rng(11)
+    n = 12000
+    hi = rng.integers(0, 1 << 4, n, dtype=np.uint32)
+    lo = rng.integers(0, 20000, n, dtype=np.uint32)  # narrow space: duplicates
+    left = rng.integers(0, 5, n).astype(np.int32)
+    right = rng.integers(0, 5, n).astype(np.int32)
+    table = shard_table.create(5000)  # cap ~7577: saturates, forces drops
+    assert table.capacity >= shard_table.QUAD_MIN_CAP
+    for s in range(3):
+        sl = slice(s * 4000, (s + 1) * 4000)
+        table = shard_table.insert_batch(
+            table, jnp.asarray(hi[sl]), jnp.asarray(lo[sl]),
+            jnp.asarray(left[sl]), jnp.asarray(right[sl]),
+            jnp.ones(4000, jnp.int32), jnp.ones(4000, bool),
+            full_hi_range=False,
+        )
+    khi = np.asarray(table.keys_hi)
+    klo = np.asarray(table.keys_lo)
+    occ = (khi != 0xFFFFFFFF) | (klo != 0xFFFFFFFF)
+    stored = list(zip(khi[occ].tolist(), klo[occ].tolist()))
+    assert len(set(stored)) == len(stored), "duplicate key stored"
+    inserted = set(zip(hi.tolist(), lo.tolist()))
+    assert set(stored) <= inserted
+    extc9 = np.asarray(table.extc).reshape(9, -1).T[occ]
+    derived_total = int(extc9[:, :4].sum() + extc9[:, 8].sum())
+    dropped = int(table.num_dropped)
+    assert dropped > 0  # the scenario must actually exercise exhaustion
+    assert derived_total + dropped == n
