@@ -151,19 +151,21 @@ def _pack_meta(left, right, cnt, valid):
 _round_exchange = exchange.round_exchange
 
 
-def _insert_from_buffers(table: ShardTable, hi, lo, meta, k: int) -> ShardTable:
+def _insert_from_buffers(table: ShardTable, hi, lo, meta, k: int,
+                         high_load: bool = False) -> ShardTable:
     valid = meta != 0
     left = meta & 7
     right = (meta >> 3) & 7
     cnt = meta >> 6
     return shard_table.insert_batch(
-        table, hi, lo, left, right, cnt, valid, full_hi_range=k >= 32
+        table, hi, lo, left, right, cnt, valid, full_hi_range=k >= 32,
+        high_load=high_load,
     )
 
 
 @_memo
 def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
-                    max_rounds: int = 0):
+                    max_rounds: int = 0, high_load: bool = False):
     """Build the jitted sharded count step for a device mesh with axis 'sh'.
 
     Returns step(state, codes, badq, lengths) -> state where codes/badq/
@@ -180,7 +182,8 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
         local = _local_table(state)
         if n_shards > 1:
             def ins(tbl, rhi, rlo, rmeta):
-                return _insert_from_buffers(tbl, rhi, rlo, rmeta.astype(jnp.int32), k)
+                return _insert_from_buffers(tbl, rhi, rlo, rmeta.astype(jnp.int32),
+                                            k, high_load)
 
             local, spill, overflow = _round_exchange(
                 [flat["canon_hi"], flat["canon_lo"], meta], flat["target"],
@@ -189,7 +192,7 @@ def make_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = No
         else:
             spill = overflow = jnp.zeros((), jnp.int32)
             local = _insert_from_buffers(
-                local, flat["canon_hi"], flat["canon_lo"], meta, k
+                local, flat["canon_hi"], flat["canon_lo"], meta, k, high_load
             )
         return ShardedState(
             keys_hi=local.keys_hi[None],
@@ -333,7 +336,7 @@ def unpack_batch(code2, nmask, badq_bits, max_len: int):
 @_memo
 def make_packed_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
                            max_len: int, supermers: bool = False, max_rounds: int = 0,
-                           table_mode: str = "plain"):
+                           table_mode: str = "plain", high_load: bool = False):
     """Count step taking bit-packed input planes (see ReadBatch.pack, 0.5
     B/base + masks on the h2d wire); with `supermers` the multi-shard
     exchange uses the compressed supermer wire.  table_mode selects the
@@ -341,19 +344,22 @@ def make_packed_count_step(mesh: Mesh, *, k: int, exchange_cap: int, m: int | No
     (k > 32) — all share the (state, codes, badq, lengths) step signature."""
     if table_mode == "mwqf":
         inner = make_count_step_qf_mw(mesh, k=k, exchange_cap=exchange_cap, m=m,
-                                      max_rounds=max_rounds, supermers=supermers)
+                                      max_rounds=max_rounds, supermers=supermers,
+                                      high_load=high_load)
     elif table_mode == "mw":
         inner = make_count_step_mw(mesh, k=k, exchange_cap=exchange_cap, m=m,
-                                   max_rounds=max_rounds, supermers=supermers)
+                                   max_rounds=max_rounds, supermers=supermers,
+                                   high_load=high_load)
     elif table_mode == "qf":
         inner = make_count_step_qf(mesh, k=k, exchange_cap=exchange_cap, m=m,
-                                   max_rounds=max_rounds, supermers=supermers)
+                                   max_rounds=max_rounds, supermers=supermers,
+                                   high_load=high_load)
     elif supermers and mesh.shape["sh"] > 1:
         inner = make_count_step_supermer(mesh, k=k, exchange_cap=exchange_cap, m=m,
-                                         max_rounds=max_rounds)
+                                         max_rounds=max_rounds, high_load=high_load)
     else:
         inner = make_count_step(mesh, k=k, exchange_cap=exchange_cap, m=m,
-                                max_rounds=max_rounds)
+                                max_rounds=max_rounds, high_load=high_load)
     n_shards = mesh.shape["sh"]
 
     def per_device_unpack(code2, nmask, badq_bits):
@@ -616,6 +622,7 @@ def _supermer_rounds(codes, badq, lengths, *, k, m, max_run, n_shards, cap,
 
 @_memo
 def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
+                             high_load: bool = False,
                              m: int | None = None, max_run: int = SUPERMER_MAX_RUN,
                              max_rounds: int = 0):
     """Sharded count step exchanging SUPERMERS instead of per-k-mer records.
@@ -647,7 +654,8 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
     def per_device(state: ShardedState, codes, badq, lengths):
         def ins(local, hi, lo, left, right, cnt, valid):
             return shard_table.insert_batch(
-                local, hi, lo, left, right, cnt, valid, full_hi_range=k >= 32
+                local, hi, lo, left, right, cnt, valid, full_hi_range=k >= 32,
+                high_load=high_load,
             )
 
         local, spill, overflow = _supermer_rounds(
@@ -723,6 +731,7 @@ def create_sharded_qf(n_shards: int, max_elems_per_shard: int,
 
 @_memo
 def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
+                       high_load: bool = False,
                        max_rounds: int = 0, supermers: bool = False):
     """Sharded count step with singleton-filter offload (--use-qf).
 
@@ -741,7 +750,8 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
         if supermers and n_shards > 1:
             def ins_sm(carry, hi, lo, left, right, cnt, valid):
                 tbl, flt = carry
-                return sf.insert_batch_qf(tbl, flt, hi, lo, left, right, cnt, valid)
+                return sf.insert_batch_qf(tbl, flt, hi, lo, left, right, cnt,
+                                          valid, high_load=high_load)
 
             (local, filt), spill, overflow = _supermer_rounds(
                 codes, badq, lengths, k=k, m=m, max_run=SUPERMER_MAX_RUN,
@@ -825,6 +835,7 @@ def create_sharded_qf_mw(n_shards: int, max_elems_per_shard: int, k: int,
 
 @_memo
 def make_count_step_qf_mw(mesh: Mesh, *, k: int, exchange_cap: int,
+                          high_load: bool = False,
                           m: int | None = None, max_rounds: int = 0,
                           supermers: bool = False):
     """Multi-word sharded count step with singleton-filter offload
@@ -845,7 +856,7 @@ def make_count_step_qf_mw(mesh: Mesh, *, k: int, exchange_cap: int,
         def ins_words(carry, swords, sleft, sright, scnt, svalid):
             tbl, flt = carry
             return sf.insert_batch_qf_mw(tbl, flt, swords, sleft, sright,
-                                         scnt, svalid)
+                                         scnt, svalid, high_load=high_load)
 
         if supermers and n_shards > 1:
             def route(codes_, badq_, lengths_):
@@ -1011,6 +1022,7 @@ def _local_table_mw(state: MWShardedState) -> stmw.MWShardTable:
 
 @_memo
 def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None = None,
+                       high_load: bool = False,
                        max_rounds: int = 0, supermers: bool = False):
     """Multi-word sharded count step (same design as make_count_step).
 
@@ -1038,7 +1050,7 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
                     tbl, swords, sub["left"].reshape(-1),
                     sub["right"].reshape(-1), cnt,
                     sub["valid"].reshape(-1) & (cnt > 0),
-                    w0_full_range=(k % 16 == 0),
+                    w0_full_range=(k % 16 == 0), high_load=high_load,
                 )
 
             local, spill, overflow = _supermer_rounds(
@@ -1074,6 +1086,7 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
                 return stmw.insert_batch_mw(
                     tbl, rwords, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
                     rmeta != 0, w0_full_range=(k % 16 == 0),
+                    high_load=high_load,
                 )
 
             planes = [words[j] for j in range(Wn)] + [meta]
@@ -1085,7 +1098,7 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
             spill = overflow = jnp.zeros((), jnp.int32)
             local = stmw.insert_batch_mw(
                 local, words, meta & 7, (meta >> 3) & 7, meta >> 6, meta != 0,
-                w0_full_range=(k % 16 == 0),
+                w0_full_range=(k % 16 == 0), high_load=high_load,
             )
         return MWShardedState(
             keys=local.keys[None],

@@ -27,6 +27,17 @@ from ..utils.timers import stage_timers
 BASE_ERROR_RATE = 0.005  # CMakeDefinitions.txt (BASE_ERROR_RATE)
 
 
+@jax.jit
+def _occ_count_jit(keys_w0):
+    """Occupied-slot count from one u32 key plane (word 0 / hi): the cheap
+    occupancy poll behind the load-adaptive insert switch.  A key whose
+    word 0 is all-ones (k = 32 / k %% 16 == 0 edge) undercounts slightly —
+    harmless for a switch threshold."""
+    import jax.numpy as jnp
+
+    return jnp.sum(keys_w0 != jnp.uint32(0xFFFFFFFF), dtype=jnp.int64)
+
+
 def table_mem_bytes(per_shard_elems: int, k: int, filter_elems: int = 0) -> int:
     """Device bytes one shard's hash table will occupy at the target load
     factor — the hashtable memory estimator of kcount_cpu.cpp:428-444.
@@ -375,10 +386,11 @@ def analyze_kmers(
         # the MEAN supermer count (~4-6 kmers/supermer) — the lossless
         # spill rounds absorb skew, no 4x headroom needed
         exchange_cap = max(positions_per_device // (n_shards * 3) + 1024, 1024)
-    step = cs.make_packed_count_step(
-        mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
+    step_kw = dict(
+        mesh=mesh, k=k, exchange_cap=exchange_cap, m=m, max_len=max_len,
         supermers=use_supermers, max_rounds=max_rounds, table_mode=table_mode,
     )
+    step = cs.make_packed_count_step(**step_kw)
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sh"))
 
     from ..utils.comm_stats import comm_stats
@@ -480,6 +492,35 @@ def analyze_kmers(
     sync_batches = bool(os.environ.get("MHM2_TPU_TIME_BATCHES"))
     t_feed = t_step = 0.0
     batch_secs = []
+    # load-adaptive insert program: poll main-table occupancy at doubling
+    # batch indices (a one-plane device reduce, a few scalars D2H) and
+    # switch to the loaded-tier insert layout past ~0.15 load — the cheap
+    # cascade's R/8 tier overflows there and every batch pays the full-width
+    # fallback (shard_table.insert_batch docstring; scripts/exp_gap.py).
+    # Poll indices are fixed, so multi-process loops stay lockstep.
+    # MHM2_TPU_HIGH_LOAD: auto (poll + switch, default) | 1 (loaded-tier
+    # program from batch 0) | 0 (never switch) — A/B knob for scale runs
+    _hl_force = os.environ.get("MHM2_TPU_HIGH_LOAD", "auto")
+    high_load_on = _hl_force != "auto"
+    if _hl_force == "1":
+        step = cs.make_packed_count_step(**step_kw, high_load=True)
+    next_poll = 8
+
+    def _main_keys_w0(st_):
+        if table_mode == "plain":
+            return st_.keys_hi
+        if table_mode == "qf":
+            return st_.table.keys_hi
+        if table_mode == "mw":
+            return st_.keys[:, : st_.keys.shape[1] // nw_]
+        return st_.table.keys[:, : st_.table.keys.shape[1] // nw_]
+
+    nw_ = 0
+    if multiword:
+        from ..ops.kmer_multiword import n_words as _nw_fn
+
+        nw_ = _nw_fn(k)
+    cap_per_shard = int(_main_keys_w0(state).shape[-1])
     feed_it = iter(feed)
     while True:
         _t0 = time.perf_counter()
@@ -508,6 +549,16 @@ def analyze_kmers(
             jax.block_until_ready(state.num_dropped)
             batch_secs.append(time.perf_counter() - _t0)
         t_step += time.perf_counter() - _t0
+        if not high_load_on and batch_i == next_poll:
+            next_poll *= 2
+            occ = int(np.asarray(_occ_count_jit(_main_keys_w0(state))))
+            if occ > 0.15 * cap_per_shard * n_shards:
+                high_load_on = True
+                slog_verbose(
+                    "  switching to the loaded-tier insert at batch ", batch_i,
+                    " (occupancy ", occ, " of ", cap_per_shard * n_shards, ")",
+                )
+                step = cs.make_packed_count_step(**step_kw, high_load=True)
     if hlo_args is not None:
         from ..utils.comm_stats import hlo_report
 

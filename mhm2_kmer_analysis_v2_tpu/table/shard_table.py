@@ -439,9 +439,9 @@ def _compact_sort(arrs, active, S):
     return [a[gidx] for a in arrs], act, rank, idx, n_left
 
 
-@functools.partial(jax.jit, static_argnames=("full_hi_range",))
+@functools.partial(jax.jit, static_argnames=("full_hi_range", "high_load"))
 def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
-                 full_hi_range: bool = True) -> ShardTable:
+                 full_hi_range: bool = True, high_load: bool = False) -> ShardTable:
     """Insert one batch of canonical k-mer records into the table.
 
     hi/lo: [R] uint32 canonical k-mer pairs; left/right: [R] int32 ext codes
@@ -449,14 +449,27 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
     full_hi_range=False (safe only for k <= 31) enables the single-gather
     emptiness probe (see _probe_round).
 
-    Cost model: one full-width sweep resolves almost every lane; leftovers
-    (hash collisions at loaded slots) are compacted 8x for one more sweep,
-    then 64x for the long-probe-chain while_loop — a compaction CASCADE, so
-    tail sweeps cost O(R/64) instead of O(R/8) each (the reference GPU
-    kernel gets this for free from per-thread loops,
-    gpu_hash_table.cpp:357-424; a lockstep vector machine has to compact).
-    Buffer overflow at either tier falls back to lossless full-width sweeps
-    behind a lax.cond, which costs nothing when not taken.
+    Cost model: one full-width sweep resolves almost every lane at LOW load;
+    leftovers (hash collisions at loaded slots) are compacted for narrower
+    follow-up rounds — a compaction CASCADE (the reference GPU kernel gets
+    this for free from per-thread loops, gpu_hash_table.cpp:357-424; a
+    lockstep vector machine has to compact).  Two statically-compiled tier
+    layouts (both bit-identical in effect — placement is unobservable):
+
+      high_load=False  sweep1 -> R/8 single-step sweep -> R/64 windowed
+                       while (the cheap path while survivors fit R/8,
+                       i.e. table load under ~0.2)
+      high_load=True   sweep1 -> R/2 one windowed W=4 round (probes 1-4)
+                       -> R/8 windowed while (survivors past probe 4 are
+                       ~alpha^4 — under R/8 up to ~0.7 load); compaction
+                       planes carry a packed meta word to halve the
+                       compaction gathers
+
+    Window width is bounded by memory: a full-width W=16 window gathers
+    16R lanes (~300 ms at R=1.2M on the target chip), so wide windows only
+    run on COMPACTED tiers; the lossless full-width overflow fallback uses
+    W=4.  Callers flip high_load from a cheap occupancy poll (the pipeline
+    switches at ~0.18 load); a wrong flag costs speed, never correctness.
     """
     cap = table.capacity
     R = hi.shape[0]
@@ -475,49 +488,71 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
         tbl, (hi, lo, left, right, cnt, lane, active, slot0), full_hi_range, step=1
     )
 
-    # tier-1 compaction + one sweep (slot0 rides along: the windowed tier-2
-    # probes from each lane's HOME slot + probe index)
-    S1 = min(max(R // 8, 4096), R)
-    (s_hi, s_lo, s_l, s_r, s_c, s_sl, s_h0), act1, rank1, idx1, n_left1 = _compact_sort(
-        [hi, lo, left, right, cnt, slot, slot0], active, S1
-    )
-    tbl, act1b, s_sl = _probe_round(
-        tbl, (s_hi, s_lo, s_l, s_r, s_c, rank1, act1, s_sl), full_hi_range, step=2
-    )
-
-    # tier-2 compaction + WINDOWED while_loop for the long probe chains:
-    # each round covers PROBE_WINDOW probe steps in one candidate gather
-    # (~W-fold fewer rounds; on the target chip table-op cost is flat in
-    # lane width, so round count is the cost — see _window_round)
-    S2 = min(max(R // 64, 1024), S1)
-    (t_hi, t_lo, t_l, t_r, t_c, t_h0), act2, rank2, idx2, n_left2 = _compact_sort(
-        [s_hi, s_lo, s_l, s_r, s_c, s_h0], act1b, S2
-    )
     tri = _probe_tri(cap)
     zero_v = (slot0[0] & 0).astype(jnp.int32)
+
+    if high_load:
+        # tier-1: half-width compaction (survivors at load alpha are ~alpha
+        # of R) with a packed meta plane, then ONE windowed W=4 round
+        # covering probes 1-4
+        S1 = min(max(R // 2, 4096), R)
+        meta = (left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6))
+        (s_hi, s_lo, s_m, s_h0), act1, rank1, idx1, n_left1 = _compact_sort(
+            [hi, lo, meta, slot0], active, S1
+        )
+        s_l, s_r, s_c = s_m & 7, (s_m >> 3) & 7, s_m >> 6
+        tbl, act1b, p1b, d1 = _window_round(
+            tbl, (s_hi, s_lo, s_l, s_r, s_c, act1, s_h0 * 0 + 1, s_h0), tri,
+            full_hi_range, 4,
+        )
+        # tier-2: R/8 + windowed while from each lane's carried probe index
+        S2 = min(max(R // 8, 1024), S1)
+        (t_hi, t_lo, t_m, t_h0, t_p), act2, rank2, idx2, n_left2 = _compact_sort(
+            [s_hi, s_lo, s_m, s_h0, p1b], act1b, S2
+        )
+        t_l, t_r, t_c = t_m & 7, (t_m >> 3) & 7, t_m >> 6
+        entr_p = t_p
+        pre_drops = d1
+    else:
+        # tier-1 compaction + one single-step sweep (slot0 rides along: the
+        # windowed tier-2 probes from each lane's HOME slot + probe index)
+        S1 = min(max(R // 8, 4096), R)
+        (s_hi, s_lo, s_l, s_r, s_c, s_sl, s_h0), act1, rank1, idx1, n_left1 = _compact_sort(
+            [hi, lo, left, right, cnt, slot, slot0], active, S1
+        )
+        tbl, act1b, s_sl = _probe_round(
+            tbl, (s_hi, s_lo, s_l, s_r, s_c, rank1, act1, s_sl), full_hi_range, step=2
+        )
+        S2 = min(max(R // 64, 1024), S1)
+        (t_hi, t_lo, t_l, t_r, t_c, t_h0), act2, rank2, idx2, n_left2 = _compact_sort(
+            [s_hi, s_lo, s_l, s_r, s_c, s_h0], act1b, S2
+        )
+        # entrants sit at probe index 2 (advanced by sweeps 1 and 2);
+        # derived from traced data so the carry's varying-axis annotation
+        # matches the body outputs under shard_map
+        entr_p = t_h0 * 0 + 2
+        pre_drops = zero_v
 
     def cond(state):
         return jnp.any(state[1]) & (state[3] < MAX_PROBE)
 
     def body(state):
         tbl, act, pidx, it, drops = state
-        # entrants sit at probe index 2 (advanced by sweeps 1 and 2)
         tbl, act, pidx, nex = _window_round(
             tbl, (t_hi, t_lo, t_l, t_r, t_c, act, pidx, t_h0), tri,
             full_hi_range, PROBE_WINDOW,
         )
         return tbl, act, pidx, it + 1, drops + nex
 
-    # initial pidx derived from traced data so the carry's varying-axis
-    # annotation matches the body outputs under shard_map
     tbl, t_left, _, _, w_drops = jax.lax.while_loop(
-        cond, body, (tbl, act2, t_h0 * 0 + 2, zero_v, zero_v)
+        cond, body, (tbl, act2, entr_p, zero_v, pre_drops)
     )
 
     # lanes that overflowed either compaction tier redo from their home slot
     # at full width — lossless, and free (lax.cond) when no overflow occurred.
     # Restart is safe: re-probing an already-committed key cannot re-commit
-    # because those lanes are not in the fallback set.
+    # because those lanes are not in the fallback set.  W=4: a full-width
+    # W=16 window would gather 16R lanes per round.
     overflow = (n_left1 > S1) | (n_left2 > S2)
 
     def fb(tbl_in):
@@ -532,7 +567,7 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
             # fallback lanes rewalk from probe index 1 (home was sweep 1)
             tbl, act, pidx, nex = _window_round(
                 tbl, (hi, lo, left, right, cnt, act, pidx, slot0), tri,
-                full_hi_range, PROBE_WINDOW,
+                full_hi_range, 4,
             )
             return tbl, act, pidx, it + 1, drops + nex
 

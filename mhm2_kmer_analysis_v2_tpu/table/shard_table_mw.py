@@ -233,15 +233,17 @@ def _window_round_mw(tbl, recs, tri, w0_full_range: bool, cap: int, W: int):
     return (keys, counts, extc, claim), active, pidx, n_exhausted
 
 
-@functools.partial(jax.jit, static_argnames=("w0_full_range",))
+@functools.partial(jax.jit, static_argnames=("w0_full_range", "high_load"))
 def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
-                    w0_full_range: bool = True) -> MWShardTable:
+                    w0_full_range: bool = True,
+                    high_load: bool = False) -> MWShardTable:
     """words: [W, R] uint32; rest as shard_table.insert_batch.
 
-    Same compaction-cascade structure as shard_table.insert_batch: one
-    full-width sweep, then an 8x-compacted sweep, then a 64x-compacted
-    while_loop for the long probe chains, with a lossless full-width
-    fallback behind a lax.cond if either compaction buffer overflows.
+    Same load-adaptive compaction-cascade structure as
+    shard_table.insert_batch (see there): high_load=False -> R/8 sweep +
+    R/64 windowed while; high_load=True -> R/2 one W=4 windowed round +
+    R/8 windowed while, for tables past ~0.2 load.  Lossless full-width
+    W=4 fallback behind a lax.cond if a compaction buffer overflows.
     ``w0_full_range=False`` (safe only when k%16 != 0) enables the
     single-word emptiness probe (see _probe_round_mw)."""
     cap = table.capacity
@@ -260,35 +262,60 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
         step=1,
     )
 
-    # tier-1 compaction + one sweep (slot0 rides along for the windowed
-    # tier-2, which probes from home + probe index)
-    S1 = min(max(R // 8, 4096), R)
-    arrs1, act1, rank1, idx1, n_left1 = st._compact_sort(
-        [*words, left, right, cnt, slot, slot0], active, S1
-    )
-    s_w = jnp.stack(arrs1[:Wn], axis=0)
-    s_l, s_r, s_c, s_sl, s_h0 = arrs1[Wn:]
-    tbl, act1b, s_sl = _probe_round_mw(
-        tbl, (s_w, s_l, s_r, s_c, rank1, act1, s_sl), w0_full_range, cap, step=2
-    )
-
-    # tier-2 compaction + WINDOWED while_loop for the long probe chains
-    # (PROBE_WINDOW candidates per round; see st._window_round)
-    S2 = min(max(R // 64, 1024), S1)
-    arrs2, act2, rank2, idx2, n_left2 = st._compact_sort(
-        [*s_w, s_l, s_r, s_c, s_h0], act1b, S2
-    )
-    t_w = jnp.stack(arrs2[:Wn], axis=0)
-    t_l, t_r, t_c, t_h0 = arrs2[Wn:]
     tri = st._probe_tri(cap)
     zero_v = (slot0[0] & 0).astype(jnp.int32)
+
+    if high_load:
+        # tier-1: half-width compaction with a packed meta plane + ONE
+        # windowed W=4 round covering probes 1-4
+        S1 = min(max(R // 2, 4096), R)
+        meta = (left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6))
+        arrs1, act1, rank1, idx1, n_left1 = st._compact_sort(
+            [*words, meta, slot0], active, S1
+        )
+        s_w = jnp.stack(arrs1[:Wn], axis=0)
+        s_m, s_h0 = arrs1[Wn:]
+        s_l, s_r, s_c = s_m & 7, (s_m >> 3) & 7, s_m >> 6
+        tbl, act1b, p1b, d1 = _window_round_mw(
+            tbl, (s_w, s_l, s_r, s_c, act1, s_h0 * 0 + 1, s_h0), tri,
+            w0_full_range, cap, 4,
+        )
+        S2 = min(max(R // 8, 1024), S1)
+        arrs2, act2, rank2, idx2, n_left2 = st._compact_sort(
+            [*s_w, s_m, s_h0, p1b], act1b, S2
+        )
+        t_w = jnp.stack(arrs2[:Wn], axis=0)
+        t_m, t_h0, t_p = arrs2[Wn:]
+        t_l, t_r, t_c = t_m & 7, (t_m >> 3) & 7, t_m >> 6
+        entr_p = t_p
+        pre_drops = d1
+    else:
+        # tier-1 compaction + one sweep (slot0 rides along for the windowed
+        # tier-2, which probes from home + probe index)
+        S1 = min(max(R // 8, 4096), R)
+        arrs1, act1, rank1, idx1, n_left1 = st._compact_sort(
+            [*words, left, right, cnt, slot, slot0], active, S1
+        )
+        s_w = jnp.stack(arrs1[:Wn], axis=0)
+        s_l, s_r, s_c, s_sl, s_h0 = arrs1[Wn:]
+        tbl, act1b, s_sl = _probe_round_mw(
+            tbl, (s_w, s_l, s_r, s_c, rank1, act1, s_sl), w0_full_range, cap, step=2
+        )
+        S2 = min(max(R // 64, 1024), S1)
+        arrs2, act2, rank2, idx2, n_left2 = st._compact_sort(
+            [*s_w, s_l, s_r, s_c, s_h0], act1b, S2
+        )
+        t_w = jnp.stack(arrs2[:Wn], axis=0)
+        t_l, t_r, t_c, t_h0 = arrs2[Wn:]
+        # entrants sit at probe index 2 (advanced by sweeps 1 and 2)
+        entr_p = t_h0 * 0 + 2
+        pre_drops = zero_v
 
     def cond(state):
         return jnp.any(state[1]) & (state[3] < MAX_PROBE)
 
     def body(state):
         tbl, act, pidx, it, drops = state
-        # entrants sit at probe index 2 (advanced by sweeps 1 and 2)
         tbl, act, pidx, nex = _window_round_mw(
             tbl, (t_w, t_l, t_r, t_c, act, pidx, t_h0), tri,
             w0_full_range, cap, st.PROBE_WINDOW,
@@ -296,7 +323,7 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
         return tbl, act, pidx, it + 1, drops + nex
 
     tbl, t_left, _, _, w_drops = jax.lax.while_loop(
-        cond, body, (tbl, act2, t_h0 * 0 + 2, zero_v, zero_v)
+        cond, body, (tbl, act2, entr_p, zero_v, pre_drops)
     )
 
     # lanes that overflowed either compaction tier redo from probe index 1
@@ -313,9 +340,10 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
 
         def fb_body(state):
             tbl, act, pidx, it, drops = state
+            # W=4: a full-width W=16 window would gather 16R lanes per round
             tbl, act, pidx, nex = _window_round_mw(
                 tbl, (words, left, right, cnt, act, pidx, slot0), tri,
-                w0_full_range, cap, st.PROBE_WINDOW,
+                w0_full_range, cap, 4,
             )
             return tbl, act, pidx, it + 1, drops + nex
 

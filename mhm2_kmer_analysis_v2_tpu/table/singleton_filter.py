@@ -31,6 +31,7 @@ as the reference's determinism notes prescribe (SURVEY §4).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -249,10 +250,11 @@ def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
     return fp_arr, fmeta, fclaim, promote, replayer, rmeta, f_left, n_stored
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("high_load",))
 def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
-                    hi, lo, left, right, cnt, valid):
-    """QF-mode insert: returns (table', filter')."""
+                    hi, lo, left, right, cnt, valid, high_load: bool = False):
+    """QF-mode insert: returns (table', filter').  high_load selects the
+    main-table insert's loaded-tier layout (see shard_table.insert_batch)."""
     cap = table.capacity
     fcap = filt.capacity
     R = hi.shape[0]
@@ -347,14 +349,16 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
         keys_hi=keys_hi, keys_lo=keys_lo, counts=counts, extc=extc,
         claim=table.claim, num_dropped=table.num_dropped,
     )
-    table2 = st.insert_batch(table2, hi, lo, left, right, cnt, promote)
+    table2 = st.insert_batch(table2, hi, lo, left, right, cnt, promote,
+                             high_load=high_load)
     table2 = st.insert_batch(
         table2, hi, lo, rmeta & 7, (rmeta >> 3) & 7,
-        (rmeta >> 6) & META_COUNT_MASK, replayer
+        (rmeta >> 6) & META_COUNT_MASK, replayer, high_load=high_load
     )
     # lanes that exhausted the filter probe fall through to a direct main
     # insert (filter full) — no data loss, just no memory saving for them
-    table2 = st.insert_batch(table2, hi, lo, left, right, cnt, f_left)
+    table2 = st.insert_batch(table2, hi, lo, left, right, cnt, f_left,
+                             high_load=high_load)
 
     filt2 = SingletonFilter(
         fp=fp_arr,
@@ -365,9 +369,9 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     return table2, filt2
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("high_load",))
 def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
-                       valid):
+                       valid, high_load: bool = False):
     """Multi-word (k > 32) QF-mode insert: returns (table', filter').
 
     Same three phases as insert_batch_qf with W-word key compares in phase 1;
@@ -461,12 +465,12 @@ def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
     # w0_full_range=True is the conservative emptiness test (all words
     # checked) — correct for every k without threading k through the jit
     table2 = stmw.insert_batch_mw(table2, words, left, right, cnt, promote,
-                                  w0_full_range=True)
+                                  w0_full_range=True, high_load=high_load)
     table2 = stmw.insert_batch_mw(table2, words, rmeta & 7, (rmeta >> 3) & 7,
                                   (rmeta >> 6) & META_COUNT_MASK, replayer,
-                                  w0_full_range=True)
+                                  w0_full_range=True, high_load=high_load)
     table2 = stmw.insert_batch_mw(table2, words, left, right, cnt, f_left,
-                                  w0_full_range=True)
+                                  w0_full_range=True, high_load=high_load)
 
     filt2 = SingletonFilter(
         fp=fp_arr,

@@ -58,26 +58,31 @@ def main():
     lengths = jnp.asarray(np.stack([b[2] for b in batches]))
     total_kmers = n_batches * batch_reads * (read_len - k - 1)
 
-    def one(table, batch):
-        bcodes, bbadq, blengths = batch
-        recs = kmer_records(bcodes, bbadq, blengths, k=k, n_shards=1)
-        flat = {kk: v.reshape(-1) for kk, v in recs.items()}
-        table = shard_table.insert_batch(
-            table, flat["canon_hi"], flat["canon_lo"], flat["left"],
-            flat["right"], jnp.ones_like(flat["left"]), flat["valid"],
-            full_hi_range=False,
-        )
-        return table, 0
+    def make_runners(hl):
+        def one(table, batch):
+            bcodes, bbadq, blengths = batch
+            recs = kmer_records(bcodes, bbadq, blengths, k=k, n_shards=1)
+            flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+            table = shard_table.insert_batch(
+                table, flat["canon_hi"], flat["canon_lo"], flat["left"],
+                flat["right"], jnp.ones_like(flat["left"]), flat["valid"],
+                full_hi_range=False, high_load=hl,
+            )
+            return table, 0
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_scan(table, codes, badq, lengths):
-        table, _ = jax.lax.scan(one, table, (codes, badq, lengths))
-        return table
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_scan(table, codes, badq, lengths):
+            table, _ = jax.lax.scan(one, table, (codes, badq, lengths))
+            return table
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_one(table, bcodes, bbadq, blengths):
-        table, _ = one(table, (bcodes, bbadq, blengths))
-        return table
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_one(table, bcodes, bbadq, blengths):
+            table, _ = one(table, (bcodes, bbadq, blengths))
+            return table
+
+        return run_scan, run_one
+
+    runners = {hl: make_runners(hl) for hl in (False, True)}
 
     # prefill: R random canonical keys per scan step (k=21: hi 10 bits)
     R_fill = batch_reads * read_len
@@ -92,7 +97,8 @@ def main():
             z = jnp.zeros((R_fill,), jnp.int32)
             table = shard_table.insert_batch(
                 table, hi, lo, z, z, jnp.ones((R_fill,), jnp.int32),
-                jnp.ones((R_fill,), bool), full_hi_range=False)
+                jnp.ones((R_fill,), bool), full_hi_range=False,
+                high_load=True)
             return (table, key), 0
         (table, _), _ = jax.lax.scan(body, (table, key), None, length=4)
         return table
@@ -109,7 +115,8 @@ def main():
     def fresh(cap_elems):
         return shard_table.create(cap_elems)
 
-    def measure(label, table, mode):
+    def measure(label, table, mode, hl=False):
+        run_scan, run_one = runners[hl]
         # warmup pass (compile) on a THROWAWAY table copy is impossible with
         # donation; compile on the real table, then measure a second pass —
         # matches bench.py's protocol (the table keeps the warmup contents,
@@ -132,7 +139,7 @@ def main():
             dt = time.perf_counter() - t0
         st = shard_table.probe_stats_device(table.keys_hi[None], table.keys_lo[None])
         print(json.dumps({
-            "config": label, "mode": mode,
+            "config": label, "mode": mode, "high_load_prog": hl,
             "kmers_per_s": round(total_kmers / dt, 1),
             "ms_per_batch": round(1000 * dt / n_batches, 1),
             "end_load": round(float(st["load_factor"][0]), 4),
@@ -150,10 +157,10 @@ def main():
 
     cap_b = shard_table.next_prime(int(cap_small / 0.66))
     steps_b = int(0.55 * cap_b / R_fill) + 1
-    for mode in ("scan", "perbatch"):
+    for hl in (False, True):
         t = prefill(fresh(cap_small), key, steps_b)
         np.asarray(t.num_dropped)
-        measure("bench_cap_load55", t, mode)
+        measure("bench_cap_load55", t, "scan", hl)
 
     # --- chip capacity (77.2M elems = 117M slots) ----------------------------
     for mode in ("scan", "perbatch"):
@@ -166,10 +173,10 @@ def main():
     np.asarray(t.num_dropped)
     print(f"# chip-cap prefill {steps_c} steps: {time.perf_counter()-t0:.1f}s",
           flush=True)
-    measure("chip_cap_load55", t, "scan")
+    measure("chip_cap_load55", t, "scan", hl=True)
     t = prefill(fresh(cap_big), key, steps_c)
     np.asarray(t.num_dropped)
-    measure("chip_cap_load55", t, "perbatch")
+    measure("chip_cap_load55", t, "scan", hl=False)
 
     # --- h2d: one packed batch's worth of bytes (0.5 B/base + masks) --------
     pb_bytes = batch_reads * read_len // 2 + 2 * batch_reads * read_len // 8

@@ -36,8 +36,10 @@ def run_once(app_args, output_dir, restart=False):
            "-o", output_dir] + app_args
     if restart:
         cmd.append("--restart")
-    env = dict(os.environ, PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""))
-    proc = subprocess.Popen(cmd, env=env, stderr=subprocess.PIPE, text=True)
+    # cwd=REPO (script-dir sys.path) rather than PYTHONPATH: a PYTHONPATH
+    # pointing at the repo leaks into the axon compile-helper subprocess
+    # (its own pyenv python) and silently breaks TPU plugin registration
+    proc = subprocess.Popen(cmd, cwd=REPO, stderr=subprocess.PIPE, text=True)
     stderr_lines = []
     completed_rounds = 0
     for line in proc.stderr:

@@ -214,3 +214,66 @@ def test_windowed_probe_saturation_accounting():
     dropped = int(table.num_dropped)
     assert dropped > 0  # the scenario must actually exercise exhaustion
     assert derived_total + dropped == n
+
+
+def test_high_load_program_equivalence():
+    """high_load=True/False are alternative tier layouts of the same insert
+    protocol: same probe schedule, same commit rules.  The (key -> count,
+    ext-bucket) mapping must be identical for any batch sequence (slot
+    PLACEMENT may differ only through contention tie-breaks, which the dump
+    contract never observes)."""
+    n = 9000
+    hi, lo, left, right = _random_records(n, seed=5)
+    tables = []
+    for hl in (False, True):
+        t = shard_table.create(int(n * 0.66 / 0.80))
+        for s in range(3):
+            sl = slice(s * 3000, (s + 1) * 3000)
+            t = shard_table.insert_batch(
+                t, jnp.asarray(hi[sl]), jnp.asarray(lo[sl]),
+                jnp.asarray(left[sl]), jnp.asarray(right[sl]),
+                jnp.ones(3000, jnp.int32), jnp.ones(3000, bool),
+                full_hi_range=False, high_load=hl,
+            )
+        assert int(t.num_dropped) == 0
+        tables.append(t)
+    exp = _expected(hi, lo, left, right)
+    for t in tables:
+        _check_table(t, exp)
+
+
+def test_high_load_program_equivalence_mw():
+    rng = np.random.default_rng(17)
+    n = 9000
+    words = rng.integers(0, 1 << 32, (3, n), dtype=np.uint32)
+    words[0] &= 0x3  # word-0 narrow like k%16 != 0
+    left = rng.integers(0, 5, n).astype(np.int32)
+    right = rng.integers(0, 5, n).astype(np.int32)
+    exp = {}
+    for i in range(n):
+        key = tuple(int(words[j][i]) for j in range(3))
+        c, e = exp.setdefault(key, [0, [0] * 9])
+        e[left[i] if left[i] < 4 else 8] += 1
+        if right[i] < 4:
+            e[4 + right[i]] += 1
+        exp[key][0] += 1
+    for hl in (False, True):
+        t = shard_table_mw.create(int(n * 0.66 / 0.80), 3)
+        for s in range(3):
+            sl = slice(s * 3000, (s + 1) * 3000)
+            t = shard_table_mw.insert_batch_mw(
+                t, jnp.asarray(words[:, sl]), jnp.asarray(left[sl]),
+                jnp.asarray(right[sl]), jnp.ones(3000, jnp.int32),
+                jnp.ones(3000, bool), w0_full_range=False, high_load=hl,
+            )
+        assert int(t.num_dropped) == 0
+        kw = np.asarray(t.keys).reshape(3, -1)
+        occ = ~(kw == 0xFFFFFFFF).all(axis=0)
+        extc9 = np.asarray(t.extc).reshape(9, -1).T[occ]
+        got = {}
+        for idx, e in zip(np.nonzero(occ)[0], extc9):
+            key = tuple(int(kw[j][idx]) for j in range(3))
+            got[key] = (int(e[:4].sum() + e[8]), list(map(int, e)))
+        assert len(got) == len(exp)
+        for key, (cnt, e9) in exp.items():
+            assert got[key] == (cnt, e9)
