@@ -150,33 +150,37 @@ def main():
         del table
 
     key = jax.random.key(7)
+    # warmup+measure passes add the genome uniques + error singletons
+    warm_keys = 2_600_000 if not smoke else 0
 
-    # --- bench capacity (10M elems = 15.2M slots) ---------------------------
+    # --- bench capacity: the VERDICT load sweep (25/45/58/66% end load) -----
+    # loaded configs run PERBATCH: a scan-of-10 at load is a 60s+ single
+    # dispatch, which trips the tunneled worker's watchdog (two observed
+    # "TPU worker process crashed" kills, both on long dispatches)
     for mode in ("scan", "perbatch"):
         measure("bench_cap_fresh", fresh(cap_small), mode)
 
     cap_b = shard_table.next_prime(int(cap_small / 0.66))
-    steps_b = int(0.55 * cap_b / R_fill) + 1
-    for hl in (False, True):
-        t = prefill(fresh(cap_small), key, steps_b)
-        np.asarray(t.num_dropped)
-        measure("bench_cap_load55", t, "scan", hl)
+    for target in (0.45, 0.58, 0.66):
+        steps = max(0, int((target * cap_b - warm_keys) / R_fill))
+        for hl in ((False, True) if target != 0.45 else (True,)):
+            t = prefill(fresh(cap_small), key, steps)
+            np.asarray(t.num_dropped)
+            measure(f"bench_cap_load{int(target*100)}", t, "perbatch", hl)
 
-    # --- chip capacity (77.2M elems = 117M slots) ----------------------------
-    for mode in ("scan", "perbatch"):
-        measure("chip_cap_fresh", fresh(cap_big), mode)
-
+    # --- chip capacity (77.2M elems = 117M slots) at the real end load ------
+    measure("chip_cap_fresh", fresh(cap_big), "perbatch")
     cap_c = shard_table.next_prime(int(cap_big / 0.66))
-    steps_c = int(0.55 * cap_c / R_fill) + 1
+    steps_c = max(0, int((0.58 * cap_c - warm_keys) / R_fill))
     t0 = time.perf_counter()
     t = prefill(fresh(cap_big), key, steps_c)
     np.asarray(t.num_dropped)
     print(f"# chip-cap prefill {steps_c} steps: {time.perf_counter()-t0:.1f}s",
           flush=True)
-    measure("chip_cap_load55", t, "scan", hl=True)
+    measure("chip_cap_load58", t, "perbatch", hl=True)
     t = prefill(fresh(cap_big), key, steps_c)
     np.asarray(t.num_dropped)
-    measure("chip_cap_load55", t, "scan", hl=False)
+    measure("chip_cap_load58", t, "perbatch", hl=False)
 
     # --- h2d: one packed batch's worth of bytes (0.5 B/base + masks) --------
     pb_bytes = batch_reads * read_len // 2 + 2 * batch_reads * read_len // 8
