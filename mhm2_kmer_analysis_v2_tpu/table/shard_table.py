@@ -370,31 +370,41 @@ def _window_round(tbl, recs, tri, full_hi_range: bool, W: int):
     hi, lo, left, right, cnt, active, pidx, home = recs
     cap = keys_hi.shape[0]
     R = hi.shape[0]
-    iota_w = jnp.arange(W, dtype=jnp.int32)
-    cand_p = pidx[:, None] + iota_w[None, :]
-    cand_ok = active[:, None] & (cand_p < MAX_PROBE)
-    cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
-    cslot = (home[:, None] + tri[cp]) % cap
-    flat = jnp.where(cand_ok, cslot, 0).reshape(-1)
-    chi = keys_hi[flat].reshape(R, W)
-    is_match = cand_ok & (chi == hi[:, None])
-    if full_hi_range:
-        clo = keys_lo[flat].reshape(R, W)
-        is_empty = cand_ok & (chi == EMPTY) & (clo == EMPTY)
-        is_match = is_match & (clo == lo[:, None])
-    else:
-        # k <= 31: a stored hi can never equal EMPTY, and hi alone does not
-        # identify the key — fetch lo for the match check
-        clo = keys_lo[flat].reshape(R, W)
-        is_empty = cand_ok & (chi == EMPTY)
-        is_match = is_match & (clo == lo[:, None])
-    interesting = is_match | is_empty
-    has = jnp.any(interesting, axis=1)
-    first = jnp.argmax(interesting, axis=1).astype(jnp.int32)
-    take = jnp.arange(R, dtype=jnp.int32) * W + jnp.where(has, first, 0)
-    tgt_slot = cslot.reshape(-1)[take]
-    tgt_p = cand_p.reshape(-1)[take]
-    tgt_empty = is_empty.reshape(-1)[take] & has
+    # candidate-major FLAT planes: a [R, W] 2-D layout pads the minor dim to
+    # the 128-lane tile (the documented [*, 9] extc trap — 8-32x wasted VPU
+    # work, measured as the residual multi-second loaded-batch cost), so the
+    # W candidates live as W separate [R] slices of one [W*R] gather
+    slot_c = []
+    ok_c = []
+    for c in range(W):
+        p = pidx + c
+        okc = active & (p < MAX_PROBE)
+        sc = (home + tri[jnp.clip(p, 0, MAX_PROBE - 1)]) % cap
+        slot_c.append(jnp.where(okc, sc, 0))
+        ok_c.append(okc)
+    flat = jnp.concatenate(slot_c)
+    chi_f = keys_hi[flat]
+    clo_f = keys_lo[flat]
+    # first match-or-empty candidate per lane: reverse priority select over
+    # the W [R]-wide slices (lowest interesting c wins)
+    has = jnp.zeros((R,), bool)
+    tgt_slot = jnp.zeros((R,), jnp.int32)
+    tgt_p = pidx
+    tgt_empty = jnp.zeros((R,), bool)
+    for c in range(W - 1, -1, -1):
+        chi = chi_f[c * R:(c + 1) * R]
+        clo = clo_f[c * R:(c + 1) * R]
+        m = ok_c[c] & (chi == hi) & (clo == lo)
+        if full_hi_range:
+            e = ok_c[c] & (chi == EMPTY) & (clo == EMPTY)
+        else:
+            # k <= 31: a stored hi can never equal EMPTY
+            e = ok_c[c] & (chi == EMPTY)
+        intr = m | e
+        has = has | intr
+        tgt_slot = jnp.where(intr, slot_c[c], tgt_slot)
+        tgt_p = jnp.where(intr, pidx + c, tgt_p)
+        tgt_empty = jnp.where(intr, e, tgt_empty)
     # two-phase write at the target slot (empty targets only; match targets
     # ride the verify gather straight to commit)
     e_slot = jnp.where(tgt_empty, tgt_slot, cap)
@@ -657,9 +667,6 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
 
     tri = _probe_tri(cap)
     home = slot
-    iota_w = jnp.arange(PROBE_WINDOW, dtype=jnp.int32)
-    take0 = jnp.arange(R, dtype=jnp.int32) * PROBE_WINDOW
-
     def cond(state):
         _, active, _, it, _ = state
         return jnp.any(active) & (it < MAX_PROBE)
@@ -668,24 +675,35 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
         tbl, active, pidx, it, drops = state
         keys_hi, keys_lo, counts, extc, claim = tbl
         # windowed target find (see _window_round): first match-or-empty
-        # candidate among the next PROBE_WINDOW probe positions
-        cand_p = pidx[:, None] + iota_w[None, :]
-        cand_ok = active[:, None] & (cand_p < MAX_PROBE)
-        cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
-        cslot_w = (home[:, None] + tri[cp]) % cap
-        flatc = jnp.where(cand_ok, cslot_w, 0).reshape(-1)
-        chi = keys_hi[flatc].reshape(R, PROBE_WINDOW)
-        clo = keys_lo[flatc].reshape(R, PROBE_WINDOW)
-        mw_ = cand_ok & (chi == u_hi[:, None]) & (clo == u_lo[:, None])
-        ew_ = cand_ok & (chi == EMPTY) & (clo == EMPTY)
-        interesting = mw_ | ew_
-        has = jnp.any(interesting, axis=1)
-        firstc = jnp.argmax(interesting, axis=1).astype(jnp.int32)
-        take = take0 + jnp.where(has, firstc, 0)
-        slot = cslot_w.reshape(-1)[take]
-        tgt_p = cand_p.reshape(-1)[take]
-        is_match = mw_.reshape(-1)[take] & has
-        is_empty = ew_.reshape(-1)[take] & has
+        # candidate among the next PROBE_WINDOW probe positions, candidate-
+        # major FLAT planes (a [R, W] layout pads the minor dim to the tile)
+        slot_c = []
+        ok_c = []
+        for c in range(PROBE_WINDOW):
+            p = pidx + c
+            okc = active & (p < MAX_PROBE)
+            sc = (home + tri[jnp.clip(p, 0, MAX_PROBE - 1)]) % cap
+            slot_c.append(jnp.where(okc, sc, 0))
+            ok_c.append(okc)
+        flatc = jnp.concatenate(slot_c)
+        chi_f = keys_hi[flatc]
+        clo_f = keys_lo[flatc]
+        has = jnp.zeros((R,), bool)
+        slot = jnp.zeros((R,), jnp.int32)
+        tgt_p = pidx
+        is_match = jnp.zeros((R,), bool)
+        is_empty = jnp.zeros((R,), bool)
+        for c in range(PROBE_WINDOW - 1, -1, -1):
+            chi = chi_f[c * R:(c + 1) * R]
+            clo = clo_f[c * R:(c + 1) * R]
+            m = ok_c[c] & (chi == u_hi) & (clo == u_lo)
+            e = ok_c[c] & (chi == EMPTY) & (clo == EMPTY)
+            intr = m | e
+            has = has | intr
+            slot = jnp.where(intr, slot_c[c], slot)
+            tgt_p = jnp.where(intr, pidx + c, tgt_p)
+            is_match = jnp.where(intr, m, is_match)
+            is_empty = jnp.where(intr, e, is_empty)
         gslot = jnp.where(has, slot, 0)
         # claim election at empty targets (within-batch keys are unique, but
         # DIFFERENT keys can target one slot; losers retry from the same

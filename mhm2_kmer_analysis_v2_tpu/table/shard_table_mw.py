@@ -185,29 +185,37 @@ def _window_round_mw(tbl, recs, tri, w0_full_range: bool, cap: int, W: int):
     words, left, right, cnt, active, pidx, home = recs
     Wn, R = words.shape
     INVALID = Wn * cap
-    iota_w = jnp.arange(W, dtype=jnp.int32)
-    cand_p = pidx[:, None] + iota_w[None, :]
-    cand_ok = active[:, None] & (cand_p < MAX_PROBE)
-    cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
-    cslot = (home[:, None] + tri[cp]) % cap
-    flat = jnp.where(cand_ok, cslot, 0).reshape(-1)
-    cw = [keys[j * cap + flat].reshape(R, W) for j in range(Wn)]
-    is_match = cand_ok
-    for j in range(Wn):
-        is_match = is_match & (cw[j] == words[j][:, None])
-    if w0_full_range:
-        is_empty = cand_ok
+    # candidate-major FLAT planes (see st._window_round: [R, W] 2-D layouts
+    # pad the minor dim to the 128-lane tile, 8-32x wasted VPU work)
+    slot_c = []
+    ok_c = []
+    for c in range(W):
+        p = pidx + c
+        okc = active & (p < MAX_PROBE)
+        sc = (home + tri[jnp.clip(p, 0, MAX_PROBE - 1)]) % cap
+        slot_c.append(jnp.where(okc, sc, 0))
+        ok_c.append(okc)
+    flat = jnp.concatenate(slot_c)
+    cw_f = [keys[j * cap + flat] for j in range(Wn)]
+    has = jnp.zeros((R,), bool)
+    tgt_slot = jnp.zeros((R,), jnp.int32)
+    tgt_p = pidx
+    tgt_empty = jnp.zeros((R,), bool)
+    for c in range(W - 1, -1, -1):
+        m = ok_c[c]
         for j in range(Wn):
-            is_empty = is_empty & (cw[j] == EMPTY)
-    else:
-        is_empty = cand_ok & (cw[0] == EMPTY)
-    interesting = is_match | is_empty
-    has = jnp.any(interesting, axis=1)
-    first = jnp.argmax(interesting, axis=1).astype(jnp.int32)
-    take = jnp.arange(R, dtype=jnp.int32) * W + jnp.where(has, first, 0)
-    tgt_slot = cslot.reshape(-1)[take]
-    tgt_p = cand_p.reshape(-1)[take]
-    tgt_empty = is_empty.reshape(-1)[take] & has
+            m = m & (cw_f[j][c * R:(c + 1) * R] == words[j])
+        if w0_full_range:
+            e = ok_c[c]
+            for j in range(Wn):
+                e = e & (cw_f[j][c * R:(c + 1) * R] == EMPTY)
+        else:
+            e = ok_c[c] & (cw_f[0][c * R:(c + 1) * R] == EMPTY)
+        intr = m | e
+        has = has | intr
+        tgt_slot = jnp.where(intr, slot_c[c], tgt_slot)
+        tgt_p = jnp.where(intr, pidx + c, tgt_p)
+        tgt_empty = jnp.where(intr, e, tgt_empty)
     # two-phase write with word 0 as the election word (see _probe_round_mw)
     e_slot = jnp.where(tgt_empty, tgt_slot, INVALID)
     keys = keys.at[e_slot].set(words[0], mode="drop")
@@ -423,9 +431,6 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
 
     tri = st._probe_tri(cap)
     home = slot
-    iota_w = jnp.arange(st.PROBE_WINDOW, dtype=jnp.int32)
-    take0 = jnp.arange(R, dtype=jnp.int32) * st.PROBE_WINDOW
-
     def cond(state):
         _, active, _, it, _ = state
         return jnp.any(active) & (it < MAX_PROBE)
@@ -433,26 +438,36 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
     def body(state):
         tbl, active, pidx, it, drops = state
         keys, counts, extc, claim = tbl
-        # windowed target find over all Wn words (see st._window_round)
-        cand_p = pidx[:, None] + iota_w[None, :]
-        cand_ok = active[:, None] & (cand_p < MAX_PROBE)
-        cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
-        cslot_w = (home[:, None] + tri[cp]) % cap
-        flatc = jnp.where(cand_ok, cslot_w, 0).reshape(-1)
-        mw_ = cand_ok
-        ew_ = cand_ok
-        for j in range(Wn):
-            cw = keys[j * cap + flatc].reshape(R, st.PROBE_WINDOW)
-            mw_ = mw_ & (cw == u_w[j][:, None])
-            ew_ = ew_ & (cw == EMPTY)
-        interesting = mw_ | ew_
-        has = jnp.any(interesting, axis=1)
-        firstc = jnp.argmax(interesting, axis=1).astype(jnp.int32)
-        take = take0 + jnp.where(has, firstc, 0)
-        slot = cslot_w.reshape(-1)[take]
-        tgt_p = cand_p.reshape(-1)[take]
-        is_match = mw_.reshape(-1)[take] & has
-        is_empty = ew_.reshape(-1)[take] & has
+        # windowed target find over all Wn words (see st._window_round),
+        # candidate-major FLAT planes (no [R, W] tile padding)
+        slot_c = []
+        ok_c = []
+        for c in range(st.PROBE_WINDOW):
+            p = pidx + c
+            okc = active & (p < MAX_PROBE)
+            sc = (home + tri[jnp.clip(p, 0, MAX_PROBE - 1)]) % cap
+            slot_c.append(jnp.where(okc, sc, 0))
+            ok_c.append(okc)
+        flatc = jnp.concatenate(slot_c)
+        cw_f = [keys[j * cap + flatc] for j in range(Wn)]
+        has = jnp.zeros((R,), bool)
+        slot = jnp.zeros((R,), jnp.int32)
+        tgt_p = pidx
+        is_match = jnp.zeros((R,), bool)
+        is_empty = jnp.zeros((R,), bool)
+        for c in range(st.PROBE_WINDOW - 1, -1, -1):
+            m = ok_c[c]
+            e = ok_c[c]
+            for j in range(Wn):
+                cw = cw_f[j][c * R:(c + 1) * R]
+                m = m & (cw == u_w[j])
+                e = e & (cw == EMPTY)
+            intr = m | e
+            has = has | intr
+            slot = jnp.where(intr, slot_c[c], slot)
+            tgt_p = jnp.where(intr, pidx + c, tgt_p)
+            is_match = jnp.where(intr, m, is_match)
+            is_empty = jnp.where(intr, e, is_empty)
         gslot = jnp.where(has, slot, 0)
         # claim election at empty targets (within-batch keys unique; losers
         # of cross-key contention retry from the same probe index)

@@ -281,28 +281,36 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     tri = st._probe_tri(cap)
     W = st.PROBE_WINDOW
     home = slot
-    iota_w = jnp.arange(W, dtype=jnp.int32)
-    lane_take0 = jnp.arange(R, dtype=jnp.int32) * W
 
     def body1b(state):
         active, absent, pidx, found_slot, it = state
-        cand_p = pidx[:, None] + iota_w[None, :]
-        cand_ok = active[:, None] & (cand_p < MAX_PROBE)
-        cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
-        cslot = (home[:, None] + tri[cp]) % cap
-        flat = jnp.where(cand_ok, cslot, 0).reshape(-1)
-        chi = keys_hi[flat].reshape(R, W)
-        clo = keys_lo[flat].reshape(R, W)
-        m = cand_ok & (chi == hi[:, None]) & (clo == lo[:, None])
-        e = cand_ok & (chi == EMPTY) & (clo == EMPTY)
-        interesting = m | e
-        has = jnp.any(interesting, axis=1)
-        first = jnp.argmax(interesting, axis=1).astype(jnp.int32)
-        take = lane_take0 + jnp.where(has, first, 0)
-        t_slot = cslot.reshape(-1)[take]
-        t_is_m = m.reshape(-1)[take] & has
+        # candidate-major FLAT planes (no [R, W] tile padding — see
+        # st._window_round)
+        slot_c = []
+        ok_c = []
+        for c in range(W):
+            p = pidx + c
+            okc = active & (p < MAX_PROBE)
+            sc = (home + tri[jnp.clip(p, 0, MAX_PROBE - 1)]) % cap
+            slot_c.append(jnp.where(okc, sc, 0))
+            ok_c.append(okc)
+        flat = jnp.concatenate(slot_c)
+        chi_f = keys_hi[flat]
+        clo_f = keys_lo[flat]
+        has = jnp.zeros((R,), bool)
+        t_slot = jnp.zeros((R,), jnp.int32)
+        t_is_m = jnp.zeros((R,), bool)
+        for c in range(W - 1, -1, -1):
+            chi = chi_f[c * R:(c + 1) * R]
+            clo = clo_f[c * R:(c + 1) * R]
+            m = ok_c[c] & (chi == hi) & (clo == lo)
+            e = ok_c[c] & (chi == EMPTY) & (clo == EMPTY)
+            intr = m | e
+            has = has | intr
+            t_slot = jnp.where(intr, slot_c[c], t_slot)
+            t_is_m = jnp.where(intr, m, t_is_m)
         found_slot = jnp.where(t_is_m, t_slot, found_slot)
-        absent = absent | (interesting.reshape(-1)[take] & has & ~t_is_m)
+        absent = absent | (has & ~t_is_m)
         active = active & ~has
         pidx = pidx + W
         return active, absent, pidx, found_slot, it + 1
@@ -402,30 +410,36 @@ def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
     tri = st._probe_tri(cap)
     W = st.PROBE_WINDOW
     home = slot
-    iota_w = jnp.arange(W, dtype=jnp.int32)
-    lane_take0 = jnp.arange(R, dtype=jnp.int32) * W
 
     def body1b(state):
         active, absent, pidx, found_slot, it = state
-        cand_p = pidx[:, None] + iota_w[None, :]
-        cand_ok = active[:, None] & (cand_p < MAX_PROBE)
-        cp = jnp.clip(cand_p, 0, MAX_PROBE - 1)
-        cslot = (home[:, None] + tri[cp]) % cap
-        flat = jnp.where(cand_ok, cslot, 0).reshape(-1)
-        m = cand_ok
-        e = cand_ok
-        for j in range(Wn):
-            cw = keys[j * cap + flat].reshape(R, W)
-            m = m & (cw == words[j][:, None])
-            e = e & (cw == stmw.EMPTY)
-        interesting = m | e
-        has = jnp.any(interesting, axis=1)
-        first = jnp.argmax(interesting, axis=1).astype(jnp.int32)
-        take = lane_take0 + jnp.where(has, first, 0)
-        t_slot = cslot.reshape(-1)[take]
-        t_is_m = m.reshape(-1)[take] & has
+        # candidate-major FLAT planes (see the single-word phase 1)
+        slot_c = []
+        ok_c = []
+        for c in range(W):
+            p = pidx + c
+            okc = active & (p < MAX_PROBE)
+            sc = (home + tri[jnp.clip(p, 0, MAX_PROBE - 1)]) % cap
+            slot_c.append(jnp.where(okc, sc, 0))
+            ok_c.append(okc)
+        flat = jnp.concatenate(slot_c)
+        cw_f = [keys[j * cap + flat] for j in range(Wn)]
+        has = jnp.zeros((R,), bool)
+        t_slot = jnp.zeros((R,), jnp.int32)
+        t_is_m = jnp.zeros((R,), bool)
+        for c in range(W - 1, -1, -1):
+            m = ok_c[c]
+            e = ok_c[c]
+            for j in range(Wn):
+                cw = cw_f[j][c * R:(c + 1) * R]
+                m = m & (cw == words[j])
+                e = e & (cw == stmw.EMPTY)
+            intr = m | e
+            has = has | intr
+            t_slot = jnp.where(intr, slot_c[c], t_slot)
+            t_is_m = jnp.where(intr, m, t_is_m)
         found_slot = jnp.where(t_is_m, t_slot, found_slot)
-        absent = absent | (interesting.reshape(-1)[take] & has & ~t_is_m)
+        absent = absent | (has & ~t_is_m)
         active = active & ~has
         pidx = pidx + W
         return active, absent, pidx, found_slot, it + 1
