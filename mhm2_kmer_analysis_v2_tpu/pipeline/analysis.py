@@ -551,6 +551,12 @@ def analyze_kmers(
         t_step += time.perf_counter() - _t0
         if not high_load_on and batch_i == next_poll:
             next_poll *= 2
+            # drain in-flight steps before the poll: the occupancy sum over a
+            # sharded table is an all-reduce, and XLA:CPU wedges its
+            # rendezvous when a NEW collective program races queued step
+            # collectives (the r3 feed-thread deadlock family; observed once
+            # at batch 128 of a 4-device --use-qf scale run)
+            jax.block_until_ready(state.num_dropped)
             occ = int(np.asarray(_occ_count_jit(_main_keys_w0(state))))
             if occ > 0.15 * cap_per_shard * n_shards:
                 high_load_on = True

@@ -139,36 +139,48 @@ def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
     give_up = jnp.zeros((R,), bool) & valid
     pslot = jnp.full((R,), fcap, jnp.int32) + zero_v
 
+    FW = 16  # chain slots scanned per while-round (one flat gather each)
+
     def scan_chain(fp_now, scanning):
         """Linear chain scan against the CURRENT fp array -> (match_slot,
-        free_slot).  The body/cond closures are created FRESH per call: JAX
-        caches while_loop body jaxprs by (function object, avals), so reusing
-        one body function across calls silently replays the FIRST call's
-        closure constants — a stale fp array here (jit-only divergence,
-        found the hard way via an orphaned filter entry at 50k scale)."""
+        free_slot): walk from fslot0 to the first fp match or EMPTY, tracking
+        the first free (EMPTY or tombstone) slot on the way.  WINDOWED: each
+        while-round gathers FW consecutive chain slots in one flat [FW*R]
+        gather and resolves them with a forward in-window sweep (candidate-
+        major [R] slices — a [R, FW] layout pads the minor dim to the tile).
+        8 rounds cover the full FILTER_MAX_PROBE=128 chain bound.
+
+        The body/cond closures are created FRESH per call: JAX caches
+        while_loop body jaxprs by (function object, avals), so reusing one
+        body function across calls silently replays the FIRST call's closure
+        constants — a stale fp array here (jit-only divergence, found the
+        hard way via an orphaned filter entry at 50k scale)."""
         match_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
         free_slot = jnp.full((R,), fcap, jnp.int32) + zero_v
 
         def cond(state):
-            return jnp.any(state[0]) & (state[-1] < FILTER_MAX_PROBE)
+            return jnp.any(state[0]) & (state[-1] < FILTER_MAX_PROBE // FW)
 
         def body(state):
             scanning, fslot, match_slot, free_slot, it = state
-            g = jnp.where(scanning, fslot, 0)
-            tfp = fp_now[g]
-            hit = scanning & (tfp == fps)
-            is_tomb = scanning & (tfp == FP_TOMB)
-            is_empty = scanning & (tfp == FP_EMPTY)
-            match_slot = jnp.where(hit, fslot, match_slot)
-            free_slot = jnp.where(
-                (is_tomb | is_empty) & (free_slot == fcap), fslot, free_slot
-            )
-            scanning = scanning & ~hit & ~is_empty
-            fslot = jnp.where(
-                scanning & (fslot + 1 >= fcap), 0,
-                jnp.where(scanning, fslot + 1, fslot),
-            )
-            return scanning, fslot, match_slot, free_slot, it + 1
+            slot_c = []
+            for c in range(FW):
+                sc = jnp.mod(fslot + c, fcap)
+                slot_c.append(jnp.where(scanning, sc, 0))
+            fpf = fp_now[jnp.concatenate(slot_c)]
+            still = scanning
+            for c in range(FW):
+                fpc = fpf[c * R:(c + 1) * R]
+                is_empty = fpc == FP_EMPTY
+                hit = still & (fpc == fps)
+                free_here = (
+                    still & (is_empty | (fpc == FP_TOMB)) & (free_slot == fcap)
+                )
+                free_slot = jnp.where(free_here, slot_c[c], free_slot)
+                match_slot = jnp.where(hit, slot_c[c], match_slot)
+                still = still & ~hit & ~is_empty
+            fslot = jnp.mod(fslot + FW, fcap)
+            return still, fslot, match_slot, free_slot, it + 1
 
         _, _, match_slot, free_slot, _ = jax.lax.while_loop(
             cond, body, (scanning, fslot0, match_slot, free_slot, zero_v)
