@@ -556,7 +556,7 @@ def analyze_kmers(
             # rendezvous when a NEW collective program races queued step
             # collectives (the r3 feed-thread deadlock family; observed once
             # at batch 128 of a 4-device --use-qf scale run)
-            jax.block_until_ready(state.num_dropped)
+            jax.block_until_ready(_main_keys_w0(state))
             occ = int(np.asarray(_occ_count_jit(_main_keys_w0(state))))
             if occ > 0.15 * cap_per_shard * n_shards:
                 high_load_on = True
