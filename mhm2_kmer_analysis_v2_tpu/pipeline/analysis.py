@@ -592,9 +592,15 @@ def analyze_kmers(
         # makes the neighbor's interior cover them) — the fixed-block analogue
         # of the reference's 3 MB seq blocks (KCOUNT_SEQ_BLOCK_SIZE)
         WC = max(max_len, 512)
+        # ctg batches use fewer ROWS so per-batch device lanes match the read
+        # loop's (batch rows x max_len): a [8192, 512] window batch is 3.4x
+        # the read batch's lanes, and its sort/extc temps RESOURCE_EXHAUSTed
+        # next to the budget-clamped 6 GB k=33 table on a 16 GB chip (1.2 GB
+        # multi-k run) — the read loop's lane count is the proven envelope
+        ctg_batch = max(n_shards, (batch * max_len // WC) // n_shards * n_shards)
         # the ctg pass exchanges per-k-mer records: size its own capacity
         # near the mean like the read pass (spill rounds absorb skew)
-        ctg_positions = (batch // n_shards) * WC
+        ctg_positions = (ctg_batch // n_shards) * WC
         ctg_mean = ctg_positions // n_shards + 1
         ctg_cap = (
             min(ctg_positions, ctg_mean + ctg_mean // 4 + 1024)
@@ -633,7 +639,7 @@ def analyze_kmers(
             rank = jax.process_index()
             seqs = seqs[rank::n_proc]
             depths = depths[rank::n_proc]
-        cb = batch // n_proc  # this process's rows of the global batch
+        cb = ctg_batch // n_proc  # this process's rows of the global batch
         n_cbatches = dist.allmax(max(1, -(-len(seqs) // cb)) if seqs else 1)
         for bi in range(n_cbatches):
             lo = bi * cb
