@@ -27,15 +27,24 @@ from ..utils.timers import stage_timers
 BASE_ERROR_RATE = 0.005  # CMakeDefinitions.txt (BASE_ERROR_RATE)
 
 
-@jax.jit
-def _occ_count_jit(keys_w0):
-    """Occupied-slot count from one u32 key plane (word 0 / hi): the cheap
-    occupancy poll behind the load-adaptive insert switch.  A key whose
-    word 0 is all-ones (k = 32 / k %% 16 == 0 edge) undercounts slightly —
-    harmless for a switch threshold."""
+def _make_occ_count(mesh):
+    """Occupied-slot counter from one u32 key plane (word 0 / hi): the cheap
+    occupancy poll behind the load-adaptive insert switch.  COLLECTIVE-FREE
+    by construction — each device reduces its own shard and the host sums
+    the per-shard scalars: a replicated jnp.sum would be an all-reduce, and
+    XLA:CPU can wedge a fresh collective program's rendezvous against queued
+    step collectives even after a drain (observed twice at a 4-device scale
+    run's batch-128 poll).  A key whose word 0 is all-ones (k %% 16 == 0
+    edge) undercounts slightly — harmless for a switch threshold."""
     import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
-    return jnp.sum(keys_w0 != jnp.uint32(0xFFFFFFFF), dtype=jnp.int64)
+    def per_device(kk):
+        return jnp.sum(kk != jnp.uint32(0xFFFFFFFF), dtype=jnp.int64)[None]
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh, in_specs=(P("sh", None),), out_specs=P("sh")
+    ))
 
 
 def table_mem_bytes(per_shard_elems: int, k: int, filter_elems: int = 0) -> int:
@@ -504,6 +513,7 @@ def analyze_kmers(
     high_load_on = _hl_force != "auto"
     if _hl_force == "1":
         step = cs.make_packed_count_step(**step_kw, high_load=True)
+    _occ_fn = None if high_load_on else _make_occ_count(mesh)
     next_poll = 8
 
     def _main_keys_w0(st_):
@@ -557,7 +567,7 @@ def analyze_kmers(
             # collectives (the r3 feed-thread deadlock family; observed once
             # at batch 128 of a 4-device --use-qf scale run)
             jax.block_until_ready(_main_keys_w0(state))
-            occ = int(np.asarray(_occ_count_jit(_main_keys_w0(state))))
+            occ = int(dist.fetch(_occ_fn(_main_keys_w0(state))).sum())
             if occ > 0.15 * cap_per_shard * n_shards:
                 high_load_on = True
                 slog_verbose(
