@@ -514,6 +514,11 @@ def analyze_kmers(
     if _hl_force == "1":
         step = cs.make_packed_count_step(**step_kw, high_load=True)
     _occ_fn = None if high_load_on else _make_occ_count(mesh)
+    # periodic sync interval for XLA:CPU multi-device (0 = never);
+    # MHM2_TPU_CPU_SYNC_EVERY overrides
+    cpu_sync_every = 0
+    if jax.default_backend() == "cpu" and n_shards > 1:
+        cpu_sync_every = int(os.environ.get("MHM2_TPU_CPU_SYNC_EVERY", "8"))
     next_poll = 8
 
     def _main_keys_w0(st_):
@@ -558,6 +563,12 @@ def analyze_kmers(
         if sync_batches:
             jax.block_until_ready(state.num_dropped)
             batch_secs.append(time.perf_counter() - _t0)
+        elif cpu_sync_every and batch_i % cpu_sync_every == 0:
+            # XLA:CPU multi-device: bound the async dispatch depth — deep
+            # queues of collective programs can wedge the rendezvous pool
+            # (observed repeatedly on 4-device --use-qf scale runs; TPU runs
+            # are unaffected and keep full pipelining)
+            jax.block_until_ready(_main_keys_w0(state))
         t_step += time.perf_counter() - _t0
         if not high_load_on and batch_i == next_poll:
             next_poll *= 2

@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
+import faulthandler
 import os
+import signal
 import sys
 import time
 
@@ -13,6 +15,12 @@ from .analysis import run_pipeline
 
 def main(argv=None):
     t0 = time.time()
+    # SIGUSR1 dumps all thread stacks to stderr (post-mortem for wedged
+    # XLA:CPU collective rendezvous; no effect otherwise)
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):
+        pass
     options = parse_args(argv)
     if not (options.reads_fnames or options.paired_fnames or options.unpaired_fnames):
         print("no reads given: use -r/-p/-u", file=sys.stderr)
