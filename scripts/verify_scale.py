@@ -155,6 +155,14 @@ def main():
     ap.add_argument("--dmin-thres", type=int, default=2)
     ap.add_argument("--no-contigs", action="store_true",
                     help="skip the uutig traversal-parity check")
+    ap.add_argument("--allow-recorded-drops", action="store_true",
+                    help="tolerate record-level differences bounded by the "
+                    "round sidecar's num_dropped (HBM-clamp overflow runs: "
+                    "each dropped insert perturbs exactly one kmer record — "
+                    "its own count/ext — so missing+mismatched+run-only "
+                    "records must be <= num_dropped; scalars are then checked "
+                    "for consistency with the dump itself, and the contig "
+                    "check is skipped since drops legitimately break chains)")
     args = ap.parse_args()
 
     from mhm2_kmer_analysis_v2_tpu.oracle import val_to_kmer
@@ -199,15 +207,24 @@ def main():
     if used_qf:
         print("run used --use-qf: tolerating <= 0.01% count variation "
               "(documented TCF behavior, README_v2.md:91)")
+    num_dropped = 0
+    if args.allow_recorded_drops:
+        import json
+
+        sidecar = os.path.join(args.run_dir, f"round-{args.k}-result.json")
+        if os.path.exists(sidecar):
+            num_dropped = int(json.load(open(sidecar)).get("num_dropped", 0))
+        print(f"drop mode: run recorded num_dropped={num_dropped} — allowing "
+              "that many perturbed records")
 
     got_ut = _run_scalars(args.run_dir, args.k)
-    if got_ut is not None:
+    if got_ut is not None and not num_dropped:
         got_u, got_t = got_ut
         ok = abs(got_u - uniq) <= tol * uniq and abs(got_t - total) <= tol * total
         failures += not ok
         print(f"run record (k={args.k}): unique={got_u} total={got_t} "
               f"-> {'OK' if ok else 'MISMATCH'}")
-    else:
+    elif got_ut is None:
         print("run record: not found (skipped)")
 
     dumps = sorted(glob.glob(os.path.join(
@@ -220,23 +237,52 @@ def main():
                     kmer, cnt, l, r = ln.split()
                     got[kmer] = (int(cnt), l, r)
         exp_n = len(vals)
-        ok = len(got) == exp_n
-        bad = 0
+        bad = missing = present = 0
         for v, c, l, r in zip(vals, counts, lch, rch):
             e = got.get(val_to_kmer(int(v), args.k))
+            if e is None:
+                missing += 1
+                continue
+            present += 1
             if e != (int(c), chr(l), chr(r)):
                 bad += 1
                 if bad <= 3:
                     print(f"  dump mismatch {val_to_kmer(int(v), args.k)}: "
                           f"run={e} oracle=({int(c)},{chr(l)},{chr(r)})")
-        ok = abs(len(got) - exp_n) <= tol * exp_n and bad <= tol * exp_n
-        failures += not ok
-        print(f"dump: {len(got)} kmers vs {exp_n} expected, {bad} mismatched "
-              f"-> {'OK' if ok else 'MISMATCH'}")
+        run_only = len(got) - present
+        if num_dropped:
+            # each dropped insert perturbs only its own kmer's record (count
+            # one lower, ext one vote short, or purged/kept across the dmin /
+            # X-purge line) — so the total record-level damage is bounded by
+            # the number of dropped inserts the run itself reported
+            affected = missing + bad + run_only
+            ok = affected <= num_dropped
+            failures += not ok
+            print(f"dump: {len(got)} kmers vs {exp_n} oracle; missing={missing}"
+                  f" mismatched={bad} run_only={run_only} (affected={affected}"
+                  f" <= dropped={num_dropped}?) -> {'OK' if ok else 'MISMATCH'}")
+            if got_ut is not None:
+                got_u, got_t = got_ut
+                tot_dump = sum(c for c, _, _ in got.values())
+                ok2 = got_u == len(got) and got_t == tot_dump
+                failures += not ok2
+                print(f"run record vs its own dump: unique {got_u}=={len(got)}"
+                      f" total {got_t}=={tot_dump} -> "
+                      f"{'OK' if ok2 else 'MISMATCH'}")
+        else:
+            ok = (abs(len(got) - exp_n) <= tol * exp_n
+                  and (bad + missing + run_only) <= tol * exp_n)
+            failures += not ok
+            print(f"dump: {len(got)} kmers vs {exp_n} expected, "
+                  f"{bad + missing + run_only} mismatched "
+                  f"-> {'OK' if ok else 'MISMATCH'}")
     else:
         print("dump: not found (skipped)")
 
-    if not args.no_contigs:
+    if num_dropped and not args.no_contigs:
+        print("contigs: skipped — dropped kmers legitimately break traversal "
+              "chains (drop mode)")
+    elif not args.no_contigs:
         failures += _check_contigs(args.run_dir, args.k, vals_words, counts,
                                    lch, rch)
 
