@@ -114,6 +114,50 @@ def main():
 
     total_kmers = n_batches * batch_reads * (read_len - k - 1)
     kmers_per_sec = total_kmers / elapsed
+
+    # second measurement: the REAL operating point (VERDICT r3 weak #1) —
+    # the 1.2 GB chip run ends at 0.581 load (BASELINE.md), so stage the
+    # table to ~0.58 with random distinct keys and time the same read
+    # batches through the loaded-tier insert program the pipeline switches
+    # to past 0.15 occupancy (shard_table.insert_batch high_load=True)
+    def one_loaded(table, batch):
+        codes, badq, lengths = batch
+        recs = kmer_records(codes, badq, lengths, k=k, n_shards=1)
+        flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+        table = shard_table.insert_batch(
+            table, flat["canon_hi"], flat["canon_lo"], flat["left"],
+            flat["right"], jnp.ones_like(flat["left"]), flat["valid"],
+            full_hi_range=k >= 32, high_load=True)
+        return table, 0
+
+    @jax.jit
+    def run_loaded(table, codes, badq, lengths):
+        table, _ = jax.lax.scan(one_loaded, table, (codes, badq, lengths))
+        return table
+
+    @jax.jit
+    def stage(table, hi, lo):
+        e = jnp.zeros_like(hi, jnp.uint8)
+        return shard_table.insert_batch(
+            table, hi, lo, e, e, jnp.ones_like(e), jnp.ones_like(hi, bool),
+            full_hi_range=True, high_load=True)
+
+    table2 = shard_table.create(10_000_000)
+    target = int(table2.capacity * 0.58)
+    keys = rng.integers(0, 1 << 63, target, np.uint64)  # distinct whp
+    for off in range(0, target, 2_000_000):  # short dispatches (tunnel kill)
+        chunk = keys[off:off + 2_000_000]
+        table2 = stage(table2, jnp.asarray((chunk >> np.uint64(32)).astype(np.uint32)),
+                       jnp.asarray((chunk & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+        np.asarray(table2.num_dropped)
+    table2 = run_loaded(table2, codes[:2], badq[:2], lengths[:2])  # warm compile
+    np.asarray(table2.num_dropped)
+    t0 = time.perf_counter()
+    table2 = run_loaded(table2, codes, badq, lengths)
+    np.asarray(table2.num_dropped)
+    elapsed_loaded = time.perf_counter() - t0
+    kmers_per_sec_loaded = total_kmers / elapsed_loaded
+
     print(
         json.dumps(
             {
@@ -121,6 +165,10 @@ def main():
                 "value": round(kmers_per_sec, 1),
                 "unit": "kmers/s",
                 "vs_baseline": round(kmers_per_sec / 1.3e9, 4),
+                "value_at_0.58_load": round(kmers_per_sec_loaded, 1),
+                "note": "value: ~25%-load kernel scan (r1-r3 comparable); "
+                        "value_at_0.58_load: same kernel, table pre-staged "
+                        "to the 1.2GB run's real end load, loaded-tier program",
             }
         )
     )
