@@ -662,6 +662,13 @@ def analyze_kmers(
             depths = depths[rank::n_proc]
         cb = ctg_batch // n_proc  # this process's rows of the global batch
         n_cbatches = dist.allmax(max(1, -(-len(seqs) // cb)) if seqs else 1)
+        if cpu_sync_every:
+            # XLA:CPU multi-device: drain the read-step queue before issuing
+            # the ctg-pass programs, and bound their async depth like the
+            # read loop — ~20 queued collective programs of a NEW executable
+            # wedged the rendezvous pool at the k=33 ctg pass of a 4-device
+            # --use-qf scale run (2 of 4 device threads never joined)
+            jax.block_until_ready(_main_keys_w0(state))
         for bi in range(n_cbatches):
             lo = bi * cb
             chunk = seqs[lo : lo + cb]
@@ -675,6 +682,8 @@ def analyze_kmers(
                 dist.make_global(sharding, eb.lengths),
                 dist.make_global(sharding, dep),
             )
+            if cpu_sync_every and (bi + 1) % cpu_sync_every == 0:
+                jax.block_until_ready(_main_keys_w0(state))
 
     # flush_updates + finish_updates
     _t0 = time.perf_counter()
