@@ -332,6 +332,18 @@ def analyze_kmers(
         )
         per_shard = clamped
         filter_per_shard = int(filter_per_shard * scale)
+        if use_qf:
+            # the QF estimate divides by --sequencing-depth (default 4): on
+            # high-coverage inputs it overshoots uniques ~10x, the clamp
+            # fires, and the SCALED filter is what overflows (every first
+            # occurrence passes through it) — the flag is the sizing control
+            slog(
+                "WARNING: --use-qf filter scaled to ", filter_per_shard,
+                " elems/shard by the budget clamp; if coverage is higher than"
+                " --sequencing-depth ", options.sequencing_depth,
+                " the filter will overflow and drop — set --sequencing-depth"
+                " near the input's real average k-mer depth",
+            )
     if multiword and use_qf:
         state = cs.create_sharded_qf_mw(n_shards, per_shard, k,
                                         filter_per_shard, mesh=mesh)
