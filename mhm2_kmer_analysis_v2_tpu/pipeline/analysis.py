@@ -66,12 +66,19 @@ def table_mem_bytes(per_shard_elems: int, k: int, filter_elems: int = 0) -> int:
     return total
 
 
-def clamp_elems_to_budget(budget_bytes: int, k: int, with_filter: bool) -> int:
-    """Largest per-shard element count whose table fits budget_bytes."""
+def clamp_elems_to_budget(budget_bytes: int, k: int,
+                          filter_ratio: float = 0.0) -> int:
+    """Largest per-shard element count whose table (plus a filter of
+    filter_ratio * elems entries, for --use-qf) fits budget_bytes.
+
+    filter_ratio is the caller's actual filter:main sizing ratio
+    (num_errors / adjusted) — a high-coverage --use-qf run has a filter many
+    times the main table, and assuming 1:1 here once "clamped" a 6.5 GB
+    request UP to a 10 GB layout (4 GB-input run, depth 45: ratio 4.5)."""
     lo, hi = 1024, 1 << 34
     while lo < hi:
         mid = (lo + hi + 1) // 2
-        if table_mem_bytes(mid, k, mid if with_filter else 0) <= budget_bytes:
+        if table_mem_bytes(mid, k, int(mid * filter_ratio)) <= budget_bytes:
             lo = mid
         else:
             hi = mid - 1
@@ -322,7 +329,9 @@ def analyze_kmers(
         f" (budget {budget / 1e6:.0f} MB)" if budget else "",
     )
     if budget and table_mem_bytes(per_shard, k, filter_per_shard) > budget:
-        clamped = clamp_elems_to_budget(budget, k, bool(filter_per_shard))
+        clamped = clamp_elems_to_budget(
+            budget, k, filter_per_shard / per_shard if filter_per_shard else 0.0)
+        clamped = min(clamped, per_shard)  # clamp only ever shrinks
         scale = clamped / per_shard
         slog(
             "WARNING: clamping per-shard table capacity ", per_shard, " -> ",
