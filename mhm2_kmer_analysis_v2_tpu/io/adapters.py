@@ -112,8 +112,27 @@ class Adapters:
         self.kmer_index: dict = {}
         self.bases_trimmed = 0
         self.reads_removed = 0
+        self._native = None
         if fname:
-            self._build_index(load_adapter_fasta(fname, adapter_k))
+            seqs = load_adapter_fasta(fname, adapter_k)
+            self._build_index(seqs)
+            if use_ssw and seqs:
+                # native fast path: same index + DP transcribed to C++
+                # (native/kmer_native.cpp knat_adapters_*); pinned to this
+                # Python path bit-for-bit by tests/test_adapters.py
+                from . import native as _nat
+                self._native = _nat.adapters_build_native(
+                    seqs, adapter_k, self.match, self.mismatch,
+                    self.gap_open, self.gap_ext,
+                )
+
+    def __del__(self):
+        if getattr(self, "_native", None):
+            try:
+                from . import native as _nat
+                _nat.adapters_free_native(self._native)
+            except Exception:
+                pass
 
     def _build_index(self, seqs: list):
         """Index every k-mer of each adapter AND its revcomp
@@ -131,22 +150,37 @@ class Adapters:
         (src/adapters.cpp:170-257)."""
         if not self.adapter_seqs:
             return False, seq, quals
+        if self._native:
+            from .native import adapters_trim_native
+            pos = adapters_trim_native(self._native, seq)
+            if pos < 0:
+                return False, seq, quals
+            if pos < 12:
+                pos = 0  # too short to keep: remove whole read
+            if pos == 0:
+                self.reads_removed += 1
+            self.bases_trimmed += len(seq) - pos
+            return True, seq[:pos], quals[:pos]
         kk = self.adapter_k
         best_identity = 0.0
         best_match_len = 0
         best_trim_pos = len(seq)
         found = False
-        tried = [False] * len(self.adapter_seqs)
+        # sparse tried-set: with the full 537-adapter DB the dense
+        # [False]*1074 per-read list dominated trim time (7x) while reads
+        # rarely hit the index at all
+        tried: set = set()
         step = 4 if self.use_ssw else 1
         up = seq.upper().replace("N", "G")  # get_kmers maps N->G
+        index_get = self.kmer_index.get
         for i in range(0, max(len(seq) - kk + 1, 0), step):
-            hits = self.kmer_index.get(up[i : i + kk])
+            hits = index_get(up[i : i + kk])
             if not hits:
                 continue
             for adapter_index, kmer_offset in hits:
-                if tried[adapter_index]:
+                if adapter_index in tried:
                     continue
-                tried[adapter_index] = True
+                tried.add(adapter_index)
                 adapter_seq = self.adapter_seqs[adapter_index]
                 if self.use_ssw:
                     a_start = max(0, kmer_offset - i - 2)

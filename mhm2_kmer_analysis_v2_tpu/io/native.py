@@ -96,8 +96,77 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(lib, "knat_format_dump"):
+        lib.knat_format_dump.restype = ctypes.c_int64
+        lib.knat_format_dump.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p,
+        ]
+    if hasattr(lib, "knat_adapters_build"):
+        lib.knat_adapters_build.restype = ctypes.c_void_p
+        lib.knat_adapters_build.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.knat_adapters_free.restype = None
+        lib.knat_adapters_free.argtypes = [ctypes.c_void_p]
+        lib.knat_adapters_trim.restype = ctypes.c_int32
+        lib.knat_adapters_trim.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ]
     _lib = lib
     return _lib
+
+
+def adapters_build_native(seqs: list, k: int, match: int, mismatch: int,
+                          gap_open: int, gap_ext: int):
+    """Build the native adapter index; returns an opaque handle or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "knat_adapters_build"):
+        return None
+    concat = "".join(seqs).encode()
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(s) for s in seqs])
+    handle = lib.knat_adapters_build(
+        concat, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seqs), k, match, mismatch, gap_open, gap_ext,
+    )
+    return handle or None
+
+
+def adapters_free_native(handle):
+    lib = get_lib()
+    if lib is not None and handle:
+        lib.knat_adapters_free(handle)
+
+
+def adapters_trim_native(handle, seq: str):
+    """Native SSW-path trim scan: trim position, or -1 for no trim."""
+    return _lib.knat_adapters_trim(handle, seq.encode(), len(seq))
+
+
+def format_dump_native(codes: np.ndarray, counts: np.ndarray,
+                       left: np.ndarray, right: np.ndarray):
+    """Format 'KMER count L R' dump lines from a [n, k] 2-bit code plane in
+    one native call; returns the text as bytes, or None (Python fallback)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "knat_format_dump"):
+        return None
+    n, k = codes.shape
+    codes = np.ascontiguousarray(codes, np.uint8)
+    counts32 = np.ascontiguousarray(counts, np.uint32)
+    lb = np.asarray(left).astype("S1").tobytes()
+    rb = np.asarray(right).astype("S1").tobytes()
+    if len(lb) != n or len(rb) != n:
+        return None
+    out = ctypes.create_string_buffer(n * (k + 14) if n else 1)
+    wrote = lib.knat_format_dump(
+        _u8ptr(codes), n, k,
+        counts32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), lb, rb, out,
+    )
+    return out.raw[:wrote]
 
 
 _MERGE_BUF_S = ctypes.create_string_buffer(1 << 17)

@@ -770,7 +770,7 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
             rmeta = rmeta.astype(jnp.int32)
             return sf.insert_batch_qf(
                 tbl, flt, rhi, rlo, rmeta & 7, (rmeta >> 3) & 7, rmeta >> 6,
-                rmeta != 0,
+                rmeta != 0, high_load=high_load,
             )
 
         if n_shards > 1:

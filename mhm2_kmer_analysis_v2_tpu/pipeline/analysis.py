@@ -389,6 +389,13 @@ def analyze_kmers(
     # --max-rpcs-in-flight bounds exchange spill rounds per batch (the
     # in-flight-RPC cap analogue, src/options.cpp:294); 0 = unbounded
     max_rounds = max(options.max_rpcs_in_flight, 0)
+    # Losslessness floor: with bounded rounds, worst-case skew (every record
+    # bound for ONE destination) needs ceil(positions_per_device / cap)
+    # rounds; floor the cap so that fits in the budget and overflow drops
+    # can't happen at the default settings (the reference's store never
+    # silently loses under backpressure, src/kcount/kmer_dht.cpp:247-258).
+    if max_rounds > 0 and n_shards > 1:
+        exchange_cap = max(exchange_cap, -(-positions_per_device // max_rounds))
     # bit-packed h2d (0.5 B/base + masks on the wire) for every table family
     if multiword:
         table_mode = "mwqf" if use_qf else "mw"
@@ -524,7 +531,8 @@ def analyze_kmers(
     batch_secs = []
     # load-adaptive insert program: poll main-table occupancy at doubling
     # batch indices (a one-plane device reduce, a few scalars D2H) and
-    # switch to the loaded-tier insert layout past ~0.15 load — the cheap
+    # switch to the loaded-tier insert layout past shard_table.HIGH_LOAD_SWITCH
+    # load — the cheap
     # cascade's R/8 tier overflows there and every batch pays the full-width
     # fallback (shard_table.insert_batch docstring; scripts/exp_gap.py).
     # Poll indices are fixed, so multi-process loops stay lockstep.
@@ -600,7 +608,7 @@ def analyze_kmers(
             # at batch 128 of a 4-device --use-qf scale run)
             jax.block_until_ready(_main_keys_w0(state))
             occ = int(dist.fetch(_occ_fn(_main_keys_w0(state))).sum())
-            if occ > 0.15 * cap_per_shard * n_shards:
+            if occ > shard_table.HIGH_LOAD_SWITCH * cap_per_shard * n_shards:
                 high_load_on = True
                 slog_verbose(
                     "  switching to the loaded-tier insert at batch ", batch_i,
@@ -865,18 +873,76 @@ def write_histogram(hist: dict, k: int, output_dir: str):
             f.write(f"{c} {hist[c]}\n")
 
 
-def dump_kmers(fin, k: int, output_dir: str, n_shards: int):
-    """Write per-shard kmers-<k>.txt.gz dumps, 'KMER count L R' lines
-    (src/kcount/kmer_dht.cpp:269-297); each process writes its own shards."""
+def _dump_codes(one, k: int):
+    """(codes [n,k] u8 0..3, counts, left chars, right chars) for one
+    finalized shard, sorted by k-mer — the dump record plane without
+    materializing per-record Python strings."""
+    from ..ops.kmer_multiword import n_words
     from ..table import shard_table_mw as stmw
 
+    if k <= 32:
+        vals, counts, left, right = shard_table.compact_to_host(one)
+        shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+        codes = ((vals[:, None] >> shifts[None, :]) & np.uint64(3)).astype(np.uint8)
+        return codes, counts, left, right
+    keep = np.asarray(one.keep)
+    words = [np.asarray(one.keys[j])[keep] for j in range(one.keys.shape[0])]
+    counts = np.asarray(one.counts)[keep]
+    left = shard_table._EXT_CHARS[np.asarray(one.left_ext)[keep]]
+    right = shard_table._EXT_CHARS[np.asarray(one.right_ext)[keep]]
+    order = np.lexsort(tuple(reversed(words)))
+    Wn = n_words(k)
+    r = k - 16 * (Wn - 1)
+    cols = []
+    for j, width in enumerate([r] + [16] * (Wn - 1)):
+        w = words[j][order].astype(np.uint32)
+        shifts = (2 * (width - 1 - np.arange(width))).astype(np.uint32)
+        cols.append(((w[:, None] >> shifts[None, :]) & np.uint32(3)).astype(np.uint8))
+    return np.concatenate(cols, axis=1), counts[order], left[order], right[order]
+
+
+def _write_gz_parallel(path: str, text: bytes, level: int = 1,
+                       chunk: int = 16 << 20):
+    """gzip-compress `text` as independent members in parallel threads and
+    write them in order (a concatenation of gzip members is a valid gzip
+    stream; readers see one continuous text).  zlib releases the GIL, so
+    this parallelizes across host cores like the reference's concurrent
+    per-rank dumps (src/kcount/kmer_dht.cpp:273-297)."""
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    spans = [text[i:i + chunk] for i in range(0, max(len(text), 1), chunk)]
+
+    def _member(b: bytes) -> bytes:
+        co = zlib.compressobj(level, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        return co.compress(b) + co.flush()
+
+    with ThreadPoolExecutor(max_workers=min(8, len(spans))) as ex:
+        members = list(ex.map(_member, spans))
+    with open(path, "wb") as f:
+        for m in members:
+            f.write(m)
+
+
+def dump_kmers(fin, k: int, output_dir: str, n_shards: int):
+    """Write per-shard kmers-<k>.txt.gz dumps, 'KMER count L R' lines
+    (src/kcount/kmer_dht.cpp:269-297); each process writes its own shards.
+
+    Formatting runs in the native OpenMP formatter and compression in
+    parallel gzip members — the r4 k=55 chip run spent ~1,500 s in the
+    per-record Python loop + single-threaded gzip on 25.8M records."""
+    from ..io.native import format_dump_native
+
     for shard, one in local_fin_shards(fin, n_shards):
-        if k <= 32:
-            vals, counts, left, right = shard_table.compact_to_host(one)
-            strings = shard_table.vals_to_strings(vals, k)
-        else:
-            strings, counts, left, right = stmw.compact_to_host_mw(one, k)
+        codes, counts, left, right = _dump_codes(one, k)
         path = os.path.join(output_dir, "per_rank", f"kmers-{k}.txt.gz.{shard}")
+        text = format_dump_native(codes, counts, left, right)
+        if text is not None:
+            _write_gz_parallel(path, text)
+            continue
+        # pure-Python fallback (no native lib): reference semantics spec
+        bases = np.array(list("ACGT"))
+        strings = ["".join(row) for row in bases[codes.astype(np.int64)]]
         with gzip.open(path, "wt") as f:
             for s, c, l, r in zip(strings, counts, left, right):
                 f.write(f"{s} {c} {l} {r}\n")

@@ -73,6 +73,11 @@ TARGET_LOAD_FACTOR = 0.66  # src/kcount/kcount_cpu.cpp:442
 # T_0..T_99 are pairwise distinct mod cap iff cap > T_99 = 4950 (their
 # differences are < 4951), so small tables keep the linear schedule.
 QUAD_MIN_CAP = 4951
+# Occupancy fraction past which the pipeline switches insert_batch to the
+# loaded-tier (high_load=True) program: the cheap cascade's R/8 tier
+# overflows at ~this load, sending every batch through the full-width
+# fallback (scripts/exp_gap.py; pipeline/analysis.py occupancy poll).
+HIGH_LOAD_SWITCH = 0.15
 
 
 def _advance(slot, active, step, cap: int):
@@ -479,7 +484,8 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
     16R lanes (~300 ms at R=1.2M on the target chip), so wide windows only
     run on COMPACTED tiers; the lossless full-width overflow fallback uses
     W=4.  Callers flip high_load from a cheap occupancy poll (the pipeline
-    switches at ~0.18 load); a wrong flag costs speed, never correctness.
+    switches at HIGH_LOAD_SWITCH load); a wrong flag costs speed, never
+    correctness.
     """
     cap = table.capacity
     R = hi.shape[0]

@@ -284,3 +284,310 @@ void knat_merge_chunk(const char* seqs1, const char* quals1, const int64_t* off1
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Adapter trimming (native fast path for io/adapters.py).
+//
+// The reference trims with a 17-mer adapter index + striped Smith-Waterman
+// (src/adapters.cpp:48-258, src/ssw/).  io/adapters.py is the semantics
+// spec; this is a behavior-exact transcription of its SSW-path trim loop
+// (index hit -> affine-gap Gotoh DP -> best-identity candidate), built for
+// the full 537-adapter DB where Python DP (~8 ms/candidate) and big-dict
+// string lookups dominate ingest.
+
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct AdapterIndex {
+  int32_t k = 17;
+  int32_t match = 1, mismatch = 1, gap_open = 1, gap_ext = 1;
+  std::vector<std::string> seqs;  // fwd + revcomp interleaved, like Python
+  // hot index: pure-ACGT keys packed 2 bits/base into a u64, open-addressing
+  // flat table (one cache line per probe; an unordered_map<string,...> of
+  // the full 537-adapter DB costs ~0.5 us per LOOKUP in pointer chases).
+  // Values live in one flat pairs array addressed by (offset, len).
+  std::vector<uint64_t> flat_keys;   // EMPTY = ~0ull
+  std::vector<int32_t> flat_off, flat_len;
+  std::vector<std::pair<int32_t, int32_t>> pairs;
+  uint64_t mask = 0;  // table size - 1 (pow2)
+  // cold fallback: keys containing IUPAC letters (e.g. Y) stay string-keyed;
+  // probed only when the read kmer itself has a non-ACGT char (rare)
+  std::unordered_map<std::string, std::vector<std::pair<int32_t, int32_t>>> cold;
+};
+
+const uint64_t FLAT_EMPTY = ~0ull;
+
+inline uint64_t mix64(uint64_t x) {  // splitmix64 finalizer
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+// base -> 2-bit code for the index key space; -1 for non-ACGT
+inline int code_acgt(char c) {
+  switch (c) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+  }
+  return -1;
+}
+
+// io/adapters.py revcomp: _COMP maps ACGT; everything else (incl. IUPAC) -> N
+std::string py_revcomp(const std::string& s) {
+  std::string out(s.rbegin(), s.rend());
+  for (auto& c : out) {
+    switch (c) {
+      case 'A': c = 'T'; break;
+      case 'C': c = 'G'; break;
+      case 'G': c = 'C'; break;
+      case 'T': c = 'A'; break;
+      default: c = 'N';
+    }
+  }
+  return out;
+}
+
+// exact transcription of io/adapters.py:_smith_waterman (affine Gotoh with
+// alignment-start tracking; same iteration order and tie-breaks)
+void sw_align(const char* ref, int32_t n, const char* query, int32_t m,
+              int32_t match, int32_t mismatch, int32_t gap_open,
+              int32_t gap_ext, int32_t* best_score_out, int32_t* best_begin_out) {
+  const int32_t NEG = -1000000;
+  thread_local std::vector<int32_t> bufH, bufE, bufHs, bufEs, bufpH, bufpE,
+      bufpHs, bufpEs;
+  bufH.assign(n + 1, 0);
+  bufE.assign(n + 1, NEG);
+  bufHs.resize(n + 1);
+  for (int32_t i = 0; i <= n; i++) bufHs[i] = i - 1;
+  bufEs.assign(n + 1, 0);
+  int32_t best_score = 0, best_begin = 0;
+  for (int32_t j = 1; j <= m; j++) {
+    char qc = query[j - 1];
+    bufpH.swap(bufH);
+    bufpHs.swap(bufHs);
+    bufpE.swap(bufE);
+    bufpEs.swap(bufEs);
+    bufH.assign(n + 1, 0);
+    bufHs.assign(n + 1, -1);
+    bufE.assign(n + 1, NEG);
+    bufEs.assign(n + 1, 0);
+    int32_t f_run = NEG, f_start = 0;
+    for (int32_t i = 1; i <= n; i++) {
+      int32_t eo = bufpH[i] - gap_open, ee = bufpE[i] - gap_ext;
+      bufE[i] = eo >= ee ? eo : ee;
+      bufEs[i] = eo >= ee ? bufpHs[i] : bufpEs[i];
+      int32_t fo = bufH[i - 1] - gap_open, fe = f_run - gap_ext;
+      f_start = fo >= fe ? bufHs[i - 1] : f_start;
+      f_run = fo >= fe ? fo : fe;
+      int32_t h = bufpH[i - 1] + (ref[i - 1] == qc ? match : -mismatch);
+      int32_t s = bufpHs[i - 1];
+      if (bufE[i] > h) { h = bufE[i]; s = bufEs[i]; }
+      if (f_run > h) { h = f_run; s = f_start; }
+      if (h <= 0) { h = 0; s = i - 1; }
+      bufH[i] = h;
+      bufHs[i] = s;
+      if (h > best_score) { best_score = h; best_begin = s + 1; }
+    }
+  }
+  *best_score_out = best_score;
+  *best_begin_out = best_begin;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build the adapter index: seqs_concat/offsets hold the (already uppercased,
+// >= k long) adapter sequences from load_adapter_fasta; each is indexed
+// forward AND revcomp'd, kmers with N -> G (src/adapters.cpp:110-132 via
+// io/adapters.py:_build_index).  Returns an opaque handle.
+void* knat_adapters_build(const char* seqs_concat, const int64_t* offsets,
+                          int32_t n_seqs, int32_t k, int32_t match,
+                          int32_t mismatch, int32_t gap_open, int32_t gap_ext) {
+  auto* ai = new AdapterIndex();
+  ai->k = k;
+  ai->match = match;
+  ai->mismatch = mismatch;
+  ai->gap_open = gap_open;
+  ai->gap_ext = gap_ext;
+  std::unordered_map<uint64_t, std::vector<std::pair<int32_t, int32_t>>> hot;
+  for (int32_t s = 0; s < n_seqs; s++) {
+    const std::string fwd(seqs_concat + offsets[s],
+                          (size_t)(offsets[s + 1] - offsets[s]));
+    const std::string rc = py_revcomp(fwd);
+    const std::string* both[2] = {&fwd, &rc};
+    for (const std::string* sp : both) {
+      int32_t idx = (int32_t)ai->seqs.size();
+      ai->seqs.push_back(*sp);
+      std::string kmer;
+      for (int32_t j = 0; j + k <= (int32_t)sp->size(); j++) {
+        kmer.assign(*sp, j, k);
+        uint64_t code = 0;
+        bool pure = true;
+        for (auto& c : kmer) {
+          if (c == 'N') c = 'G';
+          int b = code_acgt(c);
+          if (b < 0) pure = false;
+          code = (code << 2) | (uint64_t)(b & 3);
+        }
+        if (pure && k <= 31)  // 2k+2 bits must stay clear of FLAT_EMPTY
+          hot[code].emplace_back(idx, j);
+        else
+          ai->cold[kmer].emplace_back(idx, j);
+      }
+    }
+  }
+  size_t cap = 64;
+  while (cap < hot.size() * 2) cap <<= 1;
+  ai->mask = cap - 1;
+  ai->flat_keys.assign(cap, FLAT_EMPTY);
+  ai->flat_off.assign(cap, 0);
+  ai->flat_len.assign(cap, 0);
+  for (const auto& [code, vec] : hot) {
+    size_t slot = mix64(code) & ai->mask;
+    while (ai->flat_keys[slot] != FLAT_EMPTY) slot = (slot + 1) & ai->mask;
+    ai->flat_keys[slot] = code;
+    ai->flat_off[slot] = (int32_t)ai->pairs.size();
+    ai->flat_len[slot] = (int32_t)vec.size();
+    ai->pairs.insert(ai->pairs.end(), vec.begin(), vec.end());
+  }
+  return ai;
+}
+
+void knat_adapters_free(void* handle) { delete (AdapterIndex*)handle; }
+
+// Format a kmers-<k>.txt.gz dump chunk: one "KMER count L R\n" line per
+// record (dump format contract, src/kcount/kmer_dht.cpp:273-297), straight
+// from the 2-bit code plane — the Python per-record join/f-string loop costs
+// minutes at the 25M-record scale.  codes is [n, k] row-major with values
+// 0..3; counts uint32; left/right single chars.  out must hold at least
+// n * (k + 14) bytes; returns bytes written.
+int64_t knat_format_dump(const uint8_t* codes, int64_t n, int32_t k,
+                         const uint32_t* counts, const char* left,
+                         const char* right, char* out) {
+  static const char BASES[4] = {'A', 'C', 'G', 'T'};
+  // per-row byte width: k + ' ' + digits + ' L R\n'
+  std::vector<int64_t> offs((size_t)n + 1);
+  offs[0] = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t c = counts[i];
+    int d = c >= 1000000000u ? 10 : c >= 100000000u ? 9 : c >= 10000000u ? 8
+            : c >= 1000000u ? 7 : c >= 100000u ? 6 : c >= 10000u ? 5
+            : c >= 1000u ? 4 : c >= 100u ? 3 : c >= 10u ? 2 : 1;
+    offs[i + 1] = offs[i] + k + d + 6;
+  }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; i++) {
+    char* p = out + offs[i];
+    const uint8_t* row = codes + i * k;
+    for (int32_t j = 0; j < k; j++) *p++ = BASES[row[j] & 3];
+    *p++ = ' ';
+    char dbuf[12];
+    int d = 0;
+    uint32_t c = counts[i];
+    do {
+      dbuf[d++] = (char)('0' + c % 10);
+      c /= 10;
+    } while (c);
+    while (d) *p++ = dbuf[--d];
+    *p++ = ' ';
+    *p++ = left[i];
+    *p++ = ' ';
+    *p++ = right[i];
+    *p++ = '\n';
+  }
+  return offs[n];
+}
+
+// SSW-path trim scan (io/adapters.py Adapters.trim with use_ssw=True):
+// returns the trim position (0 = remove whole read after the <12 rule,
+// applied by the caller) when best identity >= 0.5, else -1.
+int32_t knat_adapters_trim(void* handle, const char* seq, int32_t len) {
+  const AdapterIndex& ai = *(const AdapterIndex*)handle;
+  const int32_t kk = ai.k;
+  if (ai.seqs.empty() || len < kk) return -1;
+  // up = seq.upper().replace("N", "G")  (get_kmers maps N->G)
+  thread_local std::string up;
+  up.assign(seq, (size_t)len);
+  for (auto& c : up) {
+    if (c >= 'a' && c <= 'z') c -= 32;
+    if (c == 'N') c = 'G';
+  }
+  // per-position 2-bit codes of `up` (-1 = non-ACGT), computed once
+  thread_local std::vector<int8_t> codes;
+  codes.resize(len);
+  for (int32_t i = 0; i < len; i++) codes[i] = (int8_t)code_acgt(up[i]);
+  double best_identity = 0.0;
+  int32_t best_trim_pos = len;
+  bool found = false;
+  thread_local std::vector<uint8_t> tried;
+  tried.assign(ai.seqs.size(), 0);
+  thread_local std::string kmer;
+  for (int32_t i = 0; i + kk <= len && !found; i += 4) {
+    const std::pair<int32_t, int32_t>* hits = nullptr;
+    int32_t n_hits = 0;
+    uint64_t code = 0;
+    bool pure = kk <= 31;
+    for (int32_t j = 0; j < kk; j++) {
+      int8_t b = codes[i + j];
+      if (b < 0) pure = false;
+      code = (code << 2) | (uint64_t)(b & 3);
+    }
+    if (pure) {
+      size_t slot = mix64(code) & ai.mask;
+      while (ai.flat_keys[slot] != FLAT_EMPTY) {
+        if (ai.flat_keys[slot] == code) {
+          hits = ai.pairs.data() + ai.flat_off[slot];
+          n_hits = ai.flat_len[slot];
+          break;
+        }
+        slot = (slot + 1) & ai.mask;
+      }
+    } else {
+      kmer.assign(up, (size_t)i, (size_t)kk);
+      auto it = ai.cold.find(kmer);
+      if (it != ai.cold.end()) {
+        hits = it->second.data();
+        n_hits = (int32_t)it->second.size();
+      }
+    }
+    if (!hits) continue;
+    for (int32_t h = 0; h < n_hits; h++) {
+      const auto& [adapter_index, kmer_offset] = hits[h];
+      if (tried[adapter_index]) continue;
+      tried[adapter_index] = 1;
+      const std::string& adapter_seq = ai.seqs[adapter_index];
+      int32_t a_start = kmer_offset - i - 2;
+      if (a_start < 0) a_start = 0;
+      int32_t a_end = a_start + len + 2;
+      if (a_end > (int32_t)adapter_seq.size()) a_end = (int32_t)adapter_seq.size();
+      int32_t score, ref_begin;
+      sw_align(seq, len, adapter_seq.data() + a_start, a_end - a_start,
+               ai.match, ai.mismatch, ai.gap_open, ai.gap_ext,
+               &score, &ref_begin);
+      int32_t max_match_len = (int32_t)adapter_seq.size();
+      if (len - ref_begin < max_match_len) max_match_len = len - ref_begin;
+      if (max_match_len > 0) {
+        double identity = (double)score / ai.match / max_match_len;
+        if (identity >= best_identity) {
+          best_identity = identity;
+          best_trim_pos = ref_begin;
+          if (identity > 0.97) found = true;
+        }
+      }
+      break;  // only the first untried adapter per k-mer hit
+    }
+  }
+  if (best_identity >= 0.5) return best_trim_pos;
+  return -1;
+}
+
+}  // extern "C"

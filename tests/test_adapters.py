@@ -119,3 +119,84 @@ def test_empty_adapters_noop():
     ad = Adapters(fname="")
     t, s, q = ad.trim("r", "ACGT" * 20, "K" * 80)
     assert not t
+
+
+BUNDLED_DB = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "data", "all_adapters.fa")
+
+
+def test_bundled_db_is_the_full_reference_set():
+    """The bundled DB must be the reference's full 537-sequence adapter set
+    (contrib/all_adapters.fa, loaded at src/adapters.cpp:48-146) — a subset
+    diverges trimming (and every downstream count) on real data."""
+    from mhm2_kmer_analysis_v2_tpu.io.adapters import load_adapter_fasta
+    with open(BUNDLED_DB) as f:
+        n_headers = sum(1 for line in f if line.startswith(">"))
+    assert n_headers == 537
+    seqs = load_adapter_fasta(BUNDLED_DB)
+    # every >=17bp sequence is indexed forward + revcomp
+    ad = Adapters(fname=BUNDLED_DB)
+    assert len(ad.adapter_seqs) == 2 * len(seqs)
+    assert len(seqs) >= 500  # only sub-17bp entries may drop
+
+
+@pytest.mark.parametrize("name,adapter", [
+    # present only in the full DB, not the old 15-sequence subset
+    ("contam_45", "ATAGACTAGCCTGCCGGTCAATAACTGATGACGCGGAGTCAACCTGATAACCCATAGCGGAACAGTCTAA"),
+    ("RPI2", "TGGAATTCTCGGGTGCCAAGGAACTCCAGTCACCGATGTATCTCGTATGCCGTCTTCTGCTTG"),
+])
+def test_full_db_trims_adapters_absent_from_subset(name, adapter):
+    ad = Adapters(fname=BUNDLED_DB)
+    genome = _mk(60, 8)
+    for spiked in (genome + adapter, genome + revcomp(adapter)):
+        trimmed, s, q = ad.trim("r1", spiked, "K" * len(spiked))
+        assert trimmed, name
+        assert s == genome
+        assert len(q) == len(s)
+
+
+def test_native_trim_matches_python_trim_fuzz():
+    """The C++ trim scan (knat_adapters_*) must match the Python semantics
+    spec decision-for-decision: same trim?/seq/quals on random reads, reads
+    spiked with full/partial/revcomp/mutated adapters at varied positions."""
+    from mhm2_kmer_analysis_v2_tpu.io import native as nat
+    if nat.get_lib() is None or not hasattr(nat.get_lib(), "knat_adapters_build"):
+        pytest.skip("native lib unavailable")
+    ad_n = Adapters(fname=BUNDLED_DB)
+    assert ad_n._native, "native index must build for the full DB"
+    ad_p = Adapters(fname=BUNDLED_DB)
+    ad_p._native = None  # force the Python reference path
+
+    rng = np.random.default_rng(123)
+    adapters = ad_n.adapter_seqs[::2]  # forward strands
+    cases = []
+    for i in range(120):
+        g = "".join(rng.choice(list("ACGT"), int(rng.integers(30, 140))))
+        kind = i % 6
+        if kind == 0:
+            seq = g  # no adapter
+        else:
+            a = adapters[int(rng.integers(0, len(adapters)))]
+            if kind == 2:
+                a = revcomp(a)
+            if kind == 3:
+                a = a[: max(17, len(a) // 2)]  # partial
+            if kind == 4:  # two mutations
+                la = list(a)
+                for _ in range(2):
+                    p = int(rng.integers(0, len(la)))
+                    la[p] = "ACGT"[int(rng.integers(0, 4))]
+                a = "".join(la)
+            cut = int(rng.integers(0, len(g) + 1)) if kind == 5 else len(g)
+            seq = g[:cut] + a + g[cut:][: int(rng.integers(0, 20))]
+        if "N" not in seq and rng.random() < 0.1:
+            p = int(rng.integers(0, len(seq)))
+            seq = seq[:p] + "N" + seq[p + 1:]
+        cases.append(seq)
+
+    for seq in cases:
+        quals = "K" * len(seq)
+        got = ad_n.trim("r", seq, quals)
+        want = ad_p.trim("r", seq, quals)
+        assert got == want, seq
+    assert ad_n.stats() == ad_p.stats()

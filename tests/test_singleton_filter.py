@@ -290,3 +290,78 @@ def test_qf_jit_matches_eager_under_contention():
     assert _fin_dict(tj, k) == _fin_dict(te, k)
     # and match the oracle exactly
     assert _fin_dict(tj, k) == oracle_count(reads, k).finalize()
+
+
+def test_qf_high_load_equivalent_finalized_output():
+    """high_load=True selects the loaded-tier insert layout inside QF mode;
+    results must be identical to the low-load program (same probe schedule,
+    same commit rules — shard_table.insert_batch contract)."""
+    k = 21
+    reads = genome_reads(100, 70, genome_len=400, seed=51, err=0.01)
+    reads += random_reads(20, k + 2, 70, seed=52)
+    flat = _flat(reads, k)
+    one = jnp.ones_like(flat["left"])
+
+    plain = shard_table.create(1 << 13)
+    outs = []
+    for hl in (False, True):
+        qf = shard_table.create(1 << 13)
+        filt = sf.create_filter(48)
+        for _ in range(2):
+            qf, filt = sf.insert_batch_qf(
+                qf, filt, flat["canon_hi"], flat["canon_lo"], flat["left"],
+                flat["right"], one, flat["valid"], high_load=hl,
+            )
+        outs.append(_fin_dict(qf, k))
+    for _ in range(2):
+        plain = shard_table.insert_batch(
+            plain, flat["canon_hi"], flat["canon_lo"], flat["left"],
+            flat["right"], one, flat["valid"],
+        )
+    assert outs[0] == outs[1]
+    assert outs[0] == _fin_dict(plain, k)
+
+
+def test_qf_count_step_record_wire_high_load_takes_effect():
+    """Regression for the --use-qf record-wire loaded-tier switch: the
+    occupancy-triggered high_load recompile must actually change the insert
+    program (the ins closure at count_step.make_count_step_qf forwards
+    high_load), and both programs must produce identical finalized output."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mhm2_kmer_analysis_v2_tpu.parallel import count_step as cs
+
+    k = 21
+    n_shards = 2
+    reads = genome_reads(96, 70, genome_len=400, seed=61, err=0.01)
+    reads += random_reads(24, k + 2, 70, seed=62)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("sh",))
+    sharding = NamedSharding(mesh, P("sh"))
+    b = encode_batch([s for s, _ in reads], [q for _, q in reads])
+    args = tuple(jax.device_put(x, sharding) for x in (b.codes, b.badq, b.lengths))
+
+    outs = {}
+    hlos = {}
+    for hl in (False, True):
+        state = cs.create_sharded_qf(n_shards, 1 << 13, 1 << 12, mesh=mesh)
+        step = cs.make_count_step_qf(
+            mesh, k=k, exchange_cap=4096, supermers=False, high_load=hl,
+        )
+        hlos[hl] = step.lower(state, *args).as_text()
+        state = step(state, *args)
+        assert int(np.sum(np.asarray(state.table.overflow))) == 0
+        fin = cs.make_finalize(mesh)(state.table)
+        merged = {}
+        for shard in range(n_shards):
+            one = shard_table.FinalizedShard(*[np.asarray(x)[shard] for x in fin])
+            vals, counts, left, right = shard_table.compact_to_host(one)
+            for s, c, l, r in zip(shard_table.vals_to_strings(vals, k),
+                                  counts, left, right):
+                merged[s] = (int(c), l, r)
+        outs[hl] = merged
+    # the flag must reach the insert kernel (different tier layout => the
+    # lowered program differs) ...
+    assert hlos[False] != hlos[True]
+    # ... while the counting contract stays bit-identical
+    assert outs[False] == outs[True]
+    assert outs[False] == oracle_count(reads, k).finalize()
