@@ -1,14 +1,16 @@
 """Benchmark: k-mer counting throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Metric is counted k-mers/s through the full device hot path (canonical
-extraction + minimizer routing + vectorized hash insert) on synthetic
-metagenome-like reads at k=21, inputs pre-staged in device memory (the
-pipeline overlaps host decode separately; this measures the chip kernel, like
-the reference's TCF inserts/s claim).  vs_baseline is relative to the
-reference's only published kernel throughput number: the point_tcf GPU
-filter's claimed 1.3e9 inserts/s (point_tcf/README.md:44, see BASELINE.md).
+Headline metric (round 5+, VERDICT r4 item 3): counted k-mers/s through the
+full device hot path (canonical extraction + vectorized hash insert) with
+the table PRE-STAGED TO 0.58 LOAD — the 1.2 GB reference-scale run's real
+end load (BASELINE.md), i.e. the number that actually gates end-to-end
+time.  Side fields keep the r1-r4-comparable ~25%-load scan
+(value_low_load_scan) and add the --use-qf loaded variant (value_qf).
+vs_baseline is relative to the reference's only published kernel throughput
+number: the point_tcf GPU filter's claimed 1.3e9 inserts/s
+(point_tcf/README.md:44, see BASELINE.md).
 """
 
 import json
@@ -158,17 +160,67 @@ def main():
     elapsed_loaded = time.perf_counter() - t0
     kmers_per_sec_loaded = total_kmers / elapsed_loaded
 
+    # third measurement: --use-qf at the same 0.58 main-table load.  The
+    # filter+main pair is staged by running the distinct staging keys
+    # through the QF insert twice (first pass stores each key in the
+    # filter, the second promotes it to main — the real promotion path),
+    # then the same read batches are timed through insert_batch_qf.
+    from mhm2_kmer_analysis_v2_tpu.table import singleton_filter as sf
+
+    def one_qf(carry, batch):
+        codes, badq, lengths = batch
+        recs = kmer_records(codes, badq, lengths, k=k, n_shards=1)
+        flat = {kk: v.reshape(-1) for kk, v in recs.items()}
+        tbl, flt = carry
+        tbl, flt = sf.insert_batch_qf(
+            tbl, flt, flat["canon_hi"], flat["canon_lo"], flat["left"],
+            flat["right"], jnp.ones_like(flat["left"]), flat["valid"],
+            high_load=True)
+        return (tbl, flt), 0
+
+    @jax.jit
+    def run_qf(tbl, flt, codes, badq, lengths):
+        (tbl, flt), _ = jax.lax.scan(one_qf, (tbl, flt), (codes, badq, lengths))
+        return tbl, flt
+
+    @jax.jit
+    def stage_qf(tbl, flt, hi, lo):
+        e = jnp.zeros_like(hi, jnp.uint8)
+        return sf.insert_batch_qf(
+            tbl, flt, hi, lo, e, e, jnp.ones_like(e), jnp.ones_like(hi, bool),
+            high_load=True)
+
+    table3 = shard_table.create(10_000_000)
+    filt = sf.create_filter(10_000_000)
+    for _pass in range(2):  # pass 1 -> filter, pass 2 -> promote to main
+        for off in range(0, target, 2_000_000):
+            chunk = keys[off:off + 2_000_000]
+            table3, filt = stage_qf(
+                table3, filt,
+                jnp.asarray((chunk >> np.uint64(32)).astype(np.uint32)),
+                jnp.asarray((chunk & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+            np.asarray(table3.num_dropped)
+    table3, filt = run_qf(table3, filt, codes[:2], badq[:2], lengths[:2])
+    np.asarray(table3.num_dropped)
+    t0 = time.perf_counter()
+    table3, filt = run_qf(table3, filt, codes, badq, lengths)
+    np.asarray(table3.num_dropped)
+    kmers_per_sec_qf = total_kmers / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
-                "metric": "kmer_count_throughput_per_chip",
-                "value": round(kmers_per_sec, 1),
+                "metric": "kmer_count_throughput_per_chip_at_0.58_load",
+                "value": round(kmers_per_sec_loaded, 1),
                 "unit": "kmers/s",
-                "vs_baseline": round(kmers_per_sec / 1.3e9, 4),
-                "value_at_0.58_load": round(kmers_per_sec_loaded, 1),
-                "note": "value: ~25%-load kernel scan (r1-r3 comparable); "
-                        "value_at_0.58_load: same kernel, table pre-staged "
-                        "to the 1.2GB run's real end load, loaded-tier program",
+                "vs_baseline": round(kmers_per_sec_loaded / 1.3e9, 4),
+                "value_low_load_scan": round(kmers_per_sec, 1),
+                "value_qf": round(kmers_per_sec_qf, 1),
+                "note": "value: kernel with table pre-staged to the 1.2GB "
+                        "run's real 0.58 end load (loaded-tier program); "
+                        "value_low_load_scan: the r1-r4-comparable ~25%-load "
+                        "scan; value_qf: --use-qf filter+main at the same "
+                        "staged load",
             }
         )
     )

@@ -464,20 +464,31 @@ def _supermer_words(k: int, max_run: int) -> tuple:
     return (-(-bases // 16), -(-bases // 32), bases)
 
 
-def _recv_kmer_records(k: int, insert_fn):
+def _recv_kmer_records(k: int, insert_fn, max_run: int):
     """k <= 32 supermer receiver: re-extract canonical hi/lo records from the
     unpacked windows and feed insert_fn(carry, hi, lo, left, right, cnt,
-    valid) — used by the plain-table and --use-qf steps."""
+    valid) — used by the plain-table and --use-qf steps.
+
+    Records are COMPACTED before the insert: at most ``max_run`` of the SB
+    window positions are countable k-mers (valid <= run_len <= max_run), so
+    packing the valid lanes into rS*max_run slots is lossless by
+    construction and cuts the table kernel's lane count ~SB/max_run (~2.4x;
+    the r4 receiver fed the full padded [rS, SB] flattening into the insert,
+    measured as the dominant term of the supermer wire's 5-8x gap vs the
+    record wire — BASELINE.md round 5)."""
 
     def receive(carry, rcodes, rinv, rlengths, rcount):
-        SB = rcodes.shape[1]
+        rS, SB = rcodes.shape
         sub = kmer_records(rcodes, rinv, rlengths, k=k, n_shards=1)
         fl = {kk: v.reshape(-1) for kk, v in sub.items()}
         cnt = jnp.repeat(rcount, SB)
-        return insert_fn(
-            carry, fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"],
-            cnt, fl["valid"] & (cnt > 0),
+        val = fl["valid"] & (cnt > 0)
+        S = rS * max_run
+        (chi, clo, cl, cr, cc), act, _, _, _ = shard_table._compact_sort(
+            [fl["canon_hi"], fl["canon_lo"], fl["left"], fl["right"], cnt],
+            val, S,
         )
+        return insert_fn(carry, chi, clo, cl, cr, cc, act)
 
     return receive
 
@@ -661,7 +672,8 @@ def make_count_step_supermer(mesh: Mesh, *, k: int, exchange_cap: int,
         local, spill, overflow = _supermer_rounds(
             codes, badq, lengths, k=k, m=m, max_run=max_run,
             n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
-            receive_fn=_recv_kmer_records(k, ins), carry=_local_table(state),
+            receive_fn=_recv_kmer_records(k, ins, max_run),
+            carry=_local_table(state),
         )
         return ShardedState(
             keys_hi=local.keys_hi[None],
@@ -756,7 +768,8 @@ def make_count_step_qf(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
             (local, filt), spill, overflow = _supermer_rounds(
                 codes, badq, lengths, k=k, m=m, max_run=SUPERMER_MAX_RUN,
                 n_shards=n_shards, cap=exchange_cap, max_rounds=max_rounds,
-                receive_fn=_recv_kmer_records(k, ins_sm), carry=(local, filt),
+                receive_fn=_recv_kmer_records(k, ins_sm, SUPERMER_MAX_RUN),
+                carry=(local, filt),
             )
             return _pack_qf_state(state, local, filt, spill, overflow)
 
@@ -865,14 +878,19 @@ def make_count_step_qf_mw(mesh: Mesh, *, k: int, exchange_cap: int,
                 return r["target"], r["valid"]
 
             def receive(carry, rcodes, rinv, rlengths, rcount):
-                SB = rcodes.shape[1]
+                rS, SB = rcodes.shape
                 sub = kmer_records_mw(rcodes, rinv, rlengths, k=k, n_shards=1)
-                rS = rcodes.shape[0]
                 swords = sub["canon"].reshape(Wn, rS * SB)
                 cnt_ = jnp.repeat(rcount, SB)
-                return ins_words(carry, swords, sub["left"].reshape(-1),
-                                 sub["right"].reshape(-1), cnt_,
-                                 sub["valid"].reshape(-1) & (cnt_ > 0))
+                val = sub["valid"].reshape(-1) & (cnt_ > 0)
+                # lossless pre-insert compaction (see _recv_kmer_records)
+                arrs, act, _, _, _ = shard_table._compact_sort(
+                    [*swords, sub["left"].reshape(-1),
+                     sub["right"].reshape(-1), cnt_],
+                    val, rS * SUPERMER_MAX_RUN,
+                )
+                return ins_words(carry, jnp.stack(arrs[:Wn], axis=0),
+                                 arrs[Wn], arrs[Wn + 1], arrs[Wn + 2], act)
 
             (local, filt), spill, overflow = _supermer_rounds(
                 codes, badq, lengths, k=k, m=m, max_run=SUPERMER_MAX_RUN,
@@ -1041,15 +1059,20 @@ def make_count_step_mw(mesh: Mesh, *, k: int, exchange_cap: int, m: int | None =
                 return r["target"], r["valid"]
 
             def receive(tbl, rcodes, rinv, rlengths, rcount):
-                SB = rcodes.shape[1]
+                rS, SB = rcodes.shape
                 sub = kmer_records_mw(rcodes, rinv, rlengths, k=k, n_shards=1)
-                rS = rcodes.shape[0]
                 swords = sub["canon"].reshape(Wn, rS * SB)
                 cnt = jnp.repeat(rcount, SB)
+                val = sub["valid"].reshape(-1) & (cnt > 0)
+                # lossless pre-insert compaction (see _recv_kmer_records)
+                arrs, act, _, _, _ = shard_table._compact_sort(
+                    [*swords, sub["left"].reshape(-1),
+                     sub["right"].reshape(-1), cnt],
+                    val, rS * SUPERMER_MAX_RUN,
+                )
                 return stmw.insert_batch_mw(
-                    tbl, swords, sub["left"].reshape(-1),
-                    sub["right"].reshape(-1), cnt,
-                    sub["valid"].reshape(-1) & (cnt > 0),
+                    tbl, jnp.stack(arrs[:Wn], axis=0), arrs[Wn],
+                    arrs[Wn + 1], arrs[Wn + 2], act,
                     w0_full_range=(k % 16 == 0), high_load=high_load,
                 )
 

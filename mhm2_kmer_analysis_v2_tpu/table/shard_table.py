@@ -474,16 +474,25 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
       high_load=False  sweep1 -> R/8 single-step sweep -> R/64 windowed
                        while (the cheap path while survivors fit R/8,
                        i.e. table load under ~0.2)
-      high_load=True   sweep1 -> R/2 one windowed W=4 round (probes 1-4)
-                       -> R/8 windowed while (survivors past probe 4 are
-                       ~alpha^4 — under R/8 up to ~0.7 load); compaction
-                       planes carry a packed meta word to halve the
-                       compaction gathers
+      high_load=True   ONE windowed W=4 round from probe 0 at FULL width
+                       (covers probes 0-3) -> R/4 windowed W=16 while.
+                       Survivors after 4 probes at load alpha are ~alpha^4
+                       (+ election losers): under R/4 up to ~0.70 load.
+                       The earlier layout (sweep1 -> R/2 compact -> W=4)
+                       overflowed into the full-width fallback on EVERY
+                       batch past ~0.5 load — sweep-1 survivors are ~alpha*R
+                       (home slot held by a different key), measured as the
+                       3.3 s/batch collapse at 0.61 load on a 117M-slot
+                       table; this layout measures 0.94 s/batch there
+                       (3.5x, BASELINE.md round 5).
 
-    Window width is bounded by memory: a full-width W=16 window gathers
-    16R lanes (~300 ms at R=1.2M on the target chip), so wide windows only
-    run on COMPACTED tiers; the lossless full-width overflow fallback uses
-    W=4.  Callers flip high_load from a cheap occupancy poll (the pipeline
+    Window width is bounded by the superlinear cost of very wide flat
+    gathers on the target chip (a full-width W=8 window gathers 8R ~ 9.8M
+    lanes and measured 3x the W=4 program despite halving the probe rounds
+    — BASELINE.md round 5), so windows are sized to keep every flat gather
+    at or under ~4R lanes: W=4 at full width, W=16 only on the R/4
+    compacted tier, and W=4 in the lossless full-width overflow fallback.
+    Callers flip high_load from a cheap occupancy poll (the pipeline
     switches at HIGH_LOAD_SWITCH load); a wrong flag costs speed, never
     correctness.
     """
@@ -500,36 +509,29 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
     active = valid
 
     tbl = (table.keys_hi, table.keys_lo, table.counts, table.extc, table.claim)
-    tbl, active, slot = _probe_round(
-        tbl, (hi, lo, left, right, cnt, lane, active, slot0), full_hi_range, step=1
-    )
-
     tri = _probe_tri(cap)
     zero_v = (slot0[0] & 0).astype(jnp.int32)
 
     if high_load:
-        # tier-1: half-width compaction (survivors at load alpha are ~alpha
-        # of R) with a packed meta plane, then ONE windowed W=4 round
-        # covering probes 1-4
-        S1 = min(max(R // 2, 4096), R)
-        meta = (left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6))
-        (s_hi, s_lo, s_m, s_h0), act1, rank1, idx1, n_left1 = _compact_sort(
-            [hi, lo, meta, slot0], active, S1
-        )
-        s_l, s_r, s_c = s_m & 7, (s_m >> 3) & 7, s_m >> 6
-        tbl, act1b, p1b, d1 = _window_round(
-            tbl, (s_hi, s_lo, s_l, s_r, s_c, act1, s_h0 * 0 + 1, s_h0), tri,
+        # ONE full-width W=4 windowed round from probe 0 (see docstring),
+        # with a packed meta plane for the single compaction that follows
+        tbl, act0, p0, d1 = _window_round(
+            tbl, (hi, lo, left, right, cnt, active, slot0 * 0, slot0), tri,
             full_hi_range, 4,
         )
-        # tier-2: R/8 + windowed while from each lane's carried probe index
-        S2 = min(max(R // 8, 1024), S1)
+        S2 = min(max(R // 4, 4096), R)
+        meta = (left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6))
         (t_hi, t_lo, t_m, t_h0, t_p), act2, rank2, idx2, n_left2 = _compact_sort(
-            [s_hi, s_lo, s_m, s_h0, p1b], act1b, S2
+            [hi, lo, meta, slot0, p0], act0, S2
         )
         t_l, t_r, t_c = t_m & 7, (t_m >> 3) & 7, t_m >> 6
         entr_p = t_p
         pre_drops = d1
     else:
+        tbl, active, slot = _probe_round(
+            tbl, (hi, lo, left, right, cnt, lane, active, slot0),
+            full_hi_range, step=1
+        )
         # tier-1 compaction + one single-step sweep (slot0 rides along: the
         # windowed tier-2 probes from each lane's HOME slot + probe index)
         S1 = min(max(R // 8, 4096), R)
@@ -564,23 +566,39 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
         cond, body, (tbl, act2, entr_p, zero_v, pre_drops)
     )
 
-    # lanes that overflowed either compaction tier redo from their home slot
-    # at full width — lossless, and free (lax.cond) when no overflow occurred.
-    # Restart is safe: re-probing an already-committed key cannot re-commit
-    # because those lanes are not in the fallback set.  W=4: a full-width
-    # W=16 window would gather 16R lanes per round.
-    overflow = (n_left1 > S1) | (n_left2 > S2)
+    # lanes that overflowed a compaction tier rewalk at full width —
+    # lossless, and free (lax.cond) when no overflow occurred.  Restart is
+    # safe: re-probing an already-committed key cannot re-commit because
+    # those lanes are not in the fallback set.  Entry probe index must never
+    # SKIP ahead of a lane's last examined probe (an election loser at probe
+    # p has unexamined — possibly empty — slots at p+1.., and claiming a
+    # later slot while an earlier one is empty breaks the lookup invariant):
+    # the high_load path re-enters at each lane's CARRIED index from the W=4
+    # round; the low-load path rewalks from probe 1 (re-examining occupied
+    # slots is harmless).  W=4: a full-width W=16 window would gather 16R
+    # lanes per round.
+    if high_load:
+        overflow = n_left2 > S2
+
+        def fb_lanes():
+            sel = jnp.zeros((R,), bool).at[jnp.where(act2, idx2, R)].set(True, mode="drop")
+            return act0 & ~sel, p0
+    else:
+        overflow = (n_left1 > S1) | (n_left2 > S2)
+
+        def fb_lanes():
+            sel1 = jnp.zeros((R,), bool).at[jnp.where(act1, idx1, R)].set(True, mode="drop")
+            fba = active & ~sel1
+            sel2 = jnp.zeros((S1,), bool).at[jnp.where(act2, idx2, S1)].set(True, mode="drop")
+            fb2 = act1b & ~sel2
+            fba = fba | jnp.zeros((R,), bool).at[jnp.where(fb2, idx1, R)].set(True, mode="drop")
+            return fba, slot0 * 0 + 1
 
     def fb(tbl_in):
-        sel1 = jnp.zeros((R,), bool).at[jnp.where(act1, idx1, R)].set(True, mode="drop")
-        fba = active & ~sel1
-        sel2 = jnp.zeros((S1,), bool).at[jnp.where(act2, idx2, S1)].set(True, mode="drop")
-        fb2 = act1b & ~sel2
-        fba = fba | jnp.zeros((R,), bool).at[jnp.where(fb2, idx1, R)].set(True, mode="drop")
+        fba, entry_p = fb_lanes()
 
         def fb_body(state):
             tbl, act, pidx, it, drops = state
-            # fallback lanes rewalk from probe index 1 (home was sweep 1)
             tbl, act, pidx, nex = _window_round(
                 tbl, (hi, lo, left, right, cnt, act, pidx, slot0), tri,
                 full_hi_range, 4,
@@ -588,14 +606,14 @@ def insert_batch(table: ShardTable, hi, lo, left, right, cnt, valid,
             return tbl, act, pidx, it + 1, drops + nex
 
         tbl_out, rem, _, _, fdrops = jax.lax.while_loop(
-            cond, fb_body, (tbl_in, fba, slot0 * 0 + 1, zero_v, zero_v),
+            cond, fb_body, (tbl_in, fba, entry_p, zero_v, zero_v),
         )
         return tbl_out, jnp.sum(rem).astype(jnp.int32) + fdrops
 
     def nofb(tbl_in):
         # zero derived from traced data so both cond branches have identical
         # types (incl. shard_map varying-axis annotations)
-        return tbl_in, n_left1 * 0
+        return tbl_in, n_left2 * 0
 
     tbl, fb_left = jax.lax.cond(overflow, fb, nofb, tbl)
 

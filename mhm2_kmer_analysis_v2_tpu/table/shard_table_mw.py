@@ -249,11 +249,14 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
 
     Same load-adaptive compaction-cascade structure as
     shard_table.insert_batch (see there): high_load=False -> R/8 sweep +
-    R/64 windowed while; high_load=True -> R/2 one W=4 windowed round +
-    R/8 windowed while, for tables past ~0.2 load.  Lossless full-width
-    W=4 fallback behind a lax.cond if a compaction buffer overflows.
-    ``w0_full_range=False`` (safe only when k%16 != 0) enables the
-    single-word emptiness probe (see _probe_round_mw)."""
+    R/64 windowed while; high_load=True -> ONE full-width W=4 windowed
+    round from probe 0 + R/4 windowed while (survivors after 4 probes are
+    ~alpha^4 — the r4 sweep1+R/2 layout overflowed into the full-width
+    fallback every batch past ~0.5 load, and W=8 first rounds lose 3x to
+    superlinear wide-gather cost; see shard_table.insert_batch).
+    Lossless full-width W=4 fallback behind a lax.cond if a compaction
+    buffer overflows.  ``w0_full_range=False`` (safe only when k%16 != 0)
+    enables the single-word emptiness probe (see _probe_round_mw)."""
     cap = table.capacity
     Wn, R = words.shape
     words = words.astype(U32)
@@ -265,32 +268,20 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
     active = valid
 
     tbl = (table.keys, table.counts, table.extc, table.claim)
-    tbl, active, slot = _probe_round_mw(
-        tbl, (words, left, right, cnt, lane, active, slot0), w0_full_range, cap,
-        step=1,
-    )
-
     tri = st._probe_tri(cap)
     zero_v = (slot0[0] & 0).astype(jnp.int32)
 
     if high_load:
-        # tier-1: half-width compaction with a packed meta plane + ONE
-        # windowed W=4 round covering probes 1-4
-        S1 = min(max(R // 2, 4096), R)
-        meta = (left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6))
-        arrs1, act1, rank1, idx1, n_left1 = st._compact_sort(
-            [*words, meta, slot0], active, S1
-        )
-        s_w = jnp.stack(arrs1[:Wn], axis=0)
-        s_m, s_h0 = arrs1[Wn:]
-        s_l, s_r, s_c = s_m & 7, (s_m >> 3) & 7, s_m >> 6
-        tbl, act1b, p1b, d1 = _window_round_mw(
-            tbl, (s_w, s_l, s_r, s_c, act1, s_h0 * 0 + 1, s_h0), tri,
+        # ONE full-width W=4 windowed round from probe 0, with a packed
+        # meta plane for the single compaction that follows
+        tbl, act0, p0, d1 = _window_round_mw(
+            tbl, (words, left, right, cnt, active, slot0 * 0, slot0), tri,
             w0_full_range, cap, 4,
         )
-        S2 = min(max(R // 8, 1024), S1)
+        S2 = min(max(R // 4, 4096), R)
+        meta = (left | (right << 3) | (jnp.minimum(cnt, 0xFFFF) << 6))
         arrs2, act2, rank2, idx2, n_left2 = st._compact_sort(
-            [*s_w, s_m, s_h0, p1b], act1b, S2
+            [*words, meta, slot0, p0], act0, S2
         )
         t_w = jnp.stack(arrs2[:Wn], axis=0)
         t_m, t_h0, t_p = arrs2[Wn:]
@@ -300,6 +291,10 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
     else:
         # tier-1 compaction + one sweep (slot0 rides along for the windowed
         # tier-2, which probes from home + probe index)
+        tbl, active, slot = _probe_round_mw(
+            tbl, (words, left, right, cnt, lane, active, slot0),
+            w0_full_range, cap, step=1,
+        )
         S1 = min(max(R // 8, 4096), R)
         arrs1, act1, rank1, idx1, n_left1 = st._compact_sort(
             [*words, left, right, cnt, slot, slot0], active, S1
@@ -334,17 +329,31 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
         cond, body, (tbl, act2, entr_p, zero_v, pre_drops)
     )
 
-    # lanes that overflowed either compaction tier redo from probe index 1
-    # at full width — lossless, free (lax.cond) when not taken; restart
-    # cannot re-commit already-committed lanes (not in set)
-    overflow = (n_left1 > S1) | (n_left2 > S2)
+    # lanes that overflowed a compaction tier rewalk at full width —
+    # lossless, free (lax.cond) when not taken; restart cannot re-commit
+    # already-committed lanes (not in set).  Entry probe index must never
+    # skip a lane's unexamined probes (see shard_table.insert_batch): the
+    # high_load path re-enters at each lane's carried index from the W=4
+    # round; the low-load path rewalks from probe 1.
+    if high_load:
+        overflow = n_left2 > S2
+
+        def fb_lanes():
+            sel = jnp.zeros((R,), bool).at[jnp.where(act2, idx2, R)].set(True, mode="drop")
+            return act0 & ~sel, p0
+    else:
+        overflow = (n_left1 > S1) | (n_left2 > S2)
+
+        def fb_lanes():
+            sel1 = jnp.zeros((R,), bool).at[jnp.where(act1, idx1, R)].set(True, mode="drop")
+            fba = active & ~sel1
+            sel2 = jnp.zeros((S1,), bool).at[jnp.where(act2, idx2, S1)].set(True, mode="drop")
+            fb2 = act1b & ~sel2
+            fba = fba | jnp.zeros((R,), bool).at[jnp.where(fb2, idx1, R)].set(True, mode="drop")
+            return fba, slot0 * 0 + 1
 
     def fb(tbl_in):
-        sel1 = jnp.zeros((R,), bool).at[jnp.where(act1, idx1, R)].set(True, mode="drop")
-        fba = active & ~sel1
-        sel2 = jnp.zeros((S1,), bool).at[jnp.where(act2, idx2, S1)].set(True, mode="drop")
-        fb2 = act1b & ~sel2
-        fba = fba | jnp.zeros((R,), bool).at[jnp.where(fb2, idx1, R)].set(True, mode="drop")
+        fba, entry_p = fb_lanes()
 
         def fb_body(state):
             tbl, act, pidx, it, drops = state
@@ -356,12 +365,12 @@ def insert_batch_mw(table: MWShardTable, words, left, right, cnt, valid,
             return tbl, act, pidx, it + 1, drops + nex
 
         tbl_out, rem, _, _, fdrops = jax.lax.while_loop(
-            cond, fb_body, (tbl_in, fba, slot0 * 0 + 1, zero_v, zero_v)
+            cond, fb_body, (tbl_in, fba, entry_p, zero_v, zero_v)
         )
         return tbl_out, jnp.sum(rem).astype(jnp.int32) + fdrops
 
     def nofb(tbl_in):
-        return tbl_in, n_left1 * 0
+        return tbl_in, n_left2 * 0
 
     tbl, fb_left = jax.lax.cond(overflow, fb, nofb, tbl)
 

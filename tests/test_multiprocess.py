@@ -44,7 +44,7 @@ def _free_port():
     return port
 
 
-def _run_pipeline(outdir, fastq, n_devices, extra_env, extra_args=()):
+def _run_pipeline(outdir, fastq, n_devices, extra_env, extra_args=(), k=21):
     env = dict(os.environ)
     env.pop("PYTHONSTARTUP", None)
     env["PALLAS_AXON_POOL_IPS"] = ""
@@ -54,12 +54,32 @@ def _run_pipeline(outdir, fastq, n_devices, extra_env, extra_args=()):
     env.update(extra_env)
     cmd = [
         sys.executable, "-m", "mhm2_kmer_analysis_v2_tpu.pipeline.main",
-        "-r", fastq, "-k", "21", "-o", outdir, "--dump-kmers",
+        "-r", fastq, "-k", str(k), "-o", outdir, "--dump-kmers",
     ] + list(extra_args)
     return subprocess.Popen(
         cmd, env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
+
+
+def _run_world(outdir, fastq, n_procs, devs_per_proc, extra_args=(), k=21):
+    """Launch an n-process jax.distributed pipeline run; returns logs."""
+    port = _free_port()
+    procs = []
+    for pid in range(n_procs):
+        procs.append(_run_pipeline(
+            outdir, fastq, devs_per_proc,
+            {
+                "COORDINATOR_ADDRESS": f"localhost:{port}",
+                "NUM_PROCESSES": str(n_procs),
+                "PROCESS_ID": str(pid),
+            },
+            extra_args=extra_args, k=k,
+        ))
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+    return logs
 
 
 def _read_dumps(outdir, k=21):
@@ -118,6 +138,90 @@ def test_two_process_run_matches_single_process(tmp_path):
     log0 = logs[0] + logs[1]
     assert "Multi-process run: 2 processes" in log0
     assert "balance across processes" in log0
+
+
+@pytest.mark.slow
+def test_four_process_run_matches_single_process(tmp_path):
+    """4 processes x 2 devices == 1 process x 8 devices, byte-identical
+    dumps (VERDICT r4 item 7: widen beyond the 2-process drill)."""
+    fastq = str(tmp_path / "mp4.fastq")
+    _gen_fastq(fastq)
+
+    out_sp = str(tmp_path / "out_sp")
+    p = _run_pipeline(out_sp, fastq, 8, {})
+    log = p.communicate(timeout=900)[0]
+    assert p.returncode == 0, log[-4000:]
+
+    out_mp = str(tmp_path / "out_mp")
+    logs = _run_world(out_mp, fastq, 4, 2)
+
+    dumps_sp = _read_dumps(out_sp)
+    dumps_mp = _read_dumps(out_mp)
+    assert set(dumps_sp) == set(dumps_mp) == set(range(8))
+    assert dumps_sp == dumps_mp
+    assert "Multi-process run: 4 processes" in "".join(logs)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["qf", "mw"])
+def test_two_process_dump_parity_qf_and_mw(tmp_path, mode):
+    """2-process dump parity for the --use-qf and multi-word table families
+    (VERDICT r4 item 7; the r4 drill only covered the plain k=21 table)."""
+    fastq = str(tmp_path / "mpq.fastq")
+    _gen_fastq(fastq)
+    k = 21 if mode == "qf" else 33
+    extra = ("--use-qf",) if mode == "qf" else ()
+
+    out_sp = str(tmp_path / "out_sp")
+    p = _run_pipeline(out_sp, fastq, 8, {}, extra_args=extra, k=k)
+    log = p.communicate(timeout=900)[0]
+    assert p.returncode == 0, log[-4000:]
+
+    out_mp = str(tmp_path / "out_mp")
+    _run_world(out_mp, fastq, 2, 4, extra_args=extra, k=k)
+
+    dumps_sp = _read_dumps(out_sp, k=k)
+    dumps_mp = _read_dumps(out_mp, k=k)
+    assert set(dumps_sp) == set(dumps_mp) == set(range(8))
+    assert dumps_sp == dumps_mp
+
+
+@pytest.mark.slow
+def test_restart_under_different_world_size(tmp_path):
+    """--restart with a different process count than the checkpointing run:
+    the merged-read blocks are world-size-stamped, so the restart must
+    RE-INGEST its own byte ranges (never load misaligned blocks) and still
+    produce identical dumps (restart reproducibility contract,
+    src/options.cpp:504-514; io/ingest.py world-size stamp)."""
+    fastq = str(tmp_path / "mpr.fastq")
+    _gen_fastq(fastq)
+
+    # baseline single-process run for the expected dumps
+    out_ref = str(tmp_path / "out_ref")
+    p = _run_pipeline(out_ref, fastq, 8, {})
+    log = p.communicate(timeout=900)[0]
+    assert p.returncode == 0, log[-4000:]
+
+    # checkpointing 2-process run
+    out = str(tmp_path / "out")
+    _run_world(out, fastq, 2, 4, extra_args=("--checkpoint",))
+    assert glob.glob(os.path.join(out, "*-merged.fastq.gz.0of2")), \
+        "2-process run must leave world-size-stamped merged blocks"
+
+    # invalidate the completed round so the restart recounts, then restart
+    # SINGLE-process (world size 1 != 2)
+    os.remove(os.path.join(out, "uutigs-21.fasta"))
+    p = _run_pipeline(out, fastq, 8, {}, extra_args=("--restart",))
+    log = p.communicate(timeout=900)[0]
+    assert p.returncode == 0, log[-4000:]
+    # the stamped blocks must NOT have been loaded (names don't match world
+    # size 1) — the restart re-ingests instead
+    assert "loading merged reads" not in log
+
+    dumps_ref = _read_dumps(out_ref)
+    dumps_rs = _read_dumps(out)
+    assert set(dumps_ref) == set(dumps_rs) == set(range(8))
+    assert dumps_ref == dumps_rs
 
 
 def test_maybe_initialize_scheduler_autodetect(monkeypatch):
