@@ -402,15 +402,19 @@ def analyze_kmers(
     else:
         table_mode = "qf" if use_qf else "plain"
     # --wire picks the multi-shard exchange format: supermer compresses bytes
-    # 2-3x (wins when the interconnect is the bottleneck, i.e. multi-host DCN)
-    # at the cost of receiver-side window re-extraction; record skips the
-    # recompute (wins when compute-bound).  auto MEASURES on every sharded
-    # mesh — single-host multi-chip ICI included (VERDICT r3 weak #4) — by
-    # probing one batch through each wire on a small throwaway table: the
-    # bytes-vs-recompute crossover depends on the actual interconnect, so it
-    # is probed, not assumed (VERDICT r2 weak #2).  The probe costs two extra
-    # compiles, amortized by the persistent compilation cache.
-    if options.wire == "auto" and n_shards > 1:
+    # 2-3x (wins only if the interconnect is the bottleneck, i.e. multi-host
+    # DCN) at the cost of receiver-side window re-extraction; record skips
+    # the recompute.  The record wire won EVERY measured configuration even
+    # after the r5 receiver compaction (n=2 per-device 2.34M vs 0.52M,
+    # BASELINE.md round-5 crossover table), so `auto` now just uses record
+    # and the supermer wire is EXPERIMENTAL: select it explicitly with
+    # --wire supermer (untested-on-DCN compression play), or set
+    # MHM2_TPU_WIRE_PROBE=1 to restore the measured one-batch probe
+    # (costs two extra compiles of the supermer program).
+    import os as _os
+
+    if (options.wire == "auto" and n_shards > 1
+            and _os.environ.get("MHM2_TPU_WIRE_PROBE", "") == "1"):
         use_supermers = _probe_wire_choice(
             mesh, k=k, m=m, max_len=max_len, batch=batch, n_shards=n_shards,
             max_rounds=max_rounds, table_mode=table_mode,

@@ -139,7 +139,12 @@ def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
     give_up = jnp.zeros((R,), bool) & valid
     pslot = jnp.full((R,), fcap, jnp.int32) + zero_v
 
-    FW = 16  # chain slots scanned per while-round (one flat gather each)
+    # chain slots scanned per while-round (one flat gather each).  4, not
+    # 16: flat gathers turn superlinear past ~5M lanes on the target chip
+    # (BASELINE.md round 5), and this scan runs at FULL batch width — FW=16
+    # gathered 16R ~ 19.6M lanes per round and was a dominant term of the
+    # first chip-scale --use-qf run's 18 s/batch collapse.
+    FW = 4
 
     def scan_chain(fp_now, scanning):
         """Linear chain scan against the CURRENT fp array -> (match_slot,
@@ -148,7 +153,8 @@ def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
         while-round gathers FW consecutive chain slots in one flat [FW*R]
         gather and resolves them with a forward in-window sweep (candidate-
         major [R] slices — a [R, FW] layout pads the minor dim to the tile).
-        8 rounds cover the full FILTER_MAX_PROBE=128 chain bound.
+        FILTER_MAX_PROBE // FW rounds cover the full chain bound; the
+        while exits as soon as no lane is still scanning.
 
         The body/cond closures are created FRESH per call: JAX caches
         while_loop body jaxprs by (function object, avals), so reusing one
@@ -262,6 +268,37 @@ def _filter_phase(filt: SingletonFilter, fps, fslot0, meta_mine, absent,
     return fp_arr, fmeta, fclaim, promote, replayer, rmeta, f_left, n_stored
 
 
+def _compacted_insert(table: ShardTable, hi, lo, left, right, cnt, mask,
+                      high_load: bool):
+    """st.insert_batch over the masked lanes, COMPACTED to R/2 first
+    (order-preserving _compact_sort) — the QF phase-3 insert populations
+    are usually a small fraction of the batch, and the insert kernel's cost
+    scales with its lane width.  Lanes beyond the compaction window (ramp-up
+    batches where most of the batch promotes at once) go through a full-
+    width insert behind a lax.cond — lossless, ~free when not taken."""
+    import jax
+
+    R = hi.shape[0]
+    S = min(max(R // 2, 4096), R)
+    meta = (left.astype(jnp.int32) | (right.astype(jnp.int32) << 3)
+            | (jnp.minimum(cnt.astype(jnp.int32), 0xFFFF) << 6))
+    (c_hi, c_lo, c_m), act, _, idx, n_left = st._compact_sort(
+        [hi, lo, meta], mask, S)
+    table = st.insert_batch(table, c_hi, c_lo, c_m & 7, (c_m >> 3) & 7,
+                            c_m >> 6, act, high_load=high_load)
+
+    def fb(tbl):
+        sel = jnp.zeros((R,), bool).at[jnp.where(act, idx, R)].set(
+            True, mode="drop")
+        return st.insert_batch(tbl, hi, lo, left, right, cnt, mask & ~sel,
+                               high_load=high_load)
+
+    def nofb(tbl):
+        return tbl
+
+    return jax.lax.cond(n_left > S, fb, nofb, table)
+
+
 @functools.partial(jax.jit, static_argnames=("high_load",))
 def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
                     hi, lo, left, right, cnt, valid, high_load: bool = False):
@@ -286,12 +323,14 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
     absent = jnp.zeros((R,), bool) & valid
     found_slot = jnp.full((R,), cap, jnp.int32) + zero_v
 
-    # windowed lookup (PROBE_WINDOW candidates per round, one flat gather per
-    # key plane): the main-table probe must follow the insert path's
-    # schedule, and at load the round count — not lane width — is the cost
-    # (see st._window_round)
+    # windowed lookup (W candidates per round, one flat gather per key
+    # plane): the main-table probe must follow the insert path's schedule.
+    # W=4 at full batch width — wide flat gathers turn superlinear past
+    # ~5M lanes on the target chip (W=16 here gathered 16R ~ 19.6M lanes
+    # per round; BASELINE.md round 5), and probes 0-3 resolve ~alpha^4 of
+    # lanes per round at load alpha.
     tri = st._probe_tri(cap)
-    W = st.PROBE_WINDOW
+    W = 4
     home = slot
 
     def body1b(state):
@@ -364,21 +403,24 @@ def insert_batch_qf(table: ShardTable, filt: SingletonFilter,
 
     # ---- phase 3: promoted lanes insert into the main table --------------
     # own contribution for promote lanes; the replayer lane ALSO carries the
-    # stored first-occurrence contribution
+    # stored first-occurrence contribution; filter-exhausted lanes (f_left)
+    # fall through to a direct main insert — no data loss, just no memory
+    # saving for them.  The promote and f_left masks are disjoint and share
+    # the (left, right, cnt) planes, so they merge into ONE insert; both
+    # insert populations are usually a small fraction of the batch, so they
+    # are COMPACTED to R/2 lanes first (the r5 first chip --use-qf run paid
+    # three full-width insert programs per batch) with a lossless full-width
+    # fallback behind a lax.cond for the ramp-up batches that overflow.
     table2 = ShardTable(
         keys_hi=keys_hi, keys_lo=keys_lo, counts=counts, extc=extc,
         claim=table.claim, num_dropped=table.num_dropped,
     )
-    table2 = st.insert_batch(table2, hi, lo, left, right, cnt, promote,
-                             high_load=high_load)
-    table2 = st.insert_batch(
+    table2 = _compacted_insert(
+        table2, hi, lo, left, right, cnt, promote | f_left,
+        high_load=high_load)
+    table2 = _compacted_insert(
         table2, hi, lo, rmeta & 7, (rmeta >> 3) & 7,
-        (rmeta >> 6) & META_COUNT_MASK, replayer, high_load=high_load
-    )
-    # lanes that exhausted the filter probe fall through to a direct main
-    # insert (filter full) — no data loss, just no memory saving for them
-    table2 = st.insert_batch(table2, hi, lo, left, right, cnt, f_left,
-                             high_load=high_load)
+        (rmeta >> 6) & META_COUNT_MASK, replayer, high_load=high_load)
 
     filt2 = SingletonFilter(
         fp=fp_arr,
@@ -418,9 +460,11 @@ def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
     absent = jnp.zeros((R,), bool) & valid
     found_slot = jnp.full((R,), cap, jnp.int32) + zero_v
 
-    # windowed lookup (see the single-word insert_batch_qf phase 1)
+    # windowed lookup (see the single-word insert_batch_qf phase 1; W=4 —
+    # full-width W=16 windows gathered Wn x 16R lanes per round, superlinear
+    # on the target chip, BASELINE.md round 5)
     tri = st._probe_tri(cap)
-    W = st.PROBE_WINDOW
+    W = 4
     home = slot
 
     def body1b(state):
@@ -488,15 +532,38 @@ def insert_batch_qf_mw(table, filt: SingletonFilter, words, left, right, cnt,
         keys=keys, counts=counts, extc=extc,
         claim=table.claim, num_dropped=table.num_dropped,
     )
-    # w0_full_range=True is the conservative emptiness test (all words
-    # checked) — correct for every k without threading k through the jit
-    table2 = stmw.insert_batch_mw(table2, words, left, right, cnt, promote,
-                                  w0_full_range=True, high_load=high_load)
-    table2 = stmw.insert_batch_mw(table2, words, rmeta & 7, (rmeta >> 3) & 7,
-                                  (rmeta >> 6) & META_COUNT_MASK, replayer,
-                                  w0_full_range=True, high_load=high_load)
-    table2 = stmw.insert_batch_mw(table2, words, left, right, cnt, f_left,
-                                  w0_full_range=True, high_load=high_load)
+
+    # disjoint-mask merge + R/2 compaction with lossless full-width
+    # fallback, like the single-word _compacted_insert.  w0_full_range=True
+    # is the conservative emptiness test (all words checked) — correct for
+    # every k without threading k through the jit.
+    def compacted_insert_mw(tbl, l_, r_, c_, mask):
+        import jax as _jax
+
+        S = min(max(R // 2, 4096), R)
+        meta = (l_ | (r_ << 3) | (jnp.minimum(c_, 0xFFFF) << 6))
+        arrs, act, _, idx, n_left = st._compact_sort([*words, meta], mask, S)
+        sw = jnp.stack(arrs[:Wn], axis=0)
+        sm = arrs[Wn]
+        tbl = stmw.insert_batch_mw(tbl, sw, sm & 7, (sm >> 3) & 7, sm >> 6,
+                                   act, w0_full_range=True,
+                                   high_load=high_load)
+
+        def fb(t):
+            sel = jnp.zeros((R,), bool).at[jnp.where(act, idx, R)].set(
+                True, mode="drop")
+            return stmw.insert_batch_mw(t, words, l_, r_, c_, mask & ~sel,
+                                        w0_full_range=True,
+                                        high_load=high_load)
+
+        def nofb(t):
+            return t
+
+        return _jax.lax.cond(n_left > S, fb, nofb, tbl)
+
+    table2 = compacted_insert_mw(table2, left, right, cnt, promote | f_left)
+    table2 = compacted_insert_mw(table2, rmeta & 7, (rmeta >> 3) & 7,
+                                 (rmeta >> 6) & META_COUNT_MASK, replayer)
 
     filt2 = SingletonFilter(
         fp=fp_arr,
