@@ -264,6 +264,16 @@ def test_maybe_initialize_scheduler_autodetect(monkeypatch):
     dist.maybe_initialize()
     assert calls == []
 
+    # TPU pod slice: megascale coordinator env (set by the TPU runtime on
+    # every pod worker) -> no-arg auto-init, no SLURM vars needed
+    calls.clear()
+    monkeypatch.delenv("SLURM_NTASKS", raising=False)
+    monkeypatch.delenv("SLURM_PROCID", raising=False)
+    monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "tpu-pod-coord:8080")
+    dist.maybe_initialize()
+    assert calls == [((), {})]
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize("k", [21, 33, 160])
