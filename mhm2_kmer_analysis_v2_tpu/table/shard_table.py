@@ -340,6 +340,8 @@ _COMPACT_FRACTION = 8
 # in ONE flat gather covers W probe steps per round, cutting rounds ~W-fold
 # for the same per-round op count.
 PROBE_WINDOW = 16
+# full-width windowed loops (ctg insert) keep W=4: see the CTG_W comment
+CTG_W = 4
 
 
 def _probe_tri(cap: int):
@@ -699,11 +701,14 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
         tbl, active, pidx, it, drops = state
         keys_hi, keys_lo, counts, extc, claim = tbl
         # windowed target find (see _window_round): first match-or-empty
-        # candidate among the next PROBE_WINDOW probe positions, candidate-
-        # major FLAT planes (a [R, W] layout pads the minor dim to the tile)
+        # candidate among the next CTG_W probe positions, candidate-major
+        # FLAT planes (a [R, W] layout pads the minor dim to the tile).
+        # CTG_W=4, NOT PROBE_WINDOW=16: this loop runs at FULL batch width
+        # and 16R-lane flat gathers are superlinear on the target chip
+        # (BASELINE.md round 5); W=16 stays correct only on compacted tiers.
         slot_c = []
         ok_c = []
-        for c in range(PROBE_WINDOW):
+        for c in range(CTG_W):
             p = pidx + c
             okc = active & (p < MAX_PROBE)
             sc = (home + tri[jnp.clip(p, 0, MAX_PROBE - 1)]) % cap
@@ -717,7 +722,7 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
         tgt_p = pidx
         is_match = jnp.zeros((R,), bool)
         is_empty = jnp.zeros((R,), bool)
-        for c in range(PROBE_WINDOW - 1, -1, -1):
+        for c in range(CTG_W - 1, -1, -1):
             chi = chi_f[c * R:(c + 1) * R]
             clo = clo_f[c * R:(c + 1) * R]
             m = ok_c[c] & (chi == u_hi) & (clo == u_lo)
@@ -789,7 +794,7 @@ def insert_ctg_batch(table: ShardTable, hi, lo, left, right, depth, valid, dmin_
 
         resolved = is_match | won
         active = active & ~resolved
-        pidx = jnp.where(has, tgt_p, pidx + PROBE_WINDOW)
+        pidx = jnp.where(has, tgt_p, pidx + CTG_W)
         drops = drops + jnp.sum(active & (pidx >= MAX_PROBE)).astype(jnp.int32)
         active = active & (pidx < MAX_PROBE)
         return (keys_hi, keys_lo, counts, extc, claim), active, pidx, it + 1, drops

@@ -448,10 +448,11 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
         tbl, active, pidx, it, drops = state
         keys, counts, extc, claim = tbl
         # windowed target find over all Wn words (see st._window_round),
-        # candidate-major FLAT planes (no [R, W] tile padding)
+        # candidate-major FLAT planes (no [R, W] tile padding); st.CTG_W=4
+        # because this loop runs at FULL batch width (wide-gather cost)
         slot_c = []
         ok_c = []
-        for c in range(st.PROBE_WINDOW):
+        for c in range(st.CTG_W):
             p = pidx + c
             okc = active & (p < MAX_PROBE)
             sc = (home + tri[jnp.clip(p, 0, MAX_PROBE - 1)]) % cap
@@ -464,7 +465,7 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
         tgt_p = pidx
         is_match = jnp.zeros((R,), bool)
         is_empty = jnp.zeros((R,), bool)
-        for c in range(st.PROBE_WINDOW - 1, -1, -1):
+        for c in range(st.CTG_W - 1, -1, -1):
             m = ok_c[c]
             e = ok_c[c]
             for j in range(Wn):
@@ -532,7 +533,7 @@ def insert_ctg_batch_mw(table: MWShardTable, words, left, right, depth, valid,
 
         resolved = is_match | won
         active = active & ~resolved
-        pidx = jnp.where(has, tgt_p, pidx + st.PROBE_WINDOW)
+        pidx = jnp.where(has, tgt_p, pidx + st.CTG_W)
         drops = drops + jnp.sum(active & (pidx >= MAX_PROBE)).astype(jnp.int32)
         active = active & (pidx < MAX_PROBE)
         return (keys, counts, extc, claim), active, pidx, it + 1, drops
